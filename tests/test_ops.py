@@ -1,0 +1,126 @@
+"""Op-level numerical parity vs torch (the reference's compute substrate).
+
+The reference model's numerics are defined by torch kernels; every op we
+re-express for TPU is validated here against torch CPU fp32/fp64.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from ml_depth_pro_video_tpu.ops import (
+    conv2d,
+    conv_transpose2x2,
+    layer_norm,
+    multi_head_attention,
+    resize2d,
+)
+from ml_depth_pro_video_tpu.ops.conv import linear
+
+RNG = np.random.default_rng(0)
+
+
+def to_nhwc(x_nchw: np.ndarray) -> np.ndarray:
+    return np.transpose(x_nchw, (0, 2, 3, 1))
+
+
+def to_nchw(x_nhwc: np.ndarray) -> np.ndarray:
+    return np.transpose(x_nhwc, (0, 3, 1, 2))
+
+
+@pytest.mark.parametrize(
+    "in_size,out_size,mode,antialias",
+    [
+        (1536, 768, "bilinear", False),
+        (1536, 384, "bilinear", False),
+        (96, 1536, "bilinear", False),
+        (17, 24, "bilinear", False),
+        (37, 24, "bicubic", True),
+        (14, 16, "bicubic", False),
+        (24, 37, "bicubic", True),
+        (100, 100, "bilinear", False),
+        (31, 7, "bilinear", True),
+    ],
+)
+def test_resize_matches_torch(in_size, out_size, mode, antialias):
+    x = RNG.standard_normal((1, 3, in_size, 5)).astype(np.float32)
+    t = F.interpolate(
+        torch.from_numpy(x),
+        size=(out_size, 5),
+        mode=mode,
+        align_corners=False,
+        antialias=antialias,
+    ).numpy()
+    j = resize2d(jnp.asarray(to_nhwc(x)), (out_size, 5), mode=mode, antialias=antialias)
+    np.testing.assert_allclose(to_nchw(np.asarray(j)), t, rtol=1e-5, atol=1e-5)
+
+
+def test_resize_both_axes():
+    x = RNG.standard_normal((2, 3, 48, 80)).astype(np.float32)
+    t = F.interpolate(torch.from_numpy(x), size=(96, 40), mode="bilinear", align_corners=False).numpy()
+    j = resize2d(jnp.asarray(to_nhwc(x)), (96, 40))
+    np.testing.assert_allclose(to_nchw(np.asarray(j)), t, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "cin,cout,k,stride,pad",
+    [(8, 16, 3, 1, 1), (8, 4, 1, 1, 0), (6, 5, 3, 2, 1), (4, 1, 6, 1, 0)],
+)
+def test_conv2d_matches_torch(cin, cout, k, stride, pad):
+    x = RNG.standard_normal((2, cin, 12, 12)).astype(np.float32)
+    w = (RNG.standard_normal((cout, cin, k, k)) * 0.1).astype(np.float32)
+    b = RNG.standard_normal(cout).astype(np.float32)
+    t = F.conv2d(torch.from_numpy(x), torch.from_numpy(w), torch.from_numpy(b), stride=stride, padding=pad).numpy()
+    w_hwio = np.transpose(w, (2, 3, 1, 0))
+    j = conv2d(jnp.asarray(to_nhwc(x)), jnp.asarray(w_hwio), jnp.asarray(b), stride=stride, padding=pad)
+    np.testing.assert_allclose(to_nchw(np.asarray(j)), t, rtol=1e-4, atol=1e-4)
+
+
+def test_conv_transpose2x2_matches_torch():
+    cin, cout = 8, 5
+    x = RNG.standard_normal((2, cin, 7, 9)).astype(np.float32)
+    w = (RNG.standard_normal((cin, cout, 2, 2)) * 0.1).astype(np.float32)
+    b = RNG.standard_normal(cout).astype(np.float32)
+    t = F.conv_transpose2d(torch.from_numpy(x), torch.from_numpy(w), torch.from_numpy(b), stride=2).numpy()
+    # (cin, cout, kh, kw) -> (cin, kh*kw*cout) flattened (kh, kw, cout)
+    w_flat = np.transpose(w, (0, 2, 3, 1)).reshape(cin, 4 * cout)
+    j = conv_transpose2x2(jnp.asarray(to_nhwc(x)), jnp.asarray(w_flat), jnp.asarray(b))
+    np.testing.assert_allclose(to_nchw(np.asarray(j)), t, rtol=1e-4, atol=1e-4)
+
+
+def test_layer_norm_matches_torch():
+    d = 64
+    x = RNG.standard_normal((3, 17, d)).astype(np.float32)
+    g = RNG.standard_normal(d).astype(np.float32)
+    b = RNG.standard_normal(d).astype(np.float32)
+    ln = torch.nn.LayerNorm(d, eps=1e-6)
+    with torch.no_grad():
+        ln.weight.copy_(torch.from_numpy(g))
+        ln.bias.copy_(torch.from_numpy(b))
+        t = ln(torch.from_numpy(x)).numpy()
+    j = layer_norm(jnp.asarray(x), jnp.asarray(g), jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(j), t, rtol=1e-5, atol=1e-5)
+
+
+def test_linear_matches_torch():
+    x = RNG.standard_normal((4, 10)).astype(np.float32)
+    w = RNG.standard_normal((7, 10)).astype(np.float32)  # torch (out, in)
+    b = RNG.standard_normal(7).astype(np.float32)
+    t = F.linear(torch.from_numpy(x), torch.from_numpy(w), torch.from_numpy(b)).numpy()
+    j = linear(jnp.asarray(x), jnp.asarray(w.T), jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(j), t, rtol=1e-5, atol=1e-5)
+
+
+def test_attention_matches_torch_sdpa():
+    b, h, s, d = 2, 4, 33, 16
+    q = RNG.standard_normal((b, h, s, d)).astype(np.float32)
+    k = RNG.standard_normal((b, h, s, d)).astype(np.float32)
+    v = RNG.standard_normal((b, h, s, d)).astype(np.float32)
+    t = F.scaled_dot_product_attention(
+        torch.from_numpy(q), torch.from_numpy(k), torch.from_numpy(v)
+    ).numpy()
+    j = multi_head_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), impl="xla")
+    np.testing.assert_allclose(np.asarray(j), t, rtol=1e-4, atol=1e-4)
