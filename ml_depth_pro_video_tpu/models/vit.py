@@ -1,0 +1,176 @@
+"""DINOv2-style ViT backbone, TPU-native.
+
+Replaces the reference's timm ViT-L + forward-hook machinery
+(`/root/reference/src/depth_pro/network/vit.py:13-35`,
+`encoder.py:132-144`): instead of hooks on blocks {5, 11}, the forward
+pass is split into scan segments at the capture points and returns the
+intermediate token maps explicitly, in one traced program.
+
+Architecture (preset ``dinov2l16_384`` after the reference's offline
+patch-embed 14->16 / pos-embed 518->384 resampling,
+`vit_factory.py:53-65`): patch embed conv 16x16/s16 (expressed as
+patchify + matmul, which is MXU-shaped), cls token, learned pos embed,
+24 pre-norm blocks with LayerScale, exact GELU, eps=1e-6 LayerNorms,
+and a final LayerNorm (timm ``forward_features`` semantics).
+
+Block parameters are stacked along a leading depth axis and consumed by
+``lax.scan`` — one compiled block body instead of 24 unrolled copies.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.precision import Precision
+from ..ops.attention import multi_head_attention
+from ..ops.norm import layer_norm
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    """ViT backbone configuration (default: dinov2l16_384)."""
+
+    img_size: int = 384
+    patch_size: int = 16
+    embed_dim: int = 1024
+    depth: int = 24
+    num_heads: int = 16
+    mlp_ratio: int = 4
+    layer_norm_eps: float = 1e-6
+
+    @property
+    def grid_size(self) -> int:
+        return self.img_size // self.patch_size
+
+    @property
+    def num_tokens(self) -> int:
+        return self.grid_size * self.grid_size + 1
+
+
+def init_vit(rng: jax.Array, cfg: ViTConfig) -> dict:
+    """Random-init ViT params (trunc-normal-free simple init; real use
+    loads converted reference weights)."""
+    d, l = cfg.embed_dim, cfg.depth
+    p3 = cfg.patch_size * cfg.patch_size * 3
+    hidden = cfg.mlp_ratio * d
+    keys = jax.random.split(rng, 8)
+
+    def nrm(key, shape, scale):
+        return (jax.random.normal(key, shape, jnp.float32) * scale).astype(jnp.float32)
+
+    return {
+        "patch_embed": {"w": nrm(keys[0], (p3, d), p3**-0.5), "b": jnp.zeros((d,))},
+        "cls_token": nrm(keys[1], (1, 1, d), 0.02),
+        "pos_embed": nrm(keys[2], (1, cfg.num_tokens, d), 0.02),
+        "blocks": {
+            "ln1_g": jnp.ones((l, d)),
+            "ln1_b": jnp.zeros((l, d)),
+            "qkv_w": nrm(keys[3], (l, d, 3 * d), d**-0.5),
+            "qkv_b": jnp.zeros((l, 3 * d)),
+            "proj_w": nrm(keys[4], (l, d, d), d**-0.5),
+            "proj_b": jnp.zeros((l, d)),
+            "ls1": jnp.full((l, d), 1e-5),
+            "ln2_g": jnp.ones((l, d)),
+            "ln2_b": jnp.zeros((l, d)),
+            "fc1_w": nrm(keys[5], (l, d, hidden), d**-0.5),
+            "fc1_b": jnp.zeros((l, hidden)),
+            "fc2_w": nrm(keys[6], (l, hidden, d), hidden**-0.5),
+            "fc2_b": jnp.zeros((l, d)),
+            "ls2": jnp.full((l, d), 1e-5),
+        },
+        "norm": {"g": jnp.ones((d,)), "b": jnp.zeros((d,))},
+    }
+
+
+def patchify(x: jnp.ndarray, patch: int) -> jnp.ndarray:
+    """(B, S, S, 3) -> (B, G*G, patch*patch*3), (kh, kw, c)-ordered."""
+    b, h, w, c = x.shape
+    g_h, g_w = h // patch, w // patch
+    x = x.reshape(b, g_h, patch, g_w, patch, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, g_h * g_w, patch * patch * c)
+
+
+def _block(x: jnp.ndarray, bp: dict, cfg: ViTConfig, attn_impl: str | None) -> jnp.ndarray:
+    b, s, d = x.shape
+    nh = cfg.num_heads
+    hd = d // nh
+    cdt = x.dtype
+
+    h = layer_norm(x, bp["ln1_g"], bp["ln1_b"], cfg.layer_norm_eps)
+    qkv = jnp.dot(h, bp["qkv_w"].astype(cdt), preferred_element_type=cdt) + bp["qkv_b"].astype(cdt)
+    qkv = qkv.reshape(b, s, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+    attn = multi_head_attention(qkv[0], qkv[1], qkv[2], impl=attn_impl)
+    attn = attn.transpose(0, 2, 1, 3).reshape(b, s, d)
+    attn = jnp.dot(attn, bp["proj_w"].astype(cdt), preferred_element_type=cdt) + bp["proj_b"].astype(cdt)
+    x = x + bp["ls1"].astype(cdt) * attn
+
+    h = layer_norm(x, bp["ln2_g"], bp["ln2_b"], cfg.layer_norm_eps)
+    h = jnp.dot(h, bp["fc1_w"].astype(cdt), preferred_element_type=cdt) + bp["fc1_b"].astype(cdt)
+    h = jax.nn.gelu(h, approximate=False)
+    h = jnp.dot(h, bp["fc2_w"].astype(cdt), preferred_element_type=cdt) + bp["fc2_b"].astype(cdt)
+    return x + bp["ls2"].astype(cdt) * h
+
+
+def _scan_blocks(x, stacked, lo, hi, cfg, attn_impl):
+    """Run blocks [lo, hi) via lax.scan over the stacked param axis."""
+    if hi == lo:
+        return x
+    seg = jax.tree.map(lambda a: a[lo:hi], stacked)
+
+    def body(carry, bp):
+        return _block(carry, bp, cfg, attn_impl), None
+
+    x, _ = jax.lax.scan(body, x, seg)
+    return x
+
+
+def vit_apply(
+    params: dict,
+    x: jnp.ndarray,
+    cfg: ViTConfig,
+    precision: Precision = Precision.fp32(),
+    capture_blocks: Sequence[int] = (),
+    attn_impl: str | None = None,
+) -> tuple[jnp.ndarray, list[jnp.ndarray]]:
+    """Forward pass.
+
+    Args:
+      x: (B, img, img, 3) normalized image batch (NHWC).
+      capture_blocks: 0-based block indices whose *outputs* to return
+        (reference hooks capture after blocks 5 and 11,
+        `encoder.py:133-138`).
+
+    Returns:
+      (final tokens after the last LayerNorm, [captured token maps]),
+      each (B, 1+G*G, D).
+    """
+    cdt = precision.compute_dtype
+    b = x.shape[0]
+
+    tokens = patchify(x.astype(cdt), cfg.patch_size)
+    tokens = jnp.dot(tokens, params["patch_embed"]["w"].astype(cdt), preferred_element_type=cdt)
+    tokens = tokens + params["patch_embed"]["b"].astype(cdt)
+    cls = jnp.broadcast_to(params["cls_token"].astype(cdt), (b, 1, cfg.embed_dim))
+    tokens = jnp.concatenate([cls, tokens], axis=1)
+    tokens = tokens + params["pos_embed"].astype(cdt)
+
+    captures = []
+    lo = 0
+    for idx in sorted(capture_blocks):
+        tokens = _scan_blocks(tokens, params["blocks"], lo, idx + 1, cfg, attn_impl)
+        captures.append(tokens)
+        lo = idx + 1
+    tokens = _scan_blocks(tokens, params["blocks"], lo, cfg.depth, cfg, attn_impl)
+
+    tokens = layer_norm(tokens, params["norm"]["g"], params["norm"]["b"], cfg.layer_norm_eps)
+    return tokens, captures
+
+
+def count_params(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))

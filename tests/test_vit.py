@@ -1,0 +1,140 @@
+"""ViT backbone parity vs a timm-style torch ViT (the reference backbone
+semantics: pre-norm blocks, LayerScale, exact GELU, eps=1e-6, final norm).
+"""
+
+import math
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+
+import jax.numpy as jnp
+
+from ml_depth_pro_video_tpu.ckpt.convert import (
+    convert_vit,
+    load_params,
+    resample_patch_embed,
+    save_params,
+)
+from ml_depth_pro_video_tpu.models.vit import ViTConfig, init_vit, vit_apply
+
+CFG = ViTConfig(img_size=32, patch_size=16, embed_dim=32, depth=3, num_heads=4, mlp_ratio=2)
+
+
+class TorchBlock(nn.Module):
+    """Standard timm ViT block (norm1 -> attn -> ls1, norm2 -> mlp -> ls2)."""
+
+    def __init__(self, d, heads, mlp_ratio):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(d, eps=1e-6)
+        self.attn = nn.ModuleDict(
+            {"qkv": nn.Linear(d, 3 * d), "proj": nn.Linear(d, d)}
+        )
+        self.ls1 = nn.ParameterDict({"gamma": nn.Parameter(torch.full((d,), 1e-5))})
+        self.norm2 = nn.LayerNorm(d, eps=1e-6)
+        self.mlp = nn.ModuleDict(
+            {"fc1": nn.Linear(d, mlp_ratio * d), "fc2": nn.Linear(mlp_ratio * d, d)}
+        )
+        self.ls2 = nn.ParameterDict({"gamma": nn.Parameter(torch.full((d,), 1e-5))})
+        self.heads = heads
+
+    def forward(self, x):
+        b, s, d = x.shape
+        h = self.norm1(x)
+        qkv = self.attn["qkv"](h).reshape(b, s, 3, self.heads, d // self.heads)
+        q, k, v = qkv.permute(2, 0, 3, 1, 4).unbind(0)
+        a = torch.nn.functional.scaled_dot_product_attention(q, k, v)
+        a = a.transpose(1, 2).reshape(b, s, d)
+        x = x + self.ls1["gamma"] * self.attn["proj"](a)
+        h = self.norm2(x)
+        h = self.mlp["fc2"](torch.nn.functional.gelu(self.mlp["fc1"](h)))
+        return x + self.ls2["gamma"] * h
+
+
+class TorchViT(nn.Module):
+    def __init__(self, cfg: ViTConfig):
+        super().__init__()
+        d = cfg.embed_dim
+        self.patch_embed = nn.ModuleDict(
+            {"proj": nn.Conv2d(3, d, cfg.patch_size, stride=cfg.patch_size)}
+        )
+        self.cls_token = nn.Parameter(torch.randn(1, 1, d) * 0.02)
+        self.pos_embed = nn.Parameter(torch.randn(1, cfg.num_tokens, d) * 0.02)
+        self.blocks = nn.ModuleList(
+            [TorchBlock(d, cfg.num_heads, cfg.mlp_ratio) for _ in range(cfg.depth)]
+        )
+        self.norm = nn.LayerNorm(d, eps=1e-6)
+
+    def forward(self, x, capture=()):
+        b = x.shape[0]
+        t = self.patch_embed["proj"](x).flatten(2).transpose(1, 2)
+        t = torch.cat([self.cls_token.expand(b, -1, -1), t], dim=1) + self.pos_embed
+        caps = []
+        for i, blk in enumerate(self.blocks):
+            t = blk(t)
+            if i in capture:
+                caps.append(t)
+        return self.norm(t), caps
+
+
+@pytest.fixture(scope="module")
+def torch_vit():
+    torch.manual_seed(0)
+    m = TorchViT(CFG)
+    # Randomize LayerScale so it's a real parity check.
+    with torch.no_grad():
+        for blk in m.blocks:
+            blk.ls1["gamma"].copy_(torch.rand_like(blk.ls1["gamma"]) * 0.1)
+            blk.ls2["gamma"].copy_(torch.rand_like(blk.ls2["gamma"]) * 0.1)
+    return m.eval()
+
+
+def test_vit_forward_and_captures_match_torch(torch_vit):
+    sd = {k: v for k, v in torch_vit.state_dict().items()}
+    params = convert_vit(sd, "", CFG)
+    x = np.random.default_rng(1).standard_normal((2, 3, CFG.img_size, CFG.img_size)).astype(np.float32)
+    with torch.no_grad():
+        t_out, t_caps = torch_vit(torch.from_numpy(x), capture=(0, 1))
+    j_out, j_caps = vit_apply(
+        {k: jnp.asarray(v) if not isinstance(v, dict) else v for k, v in params.items()},
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        CFG,
+        capture_blocks=(0, 1),
+    )
+    np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(), rtol=2e-4, atol=2e-4)
+    assert len(j_caps) == 2
+    for jc, tc in zip(j_caps, t_caps):
+        np.testing.assert_allclose(np.asarray(jc), tc.numpy(), rtol=2e-4, atol=2e-4)
+
+
+def test_param_roundtrip(tmp_path, torch_vit):
+    sd = torch_vit.state_dict()
+    params = convert_vit(sd, "", CFG)
+    path = str(tmp_path / "vit.npz")
+    save_params(path, {"vit": params, "lst": [np.ones(3), None]})
+    loaded = load_params(path)
+    np.testing.assert_array_equal(loaded["vit"]["blocks"]["qkv_w"], params["blocks"]["qkv_w"])
+    assert loaded["lst"][1] is None
+    np.testing.assert_array_equal(loaded["lst"][0], np.ones(3))
+
+
+def test_resample_patch_embed_matches_reference_semantics():
+    """kernel 14->16 bicubic + magnitude rescale (vit.py:85-93)."""
+    w = np.random.default_rng(2).standard_normal((4, 3, 14, 14)).astype(np.float32)
+    out = resample_patch_embed(w, 16)
+    t = torch.nn.functional.interpolate(
+        torch.from_numpy(w), size=(16, 16), mode="bicubic", align_corners=False
+    ).numpy() * (14 / 16) * (14 / 16)
+    np.testing.assert_allclose(out, t, rtol=1e-4, atol=1e-5)
+
+
+def test_init_vit_shapes():
+    import jax
+
+    params = init_vit(jax.random.PRNGKey(0), CFG)
+    assert params["blocks"]["qkv_w"].shape == (CFG.depth, CFG.embed_dim, 3 * CFG.embed_dim)
+    assert params["pos_embed"].shape == (1, CFG.num_tokens, CFG.embed_dim)
+    out, caps = vit_apply(params, jnp.zeros((1, 32, 32, 3)), CFG, capture_blocks=(1,))
+    assert out.shape == (1, CFG.num_tokens, CFG.embed_dim)
+    assert len(caps) == 1
