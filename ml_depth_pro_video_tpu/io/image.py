@@ -1,0 +1,87 @@
+"""Image loading with EXIF focal-length extraction.
+
+Behavioral parity with `/root/reference/src/depth_pro/utils.py:16-112`:
+EXIF auto-rotation (orientations 3/6/8), grayscale->RGB, alpha strip,
+and focal length from the 35mm-equivalent EXIF tag via
+``f_px = f_mm * sqrt(w^2+h^2) / sqrt(36^2+24^2)``. HEIC decoding is
+supported when pillow_heif is installed (gated import).
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+import numpy as np
+from PIL import ExifTags, Image, TiffTags
+
+try:  # optional: HEIC support
+    import pillow_heif
+
+    pillow_heif.register_heif_opener()
+    _HAS_HEIF = True
+except ImportError:  # pragma: no cover
+    _HAS_HEIF = False
+
+LOGGER = logging.getLogger(__name__)
+
+
+def extract_exif(img_pil: Image.Image) -> Dict[str, Any]:
+    """EXIF + TIFF tags as a name->value dict."""
+    exif = img_pil.getexif()
+    ifd = exif.get_ifd(0x8769)
+    out = {ExifTags.TAGS[k]: v for k, v in ifd.items() if k in ExifTags.TAGS}
+    tiff = {TiffTags.TAGS_V2[k].name: v for k, v in exif.items() if k in TiffTags.TAGS_V2}
+    out.update(tiff)
+    return out
+
+
+def fpx_from_f35(width: float, height: float, f_mm: float = 50) -> float:
+    """35mm-equivalent focal length (mm) -> pixels for this image size."""
+    return f_mm * np.sqrt(width**2.0 + height**2.0) / np.sqrt(36**2 + 24**2)
+
+
+_ROTATIONS = {3: Image.ROTATE_180, 6: Image.ROTATE_270, 8: Image.ROTATE_90}
+
+
+def load_rgb(
+    path: Union[Path, str],
+    auto_rotate: bool = True,
+    remove_alpha: bool = True,
+) -> Tuple[np.ndarray, List[bytes], Optional[float]]:
+    """Load an RGB image.
+
+    Returns (HxWx3 uint8 array, icc_profile, f_px or None).
+    """
+    path = Path(path)
+    if path.suffix.lower() == ".heic":
+        if not _HAS_HEIF:
+            raise RuntimeError("HEIC input requires pillow_heif, which is not installed")
+        heif = pillow_heif.open_heif(path, convert_hdr_to_8bit=True)
+        img_pil = heif.to_pillow()
+    else:
+        img_pil = Image.open(path)
+
+    img_exif = extract_exif(img_pil)
+    icc_profile = img_pil.info.get("icc_profile", None)
+
+    if auto_rotate:
+        orientation = img_exif.get("Orientation", 1)
+        if orientation in _ROTATIONS:
+            img_pil = img_pil.transpose(_ROTATIONS[orientation])
+        elif orientation != 1:
+            LOGGER.warning("Ignoring image orientation %s.", orientation)
+
+    img = np.array(img_pil)
+    if img.ndim < 3 or img.shape[2] == 1:
+        img = np.dstack((img, img, img))
+    if remove_alpha:
+        img = img[:, :, :3]
+
+    f_35mm = img_exif.get(
+        "FocalLengthIn35mmFilm",
+        img_exif.get("FocalLenIn35mmFilm", img_exif.get("FocalLengthIn35mmFormat")),
+    )
+    f_px = fpx_from_f35(img.shape[1], img.shape[0], f_35mm) if f_35mm else None
+    return img, icc_profile, f_px

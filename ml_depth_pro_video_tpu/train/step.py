@@ -1,0 +1,77 @@
+"""Fine-tuning step for Depth Pro on TPU meshes.
+
+The reference ships no training code (SURVEY.md: inference only); this
+module adds the capability TPU-first: a jit/pjit-able train step with a
+scale-invariant log-depth loss, optax AdamW, and DP(+TP) sharding via
+GSPMD annotations. Used by ``__graft_entry__.dryrun_multichip`` to
+validate the multi-chip path end-to-end.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.precision import Precision
+from ..models.depth_pro import DepthProConfig, forward
+from ..parallel.mesh import batch_sharding, make_mesh
+from ..parallel.sharding import param_shardings, shard_params
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+def silog_loss(pred_inv_depth: jnp.ndarray, target_depth: jnp.ndarray,
+               eps: float = 1e-6, lam: float = 0.85) -> jnp.ndarray:
+    """Scale-invariant log loss (Eigen et al.) on depth derived from the
+    predicted canonical inverse depth."""
+    pred_depth = 1.0 / jnp.clip(pred_inv_depth, eps, 1e4)
+    g = jnp.log(jnp.clip(pred_depth, eps)) - jnp.log(jnp.clip(target_depth, eps))
+    return jnp.mean(jnp.square(g)) - lam * jnp.square(jnp.mean(g))
+
+
+def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-2) -> optax.GradientTransformation:
+    return optax.adamw(lr, weight_decay=weight_decay)
+
+
+def loss_fn(params, images, target_depth, cfg: DepthProConfig, precision: Precision):
+    canonical, _ = forward(params, images, cfg, precision)
+    return silog_loss(canonical[..., 0].astype(jnp.float32), target_depth)
+
+
+def train_step(state: TrainState, images, target_depth, cfg: DepthProConfig,
+               optimizer, precision: Precision = Precision.bf16()):
+    """One SGD step. Donate ``state`` when jitting for in-place updates."""
+    loss, grads = jax.value_and_grad(loss_fn)(state.params, images, target_depth, cfg, precision)
+    updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), loss
+
+
+def make_sharded_train_step(params, cfg: DepthProConfig, mesh, lr: float = 1e-4,
+                            precision: Precision = Precision.bf16(),
+                            tensor_parallel: bool = True):
+    """Build (state, jitted step) with params TP-sharded and the batch
+    DP-sharded over ``mesh``. Gradients reduce over dp automatically via
+    GSPMD; TP all-reduces ride the tp axis."""
+    optimizer = make_optimizer(lr)
+    params = shard_params(params, mesh, tensor_parallel)
+    # optimizer moments inherit the param shardings through init
+    opt_state = optimizer.init(params)
+    state = TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+
+    data_sh = batch_sharding(mesh)
+
+    step = jax.jit(
+        functools.partial(train_step, cfg=cfg, optimizer=optimizer, precision=precision),
+        in_shardings=(None, data_sh, data_sh),
+        donate_argnums=(0,),
+    )
+    return state, step

@@ -1,0 +1,84 @@
+"""End-to-end numerical parity: JAX DepthPro vs the torch oracle.
+
+This is the BASELINE north-star check (<=1e-3 relative depth error vs a
+torch fp32 reference) exercised at tiny scale with random weights —
+every wiring detail (split/merge layout, hook captures, decoder fusion
+order, FOV path, infer() math) must match for this to pass.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from ml_depth_pro_video_tpu.ckpt.convert import convert_depth_pro
+from ml_depth_pro_video_tpu.models.depth_pro import (
+    DepthPro,
+    forward,
+    infer_fn,
+    tiny_config,
+)
+from torch_oracle import TorchDepthPro
+
+CFG = tiny_config()
+
+
+@pytest.fixture(scope="module")
+def pair():
+    torch.manual_seed(0)
+    oracle = TorchDepthPro(CFG).eval()
+    params = jax.tree.map(jnp.asarray, convert_depth_pro(oracle.state_dict(), CFG))
+    return oracle, params
+
+
+def _rand_img(h, w, seed=0):
+    return np.random.default_rng(seed).standard_normal((1, 3, h, w)).astype(np.float32)
+
+
+def test_forward_parity(pair):
+    oracle, params = pair
+    x = _rand_img(CFG.img_size, CFG.img_size)
+    with torch.no_grad():
+        t_canon, t_fov = oracle(torch.from_numpy(x))
+    j_canon, j_fov = forward(params, jnp.asarray(x.transpose(0, 2, 3, 1)), CFG)
+    np.testing.assert_allclose(
+        np.asarray(j_canon)[..., 0], t_canon.numpy()[:, 0], rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(np.asarray(j_fov), t_fov.numpy().reshape(-1), rtol=1e-3, atol=1e-4)
+
+
+def test_infer_parity_with_resize_and_fpx_derivation(pair):
+    oracle, params = pair
+    x = _rand_img(140, 250, seed=3)
+    t_out = oracle.infer(torch.from_numpy(x))
+    j_out = infer_fn(params, jnp.asarray(x.transpose(0, 2, 3, 1)), None, CFG)
+    np.testing.assert_allclose(
+        np.asarray(j_out["focallength_px"]).reshape(()), t_out["focallength_px"].numpy(),
+        rtol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(j_out["depth"])[0], t_out["depth"].numpy(), rtol=2e-3, atol=1e-6
+    )
+
+
+def test_infer_parity_given_fpx(pair):
+    oracle, params = pair
+    x = _rand_img(CFG.img_size, CFG.img_size, seed=4)
+    t_out = oracle.infer(torch.from_numpy(x), f_px=torch.tensor(333.0))
+    j_out = infer_fn(params, jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.array([333.0]), CFG)
+    np.testing.assert_allclose(
+        np.asarray(j_out["depth"])[0], t_out["depth"].numpy(), rtol=1e-3, atol=1e-6
+    )
+
+
+def test_model_class_jit_cache(pair):
+    _, params = pair
+    model = DepthPro(params, CFG)
+    x = jnp.asarray(_rand_img(64, 64, seed=5).transpose(0, 2, 3, 1))[0]
+    o1 = model.infer(x)
+    o2 = model.infer(x)
+    assert len(model._jit_cache) == 1
+    np.testing.assert_array_equal(np.asarray(o1["depth"]), np.asarray(o2["depth"]))
+    assert o1["depth"].shape == (64, 64)

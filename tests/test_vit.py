@@ -2,14 +2,13 @@
 semantics: pre-norm blocks, LayerScale, exact GELU, eps=1e-6, final norm).
 """
 
-import math
-
 import numpy as np
 import pytest
 import torch
-import torch.nn as nn
 
 import jax.numpy as jnp
+
+from torch_oracle import TorchViT
 
 from ml_depth_pro_video_tpu.ckpt.convert import (
     convert_vit,
@@ -20,62 +19,6 @@ from ml_depth_pro_video_tpu.ckpt.convert import (
 from ml_depth_pro_video_tpu.models.vit import ViTConfig, init_vit, vit_apply
 
 CFG = ViTConfig(img_size=32, patch_size=16, embed_dim=32, depth=3, num_heads=4, mlp_ratio=2)
-
-
-class TorchBlock(nn.Module):
-    """Standard timm ViT block (norm1 -> attn -> ls1, norm2 -> mlp -> ls2)."""
-
-    def __init__(self, d, heads, mlp_ratio):
-        super().__init__()
-        self.norm1 = nn.LayerNorm(d, eps=1e-6)
-        self.attn = nn.ModuleDict(
-            {"qkv": nn.Linear(d, 3 * d), "proj": nn.Linear(d, d)}
-        )
-        self.ls1 = nn.ParameterDict({"gamma": nn.Parameter(torch.full((d,), 1e-5))})
-        self.norm2 = nn.LayerNorm(d, eps=1e-6)
-        self.mlp = nn.ModuleDict(
-            {"fc1": nn.Linear(d, mlp_ratio * d), "fc2": nn.Linear(mlp_ratio * d, d)}
-        )
-        self.ls2 = nn.ParameterDict({"gamma": nn.Parameter(torch.full((d,), 1e-5))})
-        self.heads = heads
-
-    def forward(self, x):
-        b, s, d = x.shape
-        h = self.norm1(x)
-        qkv = self.attn["qkv"](h).reshape(b, s, 3, self.heads, d // self.heads)
-        q, k, v = qkv.permute(2, 0, 3, 1, 4).unbind(0)
-        a = torch.nn.functional.scaled_dot_product_attention(q, k, v)
-        a = a.transpose(1, 2).reshape(b, s, d)
-        x = x + self.ls1["gamma"] * self.attn["proj"](a)
-        h = self.norm2(x)
-        h = self.mlp["fc2"](torch.nn.functional.gelu(self.mlp["fc1"](h)))
-        return x + self.ls2["gamma"] * h
-
-
-class TorchViT(nn.Module):
-    def __init__(self, cfg: ViTConfig):
-        super().__init__()
-        d = cfg.embed_dim
-        self.patch_embed = nn.ModuleDict(
-            {"proj": nn.Conv2d(3, d, cfg.patch_size, stride=cfg.patch_size)}
-        )
-        self.cls_token = nn.Parameter(torch.randn(1, 1, d) * 0.02)
-        self.pos_embed = nn.Parameter(torch.randn(1, cfg.num_tokens, d) * 0.02)
-        self.blocks = nn.ModuleList(
-            [TorchBlock(d, cfg.num_heads, cfg.mlp_ratio) for _ in range(cfg.depth)]
-        )
-        self.norm = nn.LayerNorm(d, eps=1e-6)
-
-    def forward(self, x, capture=()):
-        b = x.shape[0]
-        t = self.patch_embed["proj"](x).flatten(2).transpose(1, 2)
-        t = torch.cat([self.cls_token.expand(b, -1, -1), t], dim=1) + self.pos_embed
-        caps = []
-        for i, blk in enumerate(self.blocks):
-            t = blk(t)
-            if i in capture:
-                caps.append(t)
-        return self.norm(t), caps
 
 
 @pytest.fixture(scope="module")
