@@ -1,0 +1,69 @@
+"""Benchmark: sustained 1536x1536 metric-depth throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference paper's headline claim of 0.3 s per 2.25 MP
+depth map on a "standard GPU" (`/root/reference/README.md:9`), i.e.
+3.333 fps; vs_baseline = our fps / 3.333.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main() -> None:
+    from ml_depth_pro_video_tpu.core.precision import Precision
+    from ml_depth_pro_video_tpu.models.depth_pro import (
+        DEFAULT_MONODEPTH_CONFIG,
+        infer_fn,
+        init_depth_pro,
+        load_checkpoint,
+    )
+    import dataclasses
+
+    cfg = DEFAULT_MONODEPTH_CONFIG
+    params = load_checkpoint(cfg)
+    if params is None:
+        cfg = dataclasses.replace(cfg, checkpoint_uri=None)
+        params = init_depth_pro(jax.random.PRNGKey(0), cfg)
+    precision = Precision.bf16()
+    params = jax.tree.map(jnp.asarray, params)
+
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    s = cfg.img_size
+
+    # Reduce to a scalar on device so timing forces real execution — the
+    # axon tunnel's block_until_ready can return before execution.
+    fn = jax.jit(lambda p, x: infer_fn(p, x, None, cfg, precision)["depth"].mean())
+    x = jnp.zeros((batch, s, s, 3), jnp.float32)
+
+    # compile + warmup (scalar fetch = hard sync)
+    float(fn(params, x))
+    float(fn(params, x))
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(params, x)
+    float(out)  # sync: in-order execution implies all iters completed
+    dt = time.perf_counter() - t0
+
+    fps = batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "fps_per_chip_1536x1536_metric_depth",
+                "value": round(fps, 3),
+                "unit": "frames/sec",
+                "vs_baseline": round(fps / (1.0 / 0.3), 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

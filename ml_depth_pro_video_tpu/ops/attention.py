@@ -50,7 +50,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int, scale: float):
     p = jnp.exp(s - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
     p = p / denom
-    o_ref[0] = jnp.dot(p.astype(v.dtype), v, preferred_element_type=v.dtype)
+    out = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
