@@ -1,0 +1,114 @@
+"""ctypes bindings for the native C++ geometry kernels.
+
+Builds lazily with g++ on first use (cached as ``_geom_native.so``);
+every caller has a pure numpy/scipy fallback, so a missing toolchain
+degrades performance, not capability.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+
+import numpy as np
+
+LOGGER = logging.getLogger(__name__)
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "neighbors.cpp")
+_SO = os.path.join(_DIR, "_geom_native.so")
+
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=240)
+        return True
+    except Exception as exc:  # pragma: no cover
+        LOGGER.warning("native build failed (%s); using numpy fallback", exc)
+        return False
+
+
+def _load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError as exc:  # pragma: no cover
+        LOGGER.warning("native load failed: %s", exc)
+        return None
+    lib.radius_counts.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.voxel_downsample.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.voxel_downsample.restype = ctypes.c_int64
+    lib.estimate_normals.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_double,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_double),
+    ]
+    _lib = lib
+    return _lib
+
+
+class neighbors:
+    """Namespace used by geom.clean / geom.mesh."""
+
+    @staticmethod
+    def available() -> bool:
+        return _load() is not None
+
+    @staticmethod
+    def radius_counts(points: np.ndarray, radius: float) -> np.ndarray:
+        lib = _load()
+        pts = np.ascontiguousarray(points, dtype=np.float64)
+        out = np.zeros(len(pts), dtype=np.int32)
+        lib.radius_counts(
+            pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            len(pts), float(radius),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return out
+
+    @staticmethod
+    def voxel_downsample(points: np.ndarray, colors: np.ndarray | None, voxel: float):
+        lib = _load()
+        pts = np.ascontiguousarray(points, dtype=np.float64)
+        cols = None if colors is None else np.ascontiguousarray(colors, dtype=np.float64)
+        out_p = np.zeros_like(pts)
+        out_c = np.zeros_like(pts) if cols is not None else None
+        m = lib.voxel_downsample(
+            pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            cols.ctypes.data_as(ctypes.POINTER(ctypes.c_double)) if cols is not None else None,
+            len(pts), float(voxel),
+            out_p.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            out_c.ctypes.data_as(ctypes.POINTER(ctypes.c_double)) if out_c is not None else None,
+        )
+        return out_p[:m], (out_c[:m] if out_c is not None else None)
+
+    @staticmethod
+    def estimate_normals(points: np.ndarray, radius: float, camera=(0.0, 0.0, 0.0)) -> np.ndarray:
+        lib = _load()
+        pts = np.ascontiguousarray(points, dtype=np.float64)
+        out = np.zeros_like(pts)
+        lib.estimate_normals(
+            pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            len(pts), float(radius),
+            float(camera[0]), float(camera[1]), float(camera[2]),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        return out

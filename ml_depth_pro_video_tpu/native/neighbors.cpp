@@ -1,0 +1,184 @@
+// Native geometry kernels: grid-hash neighbor counting, voxel downsampling
+// and k-NN PCA normals. Replaces the Open3D C++ surface the reference uses
+// (KDTreeFlann radius search pointcloud_cleaner.py:164-187, voxel_down_sample
+// and estimate_normals pointcloud_to_mesh.py:335-345) with a uniform-grid
+// spatial hash: build is O(N), queries touch 27 cells.
+//
+// Build: see Makefile (g++ -O3 -march=native -shared -fPIC).
+// Binding: ctypes (ml_depth_pro_video_tpu/native/__init__.py).
+
+#include <cstdint>
+#include <cmath>
+#include <cstring>
+#include <unordered_map>
+#include <vector>
+#include <algorithm>
+
+namespace {
+
+struct GridHash {
+    double cell;
+    double ox, oy, oz;
+    std::unordered_map<uint64_t, std::vector<int64_t>> cells;
+
+    static uint64_t key(int64_t ix, int64_t iy, int64_t iz) {
+        // 21 bits per axis, offset to keep indices positive
+        const uint64_t B = 1ull << 20;
+        return ((uint64_t)(ix + B) << 42) | ((uint64_t)(iy + B) << 21) | (uint64_t)(iz + B);
+    }
+
+    GridHash(const double* pts, int64_t n, double cell_size) : cell(cell_size) {
+        ox = oy = oz = 0.0;
+        cells.reserve(static_cast<size_t>(n / 2 + 16));
+        for (int64_t i = 0; i < n; ++i) {
+            int64_t ix = (int64_t)std::floor(pts[3 * i] / cell);
+            int64_t iy = (int64_t)std::floor(pts[3 * i + 1] / cell);
+            int64_t iz = (int64_t)std::floor(pts[3 * i + 2] / cell);
+            cells[key(ix, iy, iz)].push_back(i);
+        }
+    }
+
+    template <typename F>
+    void for_neighbors(const double* pts, int64_t i, F&& fn) const {
+        int64_t ix = (int64_t)std::floor(pts[3 * i] / cell);
+        int64_t iy = (int64_t)std::floor(pts[3 * i + 1] / cell);
+        int64_t iz = (int64_t)std::floor(pts[3 * i + 2] / cell);
+        for (int64_t dx = -1; dx <= 1; ++dx)
+            for (int64_t dy = -1; dy <= 1; ++dy)
+                for (int64_t dz = -1; dz <= 1; ++dz) {
+                    auto it = cells.find(key(ix + dx, iy + dy, iz + dz));
+                    if (it == cells.end()) continue;
+                    for (int64_t j : it->second) fn(j);
+                }
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+// counts[i] = number of points j != i with |p_i - p_j| <= radius
+void radius_counts(const double* pts, int64_t n, double radius, int32_t* counts) {
+    if (n == 0) return;
+    GridHash grid(pts, n, radius);
+    const double r2 = radius * radius;
+    for (int64_t i = 0; i < n; ++i) {
+        int32_t c = 0;
+        const double xi = pts[3 * i], yi = pts[3 * i + 1], zi = pts[3 * i + 2];
+        grid.for_neighbors(pts, i, [&](int64_t j) {
+            if (j == i) return;
+            const double dx = pts[3 * j] - xi;
+            const double dy = pts[3 * j + 1] - yi;
+            const double dz = pts[3 * j + 2] - zi;
+            if (dx * dx + dy * dy + dz * dz <= r2) ++c;
+        });
+        counts[i] = c;
+    }
+}
+
+// Voxel downsample: averages points (and colors if given) per voxel.
+// Returns the number of voxels written to out_pts/out_cols (capacity n).
+int64_t voxel_downsample(const double* pts, const double* cols, int64_t n,
+                         double voxel, double* out_pts, double* out_cols) {
+    std::unordered_map<uint64_t, int64_t> slot;
+    slot.reserve(static_cast<size_t>(n / 2 + 16));
+    std::vector<double> acc;   // x,y,z,(r,g,b),count per voxel
+    const int stride = cols ? 7 : 4;
+    int64_t m = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t ix = (int64_t)std::floor(pts[3 * i] / voxel);
+        int64_t iy = (int64_t)std::floor(pts[3 * i + 1] / voxel);
+        int64_t iz = (int64_t)std::floor(pts[3 * i + 2] / voxel);
+        uint64_t k = GridHash::key(ix, iy, iz);
+        auto it = slot.find(k);
+        int64_t s;
+        if (it == slot.end()) {
+            s = m++;
+            slot.emplace(k, s);
+            acc.resize(static_cast<size_t>(m) * stride, 0.0);
+        } else {
+            s = it->second;
+        }
+        double* a = &acc[static_cast<size_t>(s) * stride];
+        a[0] += pts[3 * i];
+        a[1] += pts[3 * i + 1];
+        a[2] += pts[3 * i + 2];
+        if (cols) {
+            a[3] += cols[3 * i];
+            a[4] += cols[3 * i + 1];
+            a[5] += cols[3 * i + 2];
+        }
+        a[stride - 1] += 1.0;
+    }
+    for (int64_t s = 0; s < m; ++s) {
+        const double* a = &acc[static_cast<size_t>(s) * stride];
+        const double inv = 1.0 / a[stride - 1];
+        out_pts[3 * s] = a[0] * inv;
+        out_pts[3 * s + 1] = a[1] * inv;
+        out_pts[3 * s + 2] = a[2] * inv;
+        if (cols && out_cols) {
+            out_cols[3 * s] = a[3] * inv;
+            out_cols[3 * s + 1] = a[4] * inv;
+            out_cols[3 * s + 2] = a[5] * inv;
+        }
+    }
+    return m;
+}
+
+// PCA normals from neighbors within `radius` (fallback: nearest cell
+// occupants), oriented towards `camera` (cx, cy, cz).
+void estimate_normals(const double* pts, int64_t n, double radius,
+                      double cx, double cy, double cz, double* normals) {
+    if (n == 0) return;
+    GridHash grid(pts, n, radius);
+    const double r2 = radius * radius;
+    std::vector<int64_t> nbrs;
+    for (int64_t i = 0; i < n; ++i) {
+        nbrs.clear();
+        const double xi = pts[3 * i], yi = pts[3 * i + 1], zi = pts[3 * i + 2];
+        grid.for_neighbors(pts, i, [&](int64_t j) {
+            const double dx = pts[3 * j] - xi;
+            const double dy = pts[3 * j + 1] - yi;
+            const double dz = pts[3 * j + 2] - zi;
+            if (dx * dx + dy * dy + dz * dz <= r2) nbrs.push_back(j);
+        });
+        double nx = 0, ny = 1, nz = 0;
+        if (nbrs.size() >= 3) {
+            double mx = 0, my = 0, mz = 0;
+            for (int64_t j : nbrs) { mx += pts[3*j]; my += pts[3*j+1]; mz += pts[3*j+2]; }
+            const double inv = 1.0 / nbrs.size();
+            mx *= inv; my *= inv; mz *= inv;
+            double cxx=0, cxy=0, cxz=0, cyy=0, cyz=0, czz=0;
+            for (int64_t j : nbrs) {
+                const double dx = pts[3*j] - mx, dy = pts[3*j+1] - my, dz = pts[3*j+2] - mz;
+                cxx += dx*dx; cxy += dx*dy; cxz += dx*dz;
+                cyy += dy*dy; cyz += dy*dz; czz += dz*dz;
+            }
+            // smallest eigenvector of the 3x3 covariance by inverse power
+            // iteration on (C - eps I); fall back to cross products.
+            double C[9] = {cxx, cxy, cxz, cxy, cyy, cyz, cxz, cyz, czz};
+            // power iteration on (trace*I - C): largest eigvec of that is
+            // smallest of C.
+            const double tr = cxx + cyy + czz;
+            double M[9] = {tr - C[0], -C[1], -C[2], -C[3], tr - C[4], -C[5], -C[6], -C[7], tr - C[8]};
+            double v[3] = {1.0, 1.0, 1.0};
+            for (int it = 0; it < 24; ++it) {
+                double w[3] = {
+                    M[0]*v[0] + M[1]*v[1] + M[2]*v[2],
+                    M[3]*v[0] + M[4]*v[1] + M[5]*v[2],
+                    M[6]*v[0] + M[7]*v[1] + M[8]*v[2],
+                };
+                double norm = std::sqrt(w[0]*w[0] + w[1]*w[1] + w[2]*w[2]);
+                if (norm < 1e-20) break;
+                v[0] = w[0]/norm; v[1] = w[1]/norm; v[2] = w[2]/norm;
+            }
+            nx = v[0]; ny = v[1]; nz = v[2];
+        }
+        // orient towards camera
+        const double tox = cx - xi, toy = cy - yi, toz = cz - zi;
+        if (nx * tox + ny * toy + nz * toz < 0) { nx = -nx; ny = -ny; nz = -nz; }
+        normals[3 * i] = nx; normals[3 * i + 1] = ny; normals[3 * i + 2] = nz;
+    }
+}
+
+}  // extern "C"

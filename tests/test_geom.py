@@ -1,0 +1,217 @@
+"""Geometry layer tests: unprojection, ground stack, cleaning, I/O,
+native C++ kernels vs scipy."""
+
+import numpy as np
+import pytest
+
+from ml_depth_pro_video_tpu.geom.clean import (
+    clean_shadows,
+    radius_neighbor_counts,
+    remove_stray_points,
+)
+from ml_depth_pro_video_tpu.geom.ground import (
+    apply_rotation_to_plane,
+    fit_ground_plane,
+    grid_ground_adjustment,
+    load_ground_plane,
+    normalize_to_ground,
+    optimize_ground_plane,
+    plane_distances,
+    rotation_between,
+    save_ground_plane,
+)
+from ml_depth_pro_video_tpu.geom.pointcloud import (
+    PointCloud,
+    read_ply,
+    write_obj,
+    write_ply,
+)
+from ml_depth_pro_video_tpu.geom.unproject import depth_to_3d
+
+RNG = np.random.default_rng(42)
+
+
+def make_scene(n_ground=4000, n_obj=800, tilt_deg=5.0, seed=0):
+    """Synthetic scene: tilted ground plane + a box-shaped object."""
+    rng = np.random.default_rng(seed)
+    gx = rng.uniform(-5, 5, n_ground)
+    gz = rng.uniform(2, 12, n_ground)
+    gy = np.zeros(n_ground) + rng.normal(0, 0.01, n_ground)
+    ground = np.column_stack([gx, gy, gz])
+    ox = rng.uniform(-0.5, 0.5, n_obj)
+    oz = rng.uniform(5, 6, n_obj)
+    oy = rng.uniform(0, 1.8, n_obj)
+    obj = np.column_stack([ox, oy, oz])
+    pts = np.vstack([ground, obj])
+    # tilt the whole scene by tilt_deg about X
+    a = np.radians(tilt_deg)
+    R = np.array([[1, 0, 0], [0, np.cos(a), -np.sin(a)], [0, np.sin(a), np.cos(a)]])
+    return pts @ R.T
+
+
+def test_unprojection_pinhole_roundtrip():
+    depth = np.full((10, 20), 4.0)
+    pts, valid = depth_to_3d(depth, focallength_px=100.0)
+    assert valid.all() and pts.shape == (200, 3)
+    # center pixel maps close to the optical axis, x negated
+    pts2 = pts.reshape(10, 20, 3)
+    assert pts2[5, 10, 2] == 4.0
+    # pixel right of center -> negative x; pixel below center -> negative y
+    assert pts2[5, 11, 0] < pts2[5, 10, 0]
+    assert pts2[6, 10, 1] < pts2[5, 10, 1]
+    np.testing.assert_allclose(pts2[5, 0, 0], -(0 - 10) * 4.0 / 100.0)
+
+
+def test_unprojection_with_colors_and_nan():
+    depth = np.full((4, 4), 2.0)
+    depth[0, 0] = np.nan
+    depth[1, 1] = 0.0
+    img = np.full((4, 4, 3), 128, np.uint8)
+    cloud = depth_to_3d(depth, 50.0, image=img)
+    assert len(cloud) == 14
+    np.testing.assert_allclose(cloud.colors, 128 / 255.0)
+
+
+def test_ground_fit_recovers_tilted_plane():
+    pts = make_scene(tilt_deg=6.0)
+    model = fit_ground_plane(pts, seed=0)
+    # fitted normal should be ~6 deg from vertical
+    ang = np.degrees(np.arccos(abs(model["normal"] @ np.array([0, 1, 0]))))
+    assert 4.0 < ang < 8.0, ang
+    # the lowering step leaves a +0.05 margin (reference semantics,
+    # img_to_normalized_pointcloud.py:787), so check beyond that margin
+    frac_below = (plane_distances(model["normal"], model["d"], pts) < -0.07).mean()
+    assert frac_below < 0.01
+
+
+def test_ground_fit_deterministic():
+    pts = make_scene()
+    m1 = fit_ground_plane(pts, seed=7)
+    m2 = fit_ground_plane(pts, seed=7)
+    np.testing.assert_array_equal(m1["normal"], m2["normal"])
+    assert m1["d"] == m2["d"]
+
+
+def test_optimize_ground_plane_improves_or_reverts():
+    pts = make_scene(tilt_deg=5.0, seed=3)
+    rough = fit_ground_plane(pts, seed=0)
+    # perturb the model and let the optimizer recover
+    bad = dict(rough)
+    bad["normal"] = rough["normal"] + np.array([0.05, 0, 0.05])
+    bad["normal"] /= np.linalg.norm(bad["normal"])
+    opt = optimize_ground_plane(pts, bad)
+    below_bad = (plane_distances(bad["normal"], bad["d"], pts) < 0).mean()
+    below_opt = (plane_distances(opt["normal"], opt["d"], pts) < 0).mean()
+    assert below_opt <= max(below_bad, 0.3)
+
+
+def test_normalize_to_ground_flattens():
+    pts = make_scene(tilt_deg=8.0, seed=1)
+    model = fit_ground_plane(pts, seed=0)
+    norm_pts = normalize_to_ground(pts, model)
+    ground_y = np.percentile(norm_pts[:, 1], 5)
+    assert abs(ground_y) < 0.05
+    assert norm_pts[:, 1].min() >= -0.1 - 1e-9
+
+
+def test_grid_adjustment_pulls_floating_cells_down():
+    rng = np.random.default_rng(0)
+    # cells floating 0.15 above ground (inside the reference's <0.2 m
+    # ground-point window) get pulled down; y never goes below 0
+    base = np.column_stack([rng.uniform(0, 1, 500), rng.normal(0.15, 0.01, 500), rng.uniform(0, 1, 500)])
+    adj = grid_ground_adjustment(base, grid_size=2)
+    assert np.percentile(adj[:, 1], 50) < 0.05
+    assert adj[:, 1].min() >= 0.0
+
+
+def test_ground_json_roundtrip(tmp_path):
+    model = {"normal": np.array([0.1, 0.99, 0.0]), "d": -1.5, "origin": np.array([0.0, 1.5, 0.0])}
+    save_ground_plane(model, str(tmp_path))
+    loaded = load_ground_plane(str(tmp_path))
+    np.testing.assert_allclose(loaded["normal"], model["normal"])
+    assert loaded["d"] == model["d"]
+
+
+def test_apply_rotation_to_plane():
+    model = {"normal": np.array([0.0, 1.0, 0.0]), "d": 0.0, "origin": np.zeros(3)}
+    rot = apply_rotation_to_plane(model, [10.0, 0.0, 0.0])
+    ang = np.degrees(np.arccos(np.clip(rot["normal"] @ np.array([0, 1, 0]), -1, 1)))
+    np.testing.assert_allclose(ang, 10.0, atol=1e-6)
+
+
+def test_rotation_between_aligns():
+    v = np.array([0.3, 0.9, -0.1])
+    R = rotation_between(v, np.array([0.0, 1.0, 0.0]))
+    out = R @ (v / np.linalg.norm(v))
+    np.testing.assert_allclose(out, [0, 1, 0], atol=1e-12)
+
+
+def test_stray_removal_drops_isolated_points():
+    dense = RNG.normal(0, 0.02, (500, 3))
+    stray = np.array([[5.0, 5.0, 5.0], [-4.0, 2.0, 9.0]])
+    cloud = PointCloud(np.vstack([dense, stray]), np.ones((502, 3)) * 0.5)
+    out = remove_stray_points(cloud, nb_points=20, radius=0.1)
+    assert len(out) == 500
+    assert np.abs(out.points).max() < 1.0
+
+
+def test_clean_shadows_removes_vertical_streak():
+    rng = np.random.default_rng(1)
+    floor = np.column_stack([rng.uniform(-2, 2, 3000), rng.normal(0, 0.01, 3000), rng.uniform(2, 6, 3000)])
+    streak = np.column_stack([
+        np.full(60, 1.0) + rng.normal(0, 0.002, 60),
+        np.linspace(0, 1.5, 60),
+        np.full(60, 4.0) + rng.normal(0, 0.002, 60),
+    ])
+    cloud = PointCloud(np.vstack([floor, streak]))
+    out = clean_shadows(cloud)
+    # the streak cell should be dropped, the floor mostly kept
+    assert len(out) < 3060
+    kept_near_streak = np.sum(
+        (np.abs(out.points[:, 0] - 1.0) < 0.02) & (out.points[:, 1] > 0.5)
+    )
+    assert kept_near_streak == 0
+
+
+def test_ply_roundtrip(tmp_path):
+    cloud = PointCloud(RNG.normal(size=(100, 3)), RNG.uniform(size=(100, 3)))
+    p = str(tmp_path / "c.ply")
+    write_ply(p, cloud)
+    back = read_ply(p)
+    np.testing.assert_allclose(back.points, cloud.points.astype(np.float32), rtol=1e-6)
+    assert np.abs(back.colors - cloud.colors).max() < 1 / 255.0 + 1e-9
+    # ascii variant
+    p2 = str(tmp_path / "c2.ply")
+    write_ply(p2, cloud, binary=False)
+    back2 = read_ply(p2)
+    np.testing.assert_allclose(back2.points, cloud.points.astype(np.float32), atol=1e-4)
+
+
+def test_obj_writer(tmp_path):
+    p = str(tmp_path / "m.obj")
+    write_obj(p, np.eye(3), np.array([[0, 1, 2]]))
+    txt = open(p).read()
+    assert "v 1.000000 0.000000 0.000000" in txt
+    assert "f 1 2 3" in txt
+
+
+def test_native_matches_scipy():
+    from ml_depth_pro_video_tpu.native import neighbors as nat
+
+    pts = RNG.normal(0, 1.0, (2000, 3))
+    from scipy.spatial import cKDTree
+
+    ref = np.asarray(cKDTree(pts).query_ball_point(pts, r=0.3, return_length=True)) - 1
+    if not nat.available():
+        pytest.skip("native module unavailable")
+    got = nat.radius_counts(pts, 0.3)
+    np.testing.assert_array_equal(got, ref)
+    # voxel downsample sanity
+    out_p, out_c = nat.voxel_downsample(pts, np.ones_like(pts) * 0.5, 0.5)
+    assert 0 < len(out_p) < len(pts)
+    np.testing.assert_allclose(out_c, 0.5)
+    # normals of a plane point up (towards camera at +Y)
+    plane = np.column_stack([RNG.uniform(0, 1, 500), np.zeros(500), RNG.uniform(0, 1, 500)])
+    nrm = nat.estimate_normals(plane, radius=0.2, camera=(0.0, 10.0, 0.0))
+    assert (np.abs(nrm[:, 1]) > 0.99).mean() > 0.95
+    assert (nrm[:, 1] > 0).all()
