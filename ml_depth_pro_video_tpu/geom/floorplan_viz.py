@@ -1,0 +1,139 @@
+"""Top-down floor-plan visualization (matplotlib Agg, headless).
+
+Capability parity with the reference's viewers
+(`pointcloud_pipeline.py:49-263` in-memory variant,
+`simple_pointcloud_viewer.py:455-854`): height-threshold filtering,
+X-axis flip to match the source image orientation, original-color or
+height-colormap scatter, optional fitted rectangle/circle overlays with
+numeric labels, fixed axis limits for video-stable framing, and shape
+data export. Fixes the reference's swapped export_shape_data call
+(`pointcloud_pipeline.py:253`).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .pointcloud import PointCloud
+from .shapes import export_shape_data, fit_shapes_to_clusters, rect_corners
+
+_RECT_COLORS = ["#4285F4", "#34A853", "#FBBC05", "#EA4335",
+                "#8E44AD", "#16A085", "#D35400", "#7F8C8D"]
+_CIRC_COLORS = ["#3498DB", "#2ECC71", "#F1C40F", "#E74C3C",
+                "#9B59B6", "#1ABC9C", "#E67E22", "#95A5A6"]
+
+
+def floorplan_visualization(
+    cloud: PointCloud,
+    output_path: str,
+    height_threshold: float | None = None,
+    point_size: float = 2,
+    dpi: int = 150,
+    max_points: int = 50_000,
+    fit_shapes: bool = False,
+    cluster_eps: float = 0.2,
+    min_cluster_size: int = 5,
+    circularity_threshold: float = 0.85,
+    output_all_files: bool = True,
+    x_limits: tuple | None = None,
+    z_limits: tuple | None = None,
+    seed: int = 0,
+):
+    """Render a top-down floor plan PNG; returns (rectangles, circles)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rng = np.random.default_rng(seed)
+    points = cloud.points
+    colors = cloud.colors
+
+    if height_threshold is not None and len(points):
+        mask = points[:, 1] >= height_threshold
+        points = points[mask]
+        colors = colors[mask] if colors is not None else None
+
+    if len(points) < max(min_cluster_size, 1):
+        # nothing above the threshold: emit a blank frame so video
+        # sequences stay continuous
+        fig = plt.figure(figsize=(12, 12))
+        try:
+            plt.axis("off")
+            plt.gca().set_facecolor("#f0f0f0")
+            plt.xlim(*(x_limits or (0, 1)))
+            plt.ylim(*(z_limits or (0, 1)))
+            plt.savefig(output_path, dpi=dpi, bbox_inches="tight", pad_inches=0)
+        finally:
+            plt.close(fig)
+        return [], []
+
+    # top-down (X flipped to match the source image orientation)
+    x = -points[:, 0]
+    z = points[:, 2]
+    points_2d = np.column_stack([x, z])
+
+    rectangles, circles = [], []
+    if fit_shapes:
+        shape_points = points_2d
+        if len(shape_points) > 100_000:
+            shape_points = shape_points[rng.choice(len(shape_points), 100_000, replace=False)]
+        rectangles, circles = fit_shapes_to_clusters(
+            shape_points, eps=cluster_eps, min_samples=min_cluster_size,
+            circularity_threshold=circularity_threshold,
+        )
+
+    if len(points) > max_points:
+        sel = rng.choice(len(points), max_points, replace=False)
+        x, z = x[sel], z[sel]
+        heights = points[sel, 1]
+        colors = colors[sel] if colors is not None else None
+    else:
+        heights = points[:, 1]
+
+    fig = plt.figure(figsize=(12, 12))
+    try:
+        alpha = 0.5 if fit_shapes else 0.8
+        if colors is not None and len(colors):
+            rgba = np.concatenate([colors, np.full((len(colors), 1), alpha)], axis=1)
+            plt.scatter(x, z, s=point_size, c=rgba)
+        else:
+            plt.scatter(x, z, s=point_size, c=heights, cmap="jet", alpha=alpha)
+
+        ax = plt.gca()
+        for i, rect in enumerate(rectangles):
+            corners = rect_corners(rect)
+            ax.add_patch(
+                plt.Polygon(corners, closed=True, fill=False, linewidth=2,
+                            edgecolor=_RECT_COLORS[i % len(_RECT_COLORS)], alpha=0.9)
+            )
+            plt.text(rect[0], rect[1], str(i + 1), ha="center", va="center",
+                     color=_RECT_COLORS[i % len(_RECT_COLORS)], fontsize=10,
+                     fontweight="bold",
+                     bbox=dict(facecolor="white", alpha=0.7, edgecolor="none"))
+        for i, (cx, cy, r) in enumerate(circles):
+            ax.add_patch(
+                plt.Circle((cx, cy), r, fill=False, linewidth=2,
+                           edgecolor=_CIRC_COLORS[i % len(_CIRC_COLORS)], alpha=0.9)
+            )
+            plt.text(cx, cy, str(len(rectangles) + i + 1), ha="center", va="center",
+                     color=_CIRC_COLORS[i % len(_CIRC_COLORS)], fontsize=10,
+                     fontweight="bold",
+                     bbox=dict(facecolor="white", alpha=0.7, edgecolor="none"))
+
+        plt.axis("equal")
+        plt.axis("off")
+        ax.set_facecolor("#f0f0f0")
+        # fixed limits give video-stable framing; else exact data bounds
+        plt.xlim(*(x_limits if x_limits else (x.min(), x.max())))
+        plt.ylim(*(z_limits if z_limits else (z.min(), z.max())))
+        plt.savefig(output_path, dpi=dpi, bbox_inches="tight", pad_inches=0)
+    finally:
+        plt.close(fig)
+
+    if fit_shapes and output_all_files:
+        shapes_path = os.path.splitext(output_path)[0] + "_shapes.txt"
+        export_shape_data(rectangles, circles, shapes_path)
+    return rectangles, circles

@@ -301,6 +301,8 @@ def normalize_to_ground(points_3d: np.ndarray, model: dict) -> np.ndarray:
     """Rotate/translate so the ground plane becomes y = 0 (see module
     docstring for the clamping rules)."""
     points = np.asarray(points_3d, dtype=np.float64)
+    if len(points) == 0:
+        return points.copy()
     normal = np.asarray(model["normal"], dtype=np.float64)
     d = float(model["d"])
 
@@ -332,6 +334,8 @@ def grid_ground_adjustment(points_3d: np.ndarray, grid_size: int = 20,
     0.1 m, linear to zero at 1.5 m)."""
     points = np.asarray(points_3d, dtype=np.float64)
     out = points.copy()
+    if len(points) == 0:
+        return out
     x, y, z = points[:, 0], points[:, 1], points[:, 2]
 
     x_edges = np.linspace(x.min(), x.max(), grid_size + 1)

@@ -1,0 +1,279 @@
+"""Video batch orchestrator: frames -> depth -> clean point cloud -> floor plan.
+
+Behavioral parity with `/root/reference/pointcloud_pipeline.py:473-890`
+(frame-range selection by digits-in-filename, ground plane computed once
+from the first frame and cached as ``ground.json``, per-frame
+success/timestamp resume via ``processing_progress.json``,
+``--force_reprocess``, SIGINT graceful stop, ETA reporting, fixed-axis
+video framing) — redesigned TPU-first:
+
+- ONE resident compiled model streams batched frames over the device
+  (the reference rebuilds the model and infers twice per frame per
+  worker process, SURVEY §3.3 — the known perf bug, not replicated);
+- geometry post-processing overlaps device compute through a host
+  thread pool instead of share-nothing model-replica processes.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import signal
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from ..geom.clean import clean_shadows, remove_stray_points
+from ..geom.floorplan_viz import floorplan_visualization
+from ..geom.ground import (
+    fit_ground_plane,
+    grid_ground_adjustment,
+    load_ground_plane,
+    normalize_to_ground,
+    optimize_ground_plane,
+    save_ground_plane,
+)
+from ..geom.pointcloud import PointCloud
+from ..geom.render import save_render
+from ..geom.unproject import depth_to_3d
+from .runner import DepthVideoRunner
+
+
+def frame_number(path: str) -> int | None:
+    digits = "".join(ch for ch in os.path.basename(path) if ch.isdigit())
+    return int(digits) if digits else None
+
+
+def normalized_cloud_from_depth(
+    depth: np.ndarray,
+    f_px: float,
+    image: np.ndarray,
+    ground_model: dict,
+    grid_size: int = 20,
+    ground_percentile: float = 5.0,
+    max_depth: float | None = None,
+) -> PointCloud:
+    """depth map + ground model -> ground-normalized, grid-adjusted cloud."""
+    cloud = depth_to_3d(depth, f_px, image=image, max_depth=max_depth)
+    pts = normalize_to_ground(cloud.points, ground_model)
+    pts = grid_ground_adjustment(pts, grid_size=grid_size, percentile=ground_percentile)
+    return PointCloud(pts, cloud.colors)
+
+
+def compute_ground_from_frame(depth: np.ndarray, f_px: float,
+                              optimize: bool = False, seed: int = 0) -> dict:
+    points, _ = depth_to_3d(depth, f_px)
+    model = fit_ground_plane(points, seed=seed)
+    if optimize:
+        model = optimize_ground_plane(points, model)
+    return model
+
+
+def process_single_frame(
+    result: dict,
+    output_dir: str,
+    ground_model: dict,
+    height_threshold: float = 1.3,
+    point_size: float = 10,
+    fit_shapes: bool = True,
+    visualize_3d: bool = False,
+    simple_output: bool = False,
+    output_all_files: bool = True,
+    x_limits=None,
+    z_limits=None,
+) -> tuple[bool, float]:
+    """Geometry + visualization for one frame (depth already computed)."""
+    t0 = time.time()
+    try:
+        frame_name = os.path.splitext(os.path.basename(result["key"]))[0]
+        cloud = normalized_cloud_from_depth(
+            result["depth"], result["focallength_px"], result["image"], ground_model
+        )
+        cloud = remove_stray_points(cloud, nb_points=20, radius=0.1)
+        cloud = clean_shadows(cloud)
+
+        if visualize_3d:
+            save_render(
+                os.path.join(output_dir, f"{frame_name}_pcd_preview.png"),
+                cloud, view="front", width=1280, height=720,
+            )
+
+        floorplan_visualization(
+            cloud,
+            os.path.join(output_dir, f"{frame_name}_clean_simple_view.png"),
+            height_threshold=height_threshold,
+            point_size=point_size,
+            fit_shapes=fit_shapes and not simple_output,
+            output_all_files=output_all_files,
+            x_limits=x_limits,
+            z_limits=z_limits,
+        )
+        return True, time.time() - t0
+    except Exception as exc:  # noqa: BLE001 - per-frame fault isolation
+        import traceback
+
+        print(f"Error processing {result.get('key')}: {exc}")
+        traceback.print_exc()
+        return False, time.time() - t0
+
+
+def process_images_to_floor_plans(
+    frames_dir: str,
+    output_dir: str | None = None,
+    height_threshold: float = 1.3,
+    point_size: float = 10,
+    downscale_factor: float = 1.0,
+    half_precision: bool = True,
+    start_frame: int | None = None,
+    end_frame: int | None = None,
+    pattern: str = "output_*.png",
+    fit_shapes: bool = True,
+    visualize_3d: bool = False,
+    num_workers: int = 2,
+    simple_output: bool = False,
+    output_all_files: bool = True,
+    resume: bool = False,
+    force_reprocess: bool = False,
+    x_limits=None,
+    z_limits=None,
+    batch_size: int = 1,
+    runner: DepthVideoRunner | None = None,
+):
+    """Process a frame directory into per-frame floor plans."""
+    output_dir = output_dir or frames_dir
+    os.makedirs(output_dir, exist_ok=True)
+
+    image_paths = sorted(glob.glob(os.path.join(frames_dir, pattern)))
+    if start_frame is not None or end_frame is not None:
+        image_paths = [
+            p for p in image_paths
+            if (n := frame_number(p)) is not None
+            and (start_frame is None or n >= start_frame)
+            and (end_frame is None or n <= end_frame)
+        ]
+    if not image_paths:
+        print("No images to process")
+        return {}
+
+    # resume bookkeeping (processing_progress.json schema parity)
+    progress_file = os.path.join(output_dir, "processing_progress.json")
+    completed: dict = {}
+    if resume and not force_reprocess and os.path.exists(progress_file):
+        try:
+            with open(progress_file) as f:
+                completed = json.load(f)
+        except Exception:
+            completed = {}
+        image_paths = [p for p in image_paths if os.path.basename(p) not in completed]
+        if not image_paths:
+            print("All frames already processed.")
+            return completed
+
+    stop = {"flag": False}
+    prev_handler = signal.signal(signal.SIGINT, lambda *_: stop.__setitem__("flag", True))
+
+    runner = runner or DepthVideoRunner(
+        precision="bf16" if half_precision else "fp32",
+        batch_size=batch_size,
+        downscale_factor=downscale_factor,
+    )
+
+    try:
+        # ground plane: load cached or compute once from the first frame
+        ground_model = load_ground_plane(frames_dir)
+        if ground_model is None:
+            print("Computing ground plane from first frame...")
+            first = runner.infer_one(image_paths[0])
+            ground_model = compute_ground_from_frame(first["depth"], first["focallength_px"])
+            save_ground_plane(ground_model, frames_dir)
+
+        def save_progress(name: str, ok: bool):
+            completed[name] = {"success": ok, "timestamp": time.time()}
+            with open(progress_file, "w") as f:
+                json.dump(completed, f, indent=2)
+
+        t_start = time.time()
+        n_done = 0
+        total = len(image_paths)
+
+        def handle(result):
+            nonlocal n_done
+            ok, dt = process_single_frame(
+                result, output_dir, ground_model,
+                height_threshold=height_threshold, point_size=point_size,
+                fit_shapes=fit_shapes, visualize_3d=visualize_3d,
+                simple_output=simple_output, output_all_files=output_all_files,
+                x_limits=x_limits, z_limits=z_limits,
+            )
+            n_done += 1
+            save_progress(os.path.basename(result["key"]), ok)
+            avg = (time.time() - t_start) / n_done
+            eta = avg * (total - n_done)
+            print(f"[{n_done}/{total}] {os.path.basename(result['key'])} "
+                  f"ok={ok} {dt:.1f}s (avg {avg:.1f}s/frame, ETA {eta/60:.1f} min)")
+
+        if num_workers > 1:
+            # device inference streams ahead; geometry overlaps on host threads
+            with ThreadPoolExecutor(max_workers=num_workers) as pool:
+                futures = []
+                for result in runner.depth_stream(image_paths):
+                    if stop["flag"]:
+                        print("Interrupted - finishing in-flight frames...")
+                        break
+                    futures.append(pool.submit(handle, result))
+                for fut in futures:
+                    fut.result()
+        else:
+            for result in runner.depth_stream(image_paths):
+                if stop["flag"]:
+                    print("Interrupted.")
+                    break
+                handle(result)
+        return completed
+    finally:
+        signal.signal(signal.SIGINT, prev_handler)
+
+
+def main(argv=None):  # pragma: no cover - CLI shim, exercised via cli tests
+    import argparse
+
+    ap = argparse.ArgumentParser(description="Video frames -> floor plans (TPU)")
+    ap.add_argument("--frames_dir", required=True)
+    ap.add_argument("--output_dir", default=None)
+    ap.add_argument("--height_threshold", type=float, default=1.3)
+    ap.add_argument("--point_size", type=float, default=10)
+    ap.add_argument("--downscale_factor", type=float, default=1.0)
+    ap.add_argument("--half_precision", action="store_true", default=True)
+    ap.add_argument("--full_precision", dest="half_precision", action="store_false")
+    ap.add_argument("--start_frame", type=int, default=None)
+    ap.add_argument("--end_frame", type=int, default=None)
+    ap.add_argument("--pattern", default="output_*.png")
+    ap.add_argument("--fit_shapes", action="store_true")
+    ap.add_argument("--visualize_3d", action="store_true")
+    ap.add_argument("--num_workers", type=int, default=2)
+    ap.add_argument("--simple_output", action="store_true")
+    ap.add_argument("--output_all_files", action="store_true")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--force_reprocess", action="store_true")
+    ap.add_argument("--batch_size", type=int, default=1)
+    ap.add_argument("--x_limits", type=float, nargs=2, default=None)
+    ap.add_argument("--z_limits", type=float, nargs=2, default=None)
+    args = ap.parse_args(argv)
+    process_images_to_floor_plans(
+        frames_dir=args.frames_dir, output_dir=args.output_dir,
+        height_threshold=args.height_threshold, point_size=args.point_size,
+        downscale_factor=args.downscale_factor, half_precision=args.half_precision,
+        start_frame=args.start_frame, end_frame=args.end_frame, pattern=args.pattern,
+        fit_shapes=args.fit_shapes, visualize_3d=args.visualize_3d,
+        num_workers=args.num_workers, simple_output=args.simple_output,
+        output_all_files=args.output_all_files, resume=args.resume,
+        force_reprocess=args.force_reprocess, batch_size=args.batch_size,
+        x_limits=tuple(args.x_limits) if args.x_limits else None,
+        z_limits=tuple(args.z_limits) if args.z_limits else None,
+    )
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -1,0 +1,80 @@
+"""End-to-end video pipeline test on CPU with the tiny model config:
+frames dir -> ground.json -> floor plans -> resume."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from ml_depth_pro_video_tpu.models.depth_pro import tiny_config
+from ml_depth_pro_video_tpu.video.pipeline import (
+    frame_number,
+    process_images_to_floor_plans,
+)
+from ml_depth_pro_video_tpu.video.runner import DepthVideoRunner
+
+
+@pytest.fixture(scope="module")
+def frames_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("frames")
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        img = (rng.random((120, 160, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(d / f"output_{i:04d}.png")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def tiny_runner():
+    return DepthVideoRunner(cfg=tiny_config(), precision="fp32", batch_size=2)
+
+
+def test_frame_number():
+    assert frame_number("output_0243.png") == 243
+    assert frame_number("nodigits.png") is None
+
+
+def test_depth_stream_batches(tiny_runner, frames_dir):
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(frames_dir, "*.png")))
+    results = list(tiny_runner.depth_stream(paths))
+    assert len(results) == 3
+    for r, p in zip(results, paths):
+        assert r["key"] == p
+        assert r["depth"].shape == (120, 160)
+        assert np.isfinite(r["depth"]).all()
+        assert r["image"].shape == (120, 160, 3)
+
+
+def test_pipeline_end_to_end_with_resume(tiny_runner, frames_dir, tmp_path):
+    out = str(tmp_path / "out")
+    completed = process_images_to_floor_plans(
+        frames_dir, output_dir=out, num_workers=1, fit_shapes=False,
+        visualize_3d=True, runner=tiny_runner, pattern="output_*.png",
+    )
+    assert len(completed) == 3
+    assert os.path.exists(os.path.join(frames_dir, "ground.json"))
+    assert os.path.exists(os.path.join(out, "processing_progress.json"))
+    for i in range(3):
+        assert os.path.exists(os.path.join(out, f"output_{i:04d}_clean_simple_view.png"))
+        assert os.path.exists(os.path.join(out, f"output_{i:04d}_pcd_preview.png"))
+    progress = json.load(open(os.path.join(out, "processing_progress.json")))
+    assert all(v["success"] for v in progress.values())
+
+    # resume: everything already done -> early exit, progress unchanged
+    completed2 = process_images_to_floor_plans(
+        frames_dir, output_dir=out, resume=True, runner=tiny_runner,
+    )
+    assert set(completed2) == set(progress)
+
+
+def test_pipeline_frame_range(tiny_runner, frames_dir, tmp_path):
+    out = str(tmp_path / "range_out")
+    completed = process_images_to_floor_plans(
+        frames_dir, output_dir=out, start_frame=1, end_frame=1,
+        num_workers=2, fit_shapes=False, runner=tiny_runner,
+    )
+    assert list(completed) == ["output_0001.png"]
