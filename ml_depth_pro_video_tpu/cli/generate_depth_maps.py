@@ -1,0 +1,115 @@
+"""Batch depth-map generation for video frames.
+
+Capability parity with `/root/reference/generate_depth_maps.py:15-251`:
+single image or directory batch, colormap PNG or 16-bit normalized
+grayscale output, optional downscale with focal-length rescale. The
+reference reloads the model per image (`:76-79`); here one resident
+compiled model streams every frame (``torch.compile`` `:83-88` is
+subsumed by jit).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import time
+
+import numpy as np
+
+
+def colorize_depth(depth: np.ndarray, colormap: str = "turbo",
+                   invert: bool = True) -> np.ndarray:
+    """Depth map -> normalized color or grayscale visualization."""
+    d = np.asarray(depth, dtype=np.float64)
+    finite = np.isfinite(d)
+    lo, hi = d[finite].min(), d[finite].max()
+    normed = (d - lo) / max(hi - lo, 1e-9)
+    if invert:
+        normed = 1.0 - normed  # near = bright (reference convention)
+    if colormap in ("gray16", "grayscale16"):
+        return (normed * 65535).astype(np.uint16)
+    if colormap in ("gray", "grayscale"):
+        return (normed * 255).astype(np.uint8)
+    import matplotlib
+
+    cm = matplotlib.colormaps[colormap]
+    return (cm(normed)[..., :3] * 255).astype(np.uint8)
+
+
+def save_depth_image(path: str, arr: np.ndarray) -> None:
+    from PIL import Image
+
+    if arr.dtype == np.uint16:
+        Image.fromarray(arr, mode="I;16").save(path)
+    else:
+        Image.fromarray(arr).save(path)
+
+
+def generate_depth_maps(
+    input_path: str,
+    output_dir: str,
+    colormap: str = "turbo",
+    downscale_factor: float = 1.0,
+    half_precision: bool = True,
+    batch_size: int = 1,
+    save_npz: bool = False,
+    pattern: str = "*.png",
+    runner=None,
+) -> list[str]:
+    """Run depth over a file or directory; returns written paths."""
+    from ..video.runner import DepthVideoRunner
+
+    if os.path.isdir(input_path):
+        paths = sorted(glob.glob(os.path.join(input_path, pattern)))
+    else:
+        paths = [input_path]
+    if not paths:
+        raise FileNotFoundError(f"no inputs under {input_path}")
+    os.makedirs(output_dir, exist_ok=True)
+
+    runner = runner or DepthVideoRunner(
+        precision="bf16" if half_precision else "fp32",
+        batch_size=batch_size,
+        downscale_factor=downscale_factor,
+    )
+
+    written = []
+    t0 = time.time()
+    for i, result in enumerate(runner.depth_stream(paths)):
+        stem = os.path.splitext(os.path.basename(result["key"]))[0]
+        suffix = ".png"
+        out = os.path.join(output_dir, f"{stem}_depth{suffix}")
+        save_depth_image(out, colorize_depth(result["depth"], colormap))
+        written.append(out)
+        if save_npz:
+            np.savez_compressed(os.path.join(output_dir, f"{stem}_depth.npz"),
+                                depth=result["depth"],
+                                focallength_px=result["focallength_px"])
+        print(f"[{i+1}/{len(paths)}] {stem} ({(time.time()-t0)/(i+1):.2f}s/frame avg)")
+    return written
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description="Batch depth maps (TPU-native)")
+    ap.add_argument("input", help="image file or frames directory")
+    ap.add_argument("-o", "--output_dir", required=True)
+    ap.add_argument("--colormap", default="turbo",
+                    choices=["turbo", "viridis", "magma", "plasma", "inferno",
+                             "gray", "grayscale", "gray16", "grayscale16"])
+    ap.add_argument("--downscale_factor", type=float, default=1.0)
+    ap.add_argument("--half_precision", action="store_true", default=True)
+    ap.add_argument("--full_precision", dest="half_precision", action="store_false")
+    ap.add_argument("--batch_size", type=int, default=1)
+    ap.add_argument("--save_npz", action="store_true")
+    ap.add_argument("--pattern", default="*.png")
+    args = ap.parse_args(argv)
+    generate_depth_maps(args.input, args.output_dir, colormap=args.colormap,
+                        downscale_factor=args.downscale_factor,
+                        half_precision=args.half_precision,
+                        batch_size=args.batch_size, save_npz=args.save_npz,
+                        pattern=args.pattern)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

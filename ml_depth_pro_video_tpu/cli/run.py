@@ -1,0 +1,92 @@
+"""``depth-pro-run``: single-image / directory depth inference CLI.
+
+Behavior parity with `/root/reference/src/depth_pro/cli/run.py:23-154`:
+per-image loop over a file or directory, EXIF focal length when
+available, ``.npz`` inverse-depth output + turbo-colormapped JPEG,
+``-v`` logging. The torch device pick (cuda>mps>cpu, `:23-30`) becomes
+the JAX default device (TPU when present).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+from pathlib import Path
+
+import numpy as np
+
+LOGGER = logging.getLogger(__name__)
+IMAGE_EXTS = {".jpg", ".jpeg", ".png", ".bmp", ".tif", ".tiff", ".heic", ".webp"}
+
+
+def colorize(values: np.ndarray, cmap: str = "turbo") -> np.ndarray:
+    """Normalized values -> uint8 RGB via a matplotlib colormap."""
+    import matplotlib
+
+    cm = matplotlib.colormaps[cmap]
+    return (cm(values)[..., :3] * 255).astype(np.uint8)
+
+
+def run(args) -> None:
+    from PIL import Image
+
+    from ..models.depth_pro import DEFAULT_MONODEPTH_CONFIG
+    from ..video.runner import DepthVideoRunner
+
+    if args.verbose:
+        logging.basicConfig(level=logging.INFO)
+
+    image_path = Path(args.image_path)
+    if image_path.is_dir():
+        paths = sorted(
+            p for p in image_path.rglob("*") if p.suffix.lower() in IMAGE_EXTS
+        )
+    else:
+        paths = [image_path]
+    if not paths:
+        raise SystemExit(f"No images found at {image_path}")
+
+    runner = DepthVideoRunner(
+        cfg=DEFAULT_MONODEPTH_CONFIG,
+        precision="bf16" if args.half else "fp32",
+        batch_size=args.batch_size,
+    )
+
+    # the runner extracts the EXIF focal length per image itself
+    for result in runner.depth_stream(str(p) for p in paths):
+        rel = Path(result["key"])
+        depth = result["depth"]
+        LOGGER.info("%s: f_px=%.1f", rel.name, result["focallength_px"])
+        if args.output_path is not None:
+            out_dir = Path(args.output_path)
+            out_dir.mkdir(parents=True, exist_ok=True)
+            base = out_dir / rel.stem
+            np.savez_compressed(
+                str(base) + ".npz", depth=1.0 / np.clip(depth, 1e-4, 1e4)
+            )
+            inv = 1.0 / depth
+            lo, hi = inv.min(), inv.max()
+            normed = (inv - lo) / max(hi - lo, 1e-9)
+            Image.fromarray(colorize(normed)).save(str(base) + ".jpg", quality=90)
+            print(f"wrote {base}.npz / .jpg")
+        else:
+            print(f"{rel.name}: depth [{depth.min():.2f}, {depth.max():.2f}] m, "
+                  f"f_px={result['focallength_px']:.1f}")
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description="Depth Pro inference (TPU-native)")
+    ap.add_argument("-i", "--image-path", dest="image_path", required=True,
+                    help="image file or directory")
+    ap.add_argument("-o", "--output-path", dest="output_path", default=None)
+    ap.add_argument("--half", action="store_true", default=True,
+                    help="bfloat16 compute (default)")
+    ap.add_argument("--fp32", dest="half", action="store_false")
+    ap.add_argument("--batch-size", type=int, default=1)
+    ap.add_argument("-v", "--verbose", action="store_true")
+    run(ap.parse_args(argv))
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

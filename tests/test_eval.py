@@ -1,0 +1,99 @@
+"""Eval module tests: vectorized NMS vs a direct run-walk oracle,
+metric self-consistency contracts."""
+
+import numpy as np
+
+from ml_depth_pro_video_tpu.eval.boundary_metrics import (
+    SI_boundary_F1,
+    SI_boundary_Recall,
+    boundary_f1,
+    fgbg_depth,
+    nms_horizontal,
+    nms_vertical,
+)
+from ml_depth_pro_video_tpu.eval.depth_metrics import compute_all
+
+
+def nms_horizontal_oracle(ratio, threshold):
+    """Direct per-run loop implementing the reference semantics
+    (`boundary_metrics.py:29-50`): first maximum of each horizontal run."""
+    mask = np.zeros_like(ratio, dtype=bool)
+    r, c = np.nonzero(ratio > threshold)
+    i = 0
+    while i < len(r):
+        j = i
+        while j + 1 < len(r) and r[j + 1] == r[j] and c[j + 1] == c[j] + 1:
+            j += 1
+        vals = [ratio[r[k], c[k]] for k in range(i, j + 1)]
+        k = i + int(np.argmax(vals))
+        mask[r[k], c[k]] = True
+        i = j + 1
+    return mask
+
+
+def test_nms_matches_oracle():
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        ratio = rng.uniform(0.9, 1.3, (12, 15))
+        got = nms_horizontal(ratio, 1.1)
+        want = nms_horizontal_oracle(ratio, 1.1)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_nms_tie_breaks_to_first_max():
+    ratio = np.array([[2.0, 2.0, 2.0, 0.0, 2.0]])
+    mask = nms_horizontal(ratio, 1.0)
+    np.testing.assert_array_equal(mask, [[True, False, False, False, True]])
+
+
+def test_nms_vertical_is_transpose():
+    rng = np.random.default_rng(1)
+    ratio = rng.uniform(0.9, 1.3, (9, 7))
+    np.testing.assert_array_equal(nms_vertical(ratio, 1.1), nms_horizontal(ratio.T, 1.1).T)
+
+
+def test_fgbg_depth_directions():
+    d = np.array([[1.0, 3.0], [1.0, 1.0]])
+    left, top, right, bottom = fgbg_depth(d, 1.5)
+    assert right[0, 0] and not left[0, 0]  # right pixel 3x the left
+    assert top[0, 1] and not bottom[0, 1]  # top pixel 3x the bottom
+
+
+def test_perfect_prediction_F1_is_1():
+    rng = np.random.default_rng(2)
+    depth = rng.uniform(1, 10, (32, 32))
+    assert SI_boundary_F1(depth, depth) == 1.0
+
+
+def test_boundary_f1_degrades_with_noise():
+    rng = np.random.default_rng(3)
+    gt = np.ones((64, 64)) * 5
+    gt[20:40, 20:40] = 1.0  # object closer than background
+    good = SI_boundary_F1(gt, gt)
+    noisy = SI_boundary_F1(rng.uniform(1, 10, gt.shape), gt)
+    assert good > noisy
+
+
+def test_recall_on_mask():
+    depth = np.ones((32, 32)) * 5
+    depth[10:20, 10:20] = 1.0
+    mask = np.zeros((32, 32))
+    mask[10:20, 10:20] = 1.0
+    rec = SI_boundary_Recall(depth, mask)
+    assert rec > 0.5
+
+
+def test_boundary_f1_zero_when_no_edges():
+    flat = np.ones((16, 16))
+    edgy = np.ones((16, 16))
+    edgy[:, 8:] = 10.0
+    assert boundary_f1(flat, edgy, 1.1) == 0.0
+
+
+def test_depth_metrics_identity():
+    rng = np.random.default_rng(4)
+    d = rng.uniform(1, 10, (16, 16))
+    m = compute_all(d, d)
+    assert m["abs_rel"] == 0 and m["rmse"] == 0 and m["delta1"] == 1.0
+    worse = compute_all(d * 1.3, d)
+    assert worse["abs_rel"] > 0.29 and worse["delta1"] < 1.0
