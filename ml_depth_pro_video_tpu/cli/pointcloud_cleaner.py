@@ -1,0 +1,73 @@
+"""Single-image clean-pointcloud driver.
+
+Parity with `/root/reference/pointcloud_cleaner.py:311-436`
+(``process_image_to_clean_pointcloud``): normalized cloud -> stray
+removal -> shadow cleanup -> PLY + preview render. Uses ONE inference
+(the reference runs the model twice per image, SURVEY §2.2 — fixed).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from ..geom.clean import clean_shadows, remove_stray_points
+from ..geom.pointcloud import write_ply
+from ..geom.render import save_render
+from .img_to_pointcloud import create_normalized_pointcloud
+
+
+def process_image_to_clean_pointcloud(
+    image_path: str,
+    output_dir: str | None = None,
+    nb_points: int = 20,
+    radius: float = 0.1,
+    shadow_height_threshold: float = 0.1,
+    max_shadow_angle: float = 75.0,
+    downscale_factor: float = 1.0,
+    half_precision: bool = True,
+    preview: bool = True,
+    runner=None,
+):
+    output_dir = output_dir or os.path.dirname(os.path.abspath(image_path))
+    os.makedirs(output_dir, exist_ok=True)
+    stem = os.path.splitext(os.path.basename(image_path))[0]
+
+    cloud, _ = create_normalized_pointcloud(
+        image_path, return_pointcloud=True,
+        downscale_factor=downscale_factor, half_precision=half_precision,
+        ground_params_dir=output_dir, runner=runner,
+    )
+    cloud = remove_stray_points(cloud, nb_points=nb_points, radius=radius)
+    cloud = clean_shadows(cloud, shadow_height_threshold=shadow_height_threshold,
+                          max_shadow_angle=max_shadow_angle)
+
+    ply_path = os.path.join(output_dir, f"{stem}_clean.ply")
+    write_ply(ply_path, cloud)
+    if preview:
+        save_render(os.path.join(output_dir, f"{stem}_clean_preview.png"),
+                    cloud, view="multi")
+    return ply_path, cloud
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description="Image -> cleaned point cloud (TPU)")
+    ap.add_argument("--image_path", required=True)
+    ap.add_argument("--output_dir", default=None)
+    ap.add_argument("--nb_points", type=int, default=20)
+    ap.add_argument("--radius", type=float, default=0.1)
+    ap.add_argument("--shadow_height_threshold", type=float, default=0.1)
+    ap.add_argument("--max_shadow_angle", type=float, default=75.0)
+    ap.add_argument("--downscale_factor", type=float, default=1.0)
+    ap.add_argument("--no_preview", dest="preview", action="store_false")
+    args = ap.parse_args(argv)
+    process_image_to_clean_pointcloud(
+        args.image_path, args.output_dir, nb_points=args.nb_points,
+        radius=args.radius, shadow_height_threshold=args.shadow_height_threshold,
+        max_shadow_angle=args.max_shadow_angle,
+        downscale_factor=args.downscale_factor, preview=args.preview,
+    )
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

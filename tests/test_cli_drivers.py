@@ -1,0 +1,69 @@
+"""End-to-end CLI driver tests (tiny model, CPU): image -> pointcloud,
+image -> cleaned cloud, image -> mesh."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from ml_depth_pro_video_tpu.models.depth_pro import tiny_config
+from ml_depth_pro_video_tpu.video.runner import DepthVideoRunner
+
+
+@pytest.fixture(scope="module")
+def runner():
+    return DepthVideoRunner(cfg=tiny_config(), precision="fp32", batch_size=1)
+
+
+@pytest.fixture(scope="module")
+def image_path(tmp_path_factory):
+    d = tmp_path_factory.mktemp("img")
+    rng = np.random.default_rng(0)
+    p = str(d / "photo_0001.png")
+    Image.fromarray((rng.random((100, 140, 3)) * 255).astype(np.uint8)).save(p)
+    return p
+
+
+def test_img_to_pointcloud_ply_and_ground(runner, image_path, tmp_path):
+    from ml_depth_pro_video_tpu.cli.img_to_pointcloud import create_normalized_pointcloud
+    from ml_depth_pro_video_tpu.geom.pointcloud import read_ply
+
+    out = str(tmp_path / "cloud.ply")
+    create_normalized_pointcloud(image_path, out, ground_params_dir=str(tmp_path),
+                                 runner=runner)
+    assert os.path.exists(out)
+    assert os.path.exists(tmp_path / "ground.json")
+    cloud = read_ply(out)
+    assert len(cloud) > 1000
+    assert cloud.colors is not None
+    # ground at y ~ 0 after normalization
+    assert np.percentile(cloud.points[:, 1], 1) > -0.2
+
+
+def test_cleaner_driver(runner, image_path, tmp_path):
+    from ml_depth_pro_video_tpu.cli.pointcloud_cleaner import (
+        process_image_to_clean_pointcloud,
+    )
+
+    # random-weight depth yields ray-aligned streaks that the shadow
+    # cleaner legitimately removes; disable it (angle 0 keeps all cells)
+    ply, cloud = process_image_to_clean_pointcloud(
+        image_path, str(tmp_path), runner=runner, preview=True,
+        nb_points=5, radius=0.5, max_shadow_angle=0.0,
+    )
+    assert os.path.exists(ply)
+    assert os.path.exists(str(tmp_path / "photo_0001_clean_preview.png"))
+    assert len(cloud) > 0
+
+
+def test_mesh_driver(runner, image_path, tmp_path):
+    from ml_depth_pro_video_tpu.cli.pointcloud_to_mesh import process_image_to_mesh
+
+    out = str(tmp_path / "mesh.obj")
+    path, mesh = process_image_to_mesh(
+        image_path, out, method="simple", voxel_size=0.3,
+        nb_points=3, radius=1.0, max_shadow_angle=0.0, runner=runner,
+    )
+    assert os.path.exists(path)
+    assert len(mesh.faces) > 10

@@ -1,0 +1,95 @@
+"""Mesh reconstruction tests: Poisson on a synthetic sphere, marching
+tetrahedra correctness, triangulations, downsampling, cleanup."""
+
+import numpy as np
+
+from ml_depth_pro_video_tpu.geom.mesh import (
+    TriangleMesh,
+    average_point_distance,
+    create_mesh_from_pointcloud,
+    estimate_normals,
+    marching_tetrahedra,
+    poisson_reconstruct,
+    simple_triangulation,
+    voxel_downsample,
+)
+from ml_depth_pro_video_tpu.geom.pointcloud import PointCloud
+
+
+def sphere_cloud(n=4000, r=1.0, seed=0):
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    return v * r
+
+
+def test_marching_tetrahedra_sphere_isosurface():
+    res = 32
+    g = np.linspace(-1.5, 1.5, res)
+    x, y, z = np.meshgrid(g, g, g, indexing="ij")
+    values = 1.0 - np.sqrt(x**2 + y**2 + z**2)  # iso=0 at radius 1
+    spacing = g[1] - g[0]
+    verts, faces = marching_tetrahedra(values, 0.0, np.array([-1.5, -1.5, -1.5]), spacing)
+    assert len(verts) > 500 and len(faces) > 500
+    radii = np.linalg.norm(verts, axis=1)
+    np.testing.assert_allclose(radii.mean(), 1.0, atol=0.05)
+    assert radii.std() < 0.05
+    # faces reference valid vertices
+    assert faces.max() < len(verts) and faces.min() >= 0
+
+
+def test_estimate_normals_sphere_point_outward_or_inward():
+    pts = sphere_cloud(2000)
+    normals = estimate_normals(pts, radius=0.3, camera=(0, 0, 0))
+    # oriented towards camera at origin -> inward: n ~ -p
+    cos = np.einsum("ij,ij->i", normals, -pts)
+    assert (cos > 0.9).mean() > 0.95
+
+
+def test_poisson_reconstruct_sphere():
+    pts = sphere_cloud(6000)
+    normals = estimate_normals(pts, radius=0.3, camera=(0, 0, 0))
+    mesh = poisson_reconstruct(pts, -normals, depth=5)  # outward normals
+    assert len(mesh.vertices) > 200
+    radii = np.linalg.norm(mesh.vertices, axis=1)
+    # surface near radius 1 (grid resolution limits accuracy)
+    assert abs(np.median(radii) - 1.0) < 0.15
+
+
+def test_voxel_downsample_counts():
+    cloud = PointCloud(sphere_cloud(5000), np.full((5000, 3), 0.5))
+    down = voxel_downsample(cloud, 0.2)
+    assert 0 < len(down) < 5000
+    np.testing.assert_allclose(down.colors, 0.5)
+
+
+def test_simple_triangulation_and_cleanup():
+    cloud = PointCloud(sphere_cloud(300))
+    mesh = simple_triangulation(cloud)
+    assert len(mesh.faces) > 100
+    # cleanup removed degenerates/dupes
+    key = np.sort(mesh.faces, axis=1)
+    assert len(np.unique(key, axis=0)) == len(key)
+
+
+def test_create_mesh_end_to_end_methods():
+    cloud = PointCloud(sphere_cloud(3000), np.random.default_rng(0).uniform(size=(3000, 3)))
+    for method in ("poisson", "ball_pivoting", "simple"):
+        mesh = create_mesh_from_pointcloud(cloud, voxel_size=0.1, depth=5, method=method)
+        assert len(mesh.vertices) > 50, method
+        assert len(mesh.faces) > 50, method
+    if method == "poisson":
+        assert mesh.vertex_colors is not None
+
+
+def test_average_point_distance():
+    pts = np.stack(np.meshgrid(*([np.arange(5.0)] * 3), indexing="ij"), -1).reshape(-1, 3)
+    d = average_point_distance(pts, k=6)
+    assert 0.9 < d < 2.0
+
+
+def test_obj_save(tmp_path):
+    mesh = TriangleMesh(np.eye(3), np.array([[0, 1, 2]]), np.ones((3, 3)) * 0.5)
+    p = str(tmp_path / "m.obj")
+    mesh.save_obj(p)
+    assert "v 1.000000" in open(p).read()
