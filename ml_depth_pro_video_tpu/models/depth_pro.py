@@ -221,13 +221,16 @@ def decoder_apply(params: dict, encodings: list[jnp.ndarray]) -> tuple[jnp.ndarr
 # heads
 
 
-def head_apply(params: dict, x: jnp.ndarray) -> jnp.ndarray:
-    """Depth head (`depth_pro.py:182-204`): fp32 for output fidelity."""
-    x = x.astype(jnp.float32)
+def head_apply(params: dict, x: jnp.ndarray,
+               precision: Precision = Precision.fp32()) -> jnp.ndarray:
+    """Depth head (`depth_pro.py:182-204`). Convs run in the compute
+    dtype with fp32 accumulation; the final 1x1 conv producing the
+    canonical inverse depth is always fp32."""
+    x = x.astype(precision.compute_dtype)
     x = conv2d(x, params["conv_in"]["w"], params["conv_in"]["b"], padding=1)
     x = conv_transpose2x2(x, params["deconv"]["w"], params["deconv"]["b"])
     x = conv2d(x, params["conv_mid"]["w"], params["conv_mid"]["b"], padding=1)
-    x = jax.nn.relu(x)
+    x = jax.nn.relu(x).astype(jnp.float32)
     x = conv2d(x, params["conv_out"]["w"], params["conv_out"]["b"])
     return jax.nn.relu(x)
 
@@ -272,7 +275,7 @@ def forward(params: dict, x: jnp.ndarray, cfg: DepthProConfig,
         )
     encodings = encoder_apply(params["encoder"], x, cfg, precision, attn_impl)
     features, lowres = decoder_apply(params["decoder"], encodings)
-    canonical = head_apply(params["head"], features)
+    canonical = head_apply(params["head"], features, precision)
     fov_deg = None
     if cfg.use_fov_head:
         fov_deg = fov_apply(params["fov"], x, lowres, cfg, precision, attn_impl)

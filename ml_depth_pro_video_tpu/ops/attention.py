@@ -34,59 +34,65 @@ def _xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarra
     return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int, scale: float):
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    s = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    s = s * scale
-    # Mask padded keys.
-    kidx = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
-    s = jnp.where(kidx < seq_len, s, -jnp.inf)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    p = p / denom
-    out = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-    o_ref[0] = out.astype(o_ref.dtype)
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int, scale: float,
+                  heads_per_program: int):
+    """One program computes full attention for ``heads_per_program``
+    (batch*head) rows — the whole (S_pad, S_pad) score tile lives in
+    VMEM, so a 577-token sequence needs no online softmax and the grid
+    stays small (few, large programs beat many tiny ones on TPU: each
+    program's matmuls are MXU-sized and per-program launch overhead is
+    amortized)."""
+    for hh in range(heads_per_program):
+        q = q_ref[hh]
+        k = k_ref[hh]
+        v = v_ref[hh]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = s * scale
+        kidx = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+        s = jnp.where(kidx < seq_len, s, -jnp.inf)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        p = p / denom
+        out = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        o_ref[hh] = out.astype(o_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("block_q",))
-def _flash_attention(q, k, v, block_q: int = 256):
+@functools.partial(jax.jit, static_argnames=("heads_per_program",))
+def _flash_attention(q, k, v, heads_per_program: int = 2):
     """Pallas fused attention. q,k,v: (B, H, S, D)."""
     b, h, s, d = q.shape
     scale = d**-0.5
     s_pad = _round_up(s, 128)
-    bq = min(block_q, s_pad)
-    s_padq = _round_up(s_pad, bq)
+    bh = b * h
+    hp = heads_per_program
+    while bh % hp:
+        hp -= 1
 
-    def pad(x, to):
-        return jnp.pad(x, ((0, 0), (0, 0), (0, to - s), (0, 0)))
+    def pad(x):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, s_pad - s), (0, 0))).reshape(bh, s_pad, d)
 
-    qp = pad(q, s_padq).reshape(b * h, s_padq, d)
-    kp = pad(k, s_pad).reshape(b * h, s_pad, d)
-    vp = pad(v, s_pad).reshape(b * h, s_pad, d)
+    qp, kp, vp = pad(q), pad(k), pad(v)
 
-    grid = (b * h, s_padq // bq)
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, seq_len=s, scale=scale),
-        grid=grid,
+        functools.partial(_flash_kernel, seq_len=s, scale=scale, heads_per_program=hp),
+        grid=(bh // hp,),
         in_specs=[
-            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, s_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, s_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, s_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, s_padq, d), q.dtype),
+        out_specs=pl.BlockSpec((hp, s_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, s_pad, d), q.dtype),
     )(qp, kp, vp)
-    return out.reshape(b, h, s_padq, d)[:, :, :s, :]
+    return out.reshape(b, h, s_pad, d)[:, :, :s, :]
 
 
 def _default_impl() -> str:

@@ -33,13 +33,15 @@ def conv2d(
     if isinstance(padding, int):
         padding = (padding, padding)
     pad = [(padding[0], padding[0]), (padding[1], padding[1])]
+    # fp32 accumulation regardless of the compute dtype
     y = lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
         window_strides=stride,
         padding=pad,
         dimension_numbers=_DIMSPEC,
-    )
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
     if b is not None:
         y = y + b.astype(y.dtype)
     return y
@@ -58,7 +60,8 @@ def conv_transpose2x2(
     """
     bsz, h, wd, cin = x.shape
     cout = w.shape[1] // 4
-    y = jnp.dot(x.reshape(-1, cin), w.astype(x.dtype), preferred_element_type=x.dtype)
+    y = jnp.dot(x.reshape(-1, cin), w.astype(x.dtype),
+                preferred_element_type=jnp.float32).astype(x.dtype)
     y = y.reshape(bsz, h, wd, 2, 2, cout)
     y = y.transpose(0, 1, 3, 2, 4, 5).reshape(bsz, 2 * h, 2 * wd, cout)
     if b is not None:
