@@ -506,13 +506,15 @@ def load_checkpoint(cfg: DepthProConfig):
 
 def create_model_and_transforms(
     config: DepthProConfig = DEFAULT_MONODEPTH_CONFIG,
+    device=None,
     precision="fp32",
     attn_impl: str | None = None,
     rng_seed: int = 0,
 ):
     """Create a DepthPro model + input transform (public API parity with
-    `depth_pro.py:72-151`). Loads ``config.checkpoint_uri`` when present;
-    otherwise random-initializes (with a warning) so the pipeline runs in
+    `depth_pro.py:72-151`, including the ``device``/``precision``
+    arguments). Loads ``config.checkpoint_uri`` when present; otherwise
+    random-initializes (with a warning) so the pipeline runs in
     checkpoint-less environments.
     """
     prec = resolve_precision(precision)
@@ -523,6 +525,9 @@ def create_model_and_transforms(
                 "Checkpoint %s not found; using random init.", config.checkpoint_uri
             )
         params = init_depth_pro(jax.random.PRNGKey(rng_seed), config)
-    params = jax.tree.map(jnp.asarray, params)
+    if device is not None:
+        params = jax.device_put(params, device)
+    else:
+        params = jax.tree.map(jnp.asarray, params)
     model = DepthPro(params, config, prec, attn_impl)
     return model, _make_transform(prec)

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.precision import Precision
-from ..ops.attention import multi_head_attention
+from ..ops.attention import attention_packed
 from ..ops.norm import layer_norm
 
 
@@ -50,6 +50,16 @@ class ViTConfig:
     @property
     def num_tokens(self) -> int:
         return self.grid_size * self.grid_size + 1
+
+
+# preset registry (parity with the reference's VIT_CONFIG_DICT,
+# `network/vit_factory.py:53-65`; the timm 518/14 -> 384/16 resampling
+# happens offline in ckpt/convert.py)
+VIT_CONFIG_DICT = {
+    "dinov2l16_384": ViTConfig(
+        img_size=384, patch_size=16, embed_dim=1024, depth=24, num_heads=16, mlp_ratio=4
+    ),
+}
 
 
 def init_vit(rng: jax.Array, cfg: ViTConfig) -> dict:
@@ -104,9 +114,7 @@ def _block(x: jnp.ndarray, bp: dict, cfg: ViTConfig, attn_impl: str | None) -> j
 
     h = layer_norm(x, bp["ln1_g"], bp["ln1_b"], cfg.layer_norm_eps)
     qkv = jnp.dot(h, bp["qkv_w"].astype(cdt), preferred_element_type=cdt) + bp["qkv_b"].astype(cdt)
-    qkv = qkv.reshape(b, s, 3, nh, hd).transpose(2, 0, 3, 1, 4)
-    attn = multi_head_attention(qkv[0], qkv[1], qkv[2], impl=attn_impl)
-    attn = attn.transpose(0, 2, 1, 3).reshape(b, s, d)
+    attn = attention_packed(qkv, nh, impl=attn_impl)
     attn = jnp.dot(attn, bp["proj_w"].astype(cdt), preferred_element_type=cdt) + bp["proj_b"].astype(cdt)
     x = x + bp["ls1"].astype(cdt) * attn
 

@@ -95,6 +95,77 @@ def _flash_attention(q, k, v, heads_per_program: int = 2):
     return out.reshape(b, h, s_pad, d)[:, :, :s, :]
 
 
+def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int, scale: float):
+    q = q_ref[0, :, 0, 0, :]
+    k = k_ref[0, :, 0, 0, :]
+    v = v_ref[0, :, 0, 0, :]
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s * scale
+    kidx = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+    s = jnp.where(kidx < seq_len, s, -jnp.inf)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    out = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0, :, 0, :] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads",))
+def flash_attention_packed(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """Fused attention straight from the packed qkv projection.
+
+    qkv: (B, S, 3*D) as produced by the qkv matmul. The kernel's
+    BlockSpec index maps slice q/k/v and each head directly out of the
+    packed tensor, so no (B,S,3,H,d) -> (3,B,H,S,d) transpose is ever
+    materialized. Returns (B, S, D).
+    """
+    b, s, d3 = qkv.shape
+    d = d3 // 3
+    hd = d // num_heads
+    scale = hd**-0.5
+    s_pad = _round_up(s, 128)
+    x = qkv.reshape(b, s, 3, num_heads, hd)
+    x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0), (0, 0), (0, 0)))
+
+    spec = lambda which: pl.BlockSpec(
+        (1, s_pad, 1, 1, hd),
+        lambda i: (i // num_heads, 0, which, i % num_heads, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out = pl.pallas_call(
+        functools.partial(_packed_kernel, seq_len=s, scale=scale),
+        grid=(b * num_heads,),
+        in_specs=[spec(0), spec(1), spec(2)],
+        out_specs=pl.BlockSpec(
+            (1, s_pad, 1, hd),
+            lambda i: (i // num_heads, 0, i % num_heads, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, num_heads, hd), qkv.dtype),
+    )(x, x, x)
+    return out[:, :s].reshape(b, s, d)
+
+
+def xla_attention_packed(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """Reference path for the packed layout (used on CPU/tests)."""
+    b, s, d3 = qkv.shape
+    d = d3 // 3
+    hd = d // num_heads
+    x = qkv.reshape(b, s, 3, num_heads, hd).transpose(2, 0, 3, 1, 4)
+    out = _xla_attention(x[0], x[1], x[2])
+    return out.transpose(0, 2, 1, 3).reshape(b, s, d)
+
+
+def attention_packed(qkv: jnp.ndarray, num_heads: int, impl: str | None = None) -> jnp.ndarray:
+    impl = impl or _default_impl()
+    if impl == "pallas":
+        return flash_attention_packed(qkv, num_heads)
+    return xla_attention_packed(qkv, num_heads)
+
+
 def _default_impl() -> str:
     try:
         platform = jax.devices()[0].platform
