@@ -113,8 +113,9 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int, scale: float):
     o_ref[0, :, 0, :] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads",))
-def flash_attention_packed(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def flash_attention_packed(qkv: jnp.ndarray, num_heads: int,
+                           interpret: bool = False) -> jnp.ndarray:
     """Fused attention straight from the packed qkv projection.
 
     qkv: (B, S, 3*D) as produced by the qkv matmul. The kernel's
@@ -145,6 +146,7 @@ def flash_attention_packed(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, s_pad, num_heads, hd), qkv.dtype),
+        interpret=interpret,
     )(x, x, x)
     return out[:, :s].reshape(b, s, d)
 

@@ -68,10 +68,19 @@ class DepthVideoRunner:
         if key not in self._jit:
             cfg, prec = self.cfg, self.precision
             if f_px is None:
-                fn = jax.jit(lambda p, x: infer_fn(p, x, None, cfg, prec))
+                fn = lambda p, x: infer_fn(p, x, None, cfg, prec)  # noqa: E731
             else:
-                fn = jax.jit(lambda p, x, f: infer_fn(p, x, f, cfg, prec))
-            self._jit[key] = fn
+                fn = lambda p, x, f: infer_fn(p, x, f, cfg, prec)  # noqa: E731
+            if self.mesh is not None:
+                # shard_map: each chip runs the full per-frame program on
+                # its batch slice (pallas kernels aren't GSPMD-partitionable)
+                from jax.sharding import PartitionSpec as P
+                from jax.experimental.shard_map import shard_map
+
+                in_specs = (P(), P("dp")) if f_px is None else (P(), P("dp"), P("dp"))
+                fn = shard_map(fn, mesh=self.mesh, in_specs=in_specs,
+                               out_specs=P("dp"), check_rep=False)
+            self._jit[key] = jax.jit(fn)
         fn = self._jit[key]
         if self.mesh is not None:
             from ..parallel.mesh import batch_sharding

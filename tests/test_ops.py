@@ -124,3 +124,16 @@ def test_attention_matches_torch_sdpa():
     ).numpy()
     j = multi_head_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), impl="xla")
     np.testing.assert_allclose(np.asarray(j), t, rtol=1e-4, atol=1e-4)
+
+
+def test_flash_attention_packed_interpret_matches_xla():
+    """Run the actual Pallas kernel in interpret mode on CPU."""
+    from ml_depth_pro_video_tpu.ops.attention import (
+        flash_attention_packed,
+        xla_attention_packed,
+    )
+
+    qkv = RNG.standard_normal((2, 33, 3 * 64)).astype(np.float32)
+    ref = xla_attention_packed(jnp.asarray(qkv), 4)
+    got = flash_attention_packed(jnp.asarray(qkv), 4, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)

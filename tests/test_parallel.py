@@ -75,3 +75,26 @@ def test_graft_entry_dryrun():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_runner_with_mesh_shard_map():
+    """DP streaming inference through shard_map on the fake 8-dev mesh."""
+    import numpy as np
+
+    from ml_depth_pro_video_tpu.video.runner import DepthVideoRunner
+
+    mesh = make_mesh(dp=4, tp=1, devices=jax.devices()[:4])
+    runner = DepthVideoRunner(cfg=DRY_CFG, precision="fp32", batch_size=4, mesh=mesh)
+    rng = np.random.default_rng(0)
+    frames = [(rng.random((64, 64, 3)) * 255).astype(np.uint8) for _ in range(4)]
+    with mesh:
+        results = list(runner.depth_stream(frames))
+    assert len(results) == 4
+    for r in results:
+        assert r["depth"].shape == (64, 64)
+        assert np.isfinite(r["depth"]).all()
+    # shard_map path must equal the single-device path
+    solo = DepthVideoRunner(cfg=DRY_CFG, precision="fp32", batch_size=4)
+    solo.params = runner.params
+    ref = list(solo.depth_stream(frames))
+    np.testing.assert_allclose(results[0]["depth"], ref[0]["depth"], rtol=2e-5, atol=1e-5)
