@@ -16,6 +16,13 @@ from ..geom.pointcloud import write_ply
 from ..geom.render import save_render
 from .img_to_pointcloud import create_normalized_pointcloud
 
+# quality presets (parity with demo_pointcloud_cleaner.py:11-86)
+QUALITY_PRESETS = {
+    "fast": dict(nb_points=10, radius=0.15, downscale_factor=0.5),
+    "default": dict(nb_points=20, radius=0.1, downscale_factor=1.0),
+    "high_quality": dict(nb_points=25, radius=0.08, downscale_factor=1.0),
+}
+
 
 def process_image_to_clean_pointcloud(
     image_path: str,
@@ -59,13 +66,17 @@ def main(argv=None) -> None:
     ap.add_argument("--shadow_height_threshold", type=float, default=0.1)
     ap.add_argument("--max_shadow_angle", type=float, default=75.0)
     ap.add_argument("--downscale_factor", type=float, default=1.0)
+    ap.add_argument("--quality", choices=list(QUALITY_PRESETS), default=None)
     ap.add_argument("--no_preview", dest="preview", action="store_false")
     args = ap.parse_args(argv)
+    kw = dict(nb_points=args.nb_points, radius=args.radius,
+              downscale_factor=args.downscale_factor)
+    if args.quality:
+        kw.update(QUALITY_PRESETS[args.quality])
     process_image_to_clean_pointcloud(
-        args.image_path, args.output_dir, nb_points=args.nb_points,
-        radius=args.radius, shadow_height_threshold=args.shadow_height_threshold,
-        max_shadow_angle=args.max_shadow_angle,
-        downscale_factor=args.downscale_factor, preview=args.preview,
+        args.image_path, args.output_dir,
+        shadow_height_threshold=args.shadow_height_threshold,
+        max_shadow_angle=args.max_shadow_angle, preview=args.preview, **kw,
     )
 
 

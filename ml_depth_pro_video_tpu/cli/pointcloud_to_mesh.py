@@ -33,6 +33,7 @@ def process_image_to_mesh(
     nb_points: int = 20,
     radius: float = 0.1,
     max_shadow_angle: float = 75.0,
+    add_ground_plane: bool = False,
     preview: bool = True,
     runner=None,
 ):
@@ -47,6 +48,10 @@ def process_image_to_mesh(
     )
     mesh = create_mesh_from_pointcloud(cloud, voxel_size=voxel_size,
                                        depth=depth, method=method)
+    if add_ground_plane:
+        from ..geom.mesh import add_ground_plane_mesh
+
+        mesh = add_ground_plane_mesh(mesh)
     mesh.save_obj(output_path)
     if preview and len(mesh.vertices):
         save_render(

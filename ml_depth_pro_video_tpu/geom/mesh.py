@@ -383,6 +383,37 @@ def tangent_fan_triangulation(cloud: PointCloud, radius: float | None = None,
                         None if cloud.colors is None else cloud.colors.copy()).cleanup()
 
 
+def add_ground_plane_mesh(mesh: TriangleMesh, y: float = 0.0,
+                          margin: float = 0.5, cells: int = 20,
+                          color=(0.5, 0.5, 0.5)) -> TriangleMesh:
+    """Append a synthetic ground-plane grid under the mesh footprint
+    (legacy capability: `OLD_SCRIPTS/mesh_from_depth.py:880` ground-plane
+    mesh synthesis)."""
+    if len(mesh.vertices) == 0:
+        return mesh
+    lo = mesh.vertices.min(axis=0) - margin
+    hi = mesh.vertices.max(axis=0) + margin
+    xs = np.linspace(lo[0], hi[0], cells + 1)
+    zs = np.linspace(lo[2], hi[2], cells + 1)
+    gx, gz = np.meshgrid(xs, zs, indexing="ij")
+    verts = np.column_stack([gx.ravel(), np.full(gx.size, y), gz.ravel()])
+    idx = np.arange((cells + 1) * (cells + 1)).reshape(cells + 1, cells + 1)
+    a = idx[:-1, :-1].ravel()
+    b = idx[1:, :-1].ravel()
+    c = idx[:-1, 1:].ravel()
+    d = idx[1:, 1:].ravel()
+    faces = np.concatenate([np.column_stack([a, b, c]), np.column_stack([c, b, d])])
+    off = len(mesh.vertices)
+    colors = mesh.vertex_colors
+    if colors is not None:
+        colors = np.vstack([colors, np.tile(color, (len(verts), 1))])
+    return TriangleMesh(
+        np.vstack([mesh.vertices, verts]),
+        np.vstack([mesh.faces, faces + off]),
+        colors,
+    )
+
+
 # ---------------------------------------------------------------------------
 # public entry
 

@@ -184,11 +184,11 @@ def encoder_apply(params: dict, x: jnp.ndarray, cfg: DepthProConfig,
 # decoder
 
 
-def _residual(p: dict, prefix: str, x: jnp.ndarray) -> jnp.ndarray:
+def _residual(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     h = jax.nn.relu(x)
-    h = conv2d(h, p[f"w1"], p[f"b1"], padding=1)
+    h = conv2d(h, p["w1"], p["b1"], padding=1)
     h = jax.nn.relu(h)
-    h = conv2d(h, p[f"w2"], p[f"b2"], padding=1)
+    h = conv2d(h, p["w2"], p["b2"], padding=1)
     return x + h
 
 
@@ -196,8 +196,8 @@ def _fusion_apply(p: dict, x0: jnp.ndarray, x1: jnp.ndarray | None) -> jnp.ndarr
     """FeatureFusionBlock2d (`decoder.py:121-180`)."""
     x = x0
     if x1 is not None:
-        x = x + _residual(p["res1"], "res1", x1)
-    x = _residual(p["res2"], "res2", x)
+        x = x + _residual(p["res1"], x1)
+    x = _residual(p["res2"], x)
     if p["deconv_w"] is not None:
         x = conv_transpose2x2(x, p["deconv_w"])
     return conv2d(x, p["out"]["w"], p["out"]["b"])
@@ -282,13 +282,10 @@ def forward(params: dict, x: jnp.ndarray, cfg: DepthProConfig,
     return canonical, fov_deg
 
 
-def encoder_decoder_input(params):
-    return params
-
-
 def infer_fn(params: dict, x: jnp.ndarray, f_px: jnp.ndarray | None, cfg: DepthProConfig,
              precision: Precision = Precision.fp32(),
-             attn_impl: str | None = None) -> dict:
+             attn_impl: str | None = None,
+             interpolation_mode: str = "bilinear") -> dict:
     """The `infer()` contract (`depth_pro.py:243-298`), NHWC.
 
     x: (B, H, W, 3) normalized; f_px: (B,) or None.
@@ -297,7 +294,7 @@ def infer_fn(params: dict, x: jnp.ndarray, f_px: jnp.ndarray | None, cfg: DepthP
     b, h, w = x.shape[0], x.shape[1], x.shape[2]
     s = cfg.img_size
     needs_resize = (h != s) or (w != s)
-    xi = resize2d(x, (s, s)) if needs_resize else x
+    xi = resize2d(x, (s, s), mode=interpolation_mode) if needs_resize else x
 
     canonical, fov_deg = forward(params, xi, cfg, precision, attn_impl)
     canonical = canonical[..., 0].astype(jnp.float32)  # (B, s, s)
@@ -310,7 +307,7 @@ def infer_fn(params: dict, x: jnp.ndarray, f_px: jnp.ndarray | None, cfg: DepthP
 
     inverse_depth = canonical * (w / f_px)[:, None, None]
     if needs_resize:
-        inverse_depth = resize2d(inverse_depth[..., None], (h, w))[..., 0]
+        inverse_depth = resize2d(inverse_depth[..., None], (h, w), mode=interpolation_mode)[..., 0]
     depth = 1.0 / jnp.clip(inverse_depth, 1e-4, 1e4)
     return {"depth": depth, "focallength_px": f_px}
 
@@ -439,7 +436,7 @@ class DepthPro:
         )
         return fn(self.params, x)
 
-    def infer(self, x, f_px=None) -> dict:
+    def infer(self, x, f_px=None, interpolation_mode: str = "bilinear") -> dict:
         """Depth inference on (H, W, 3) or (B, H, W, 3) normalized input.
 
         Also accepts torch-style (3, H, W) / (B, 3, H, W) for drop-in
@@ -458,12 +455,13 @@ class DepthPro:
         if has_f:
             f_arr = jnp.atleast_1d(jnp.asarray(f_px, jnp.float32))
             f_arr = jnp.broadcast_to(f_arr, (x.shape[0],))
-        key = ("infer", x.shape, has_f)
+        mode = interpolation_mode
+        key = ("infer", x.shape, has_f, mode)
         fn = self._get_jitted(
             key,
-            (lambda p, xx, ff: infer_fn(p, xx, ff, self.cfg, self.precision, self.attn_impl))
+            (lambda p, xx, ff: infer_fn(p, xx, ff, self.cfg, self.precision, self.attn_impl, mode))
             if has_f
-            else (lambda p, xx: infer_fn(p, xx, None, self.cfg, self.precision, self.attn_impl)),
+            else (lambda p, xx: infer_fn(p, xx, None, self.cfg, self.precision, self.attn_impl, mode)),
         )
         out = fn(self.params, x, f_arr) if has_f else fn(self.params, x)
         if squeeze:

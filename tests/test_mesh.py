@@ -93,3 +93,15 @@ def test_obj_save(tmp_path):
     p = str(tmp_path / "m.obj")
     mesh.save_obj(p)
     assert "v 1.000000" in open(p).read()
+
+
+def test_add_ground_plane_mesh():
+    from ml_depth_pro_video_tpu.geom.mesh import add_ground_plane_mesh
+
+    base = TriangleMesh(np.array([[0.0, 1.0, 0.0], [1.0, 1.0, 0.0], [0.0, 1.0, 1.0]]),
+                        np.array([[0, 1, 2]]), np.ones((3, 3)))
+    out = add_ground_plane_mesh(base, y=0.0, cells=4)
+    assert len(out.vertices) == 3 + 25
+    assert len(out.faces) == 1 + 32
+    # all added vertices at y=0
+    np.testing.assert_allclose(out.vertices[3:, 1], 0.0)
