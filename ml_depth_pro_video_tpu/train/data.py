@@ -1,0 +1,88 @@
+"""Host-side training data pipeline.
+
+No third-party input stack: a directory dataset of (image, depth)
+pairs with a background prefetch thread, deterministic shuffling, and
+device placement with DP sharding — the training-side sibling of
+``video/runner.py``'s inference feed.
+
+Expected layout: ``<root>/*.png|jpg`` images with matching
+``<root>/<stem>_depth.npy`` (or ``.npz`` with a ``depth`` array).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import queue
+import threading
+
+import numpy as np
+
+import jax
+
+
+class DepthDataset:
+    def __init__(self, root: str, image_size: int, seed: int = 0):
+        self.image_size = image_size
+        self.pairs = []
+        for img in sorted(glob.glob(os.path.join(root, "*.png")) + glob.glob(os.path.join(root, "*.jpg"))):
+            stem = os.path.splitext(img)[0]
+            for ext in ("_depth.npy", "_depth.npz"):
+                if os.path.exists(stem + ext):
+                    self.pairs.append((img, stem + ext))
+                    break
+        if not self.pairs:
+            raise FileNotFoundError(f"no (image, depth) pairs under {root}")
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return len(self.pairs)
+
+    def _load(self, idx: int):
+        from PIL import Image
+
+        img_path, depth_path = self.pairs[idx]
+        s = self.image_size
+        img = Image.open(img_path).convert("RGB").resize((s, s), Image.BILINEAR)
+        x = np.asarray(img, np.float32) / 127.5 - 1.0
+        if depth_path.endswith(".npz"):
+            with np.load(depth_path) as f:
+                d = f["depth"]
+        else:
+            d = np.load(depth_path)
+        d = np.asarray(
+            Image.fromarray(np.asarray(d, np.float32)).resize((s, s), Image.BILINEAR)
+        )
+        return x, d
+
+    def batches(self, batch_size: int, epochs: int = 1, sharding=None,
+                prefetch: int = 2, drop_remainder: bool = True):
+        """Yield (images (B,S,S,3), depth (B,S,S)) device arrays."""
+        q: queue.Queue = queue.Queue(maxsize=prefetch)
+        stop = object()
+
+        def producer():
+            try:
+                for _ in range(epochs):
+                    order = self.rng.permutation(len(self.pairs))
+                    for i in range(0, len(order), batch_size):
+                        sel = order[i : i + batch_size]
+                        if drop_remainder and len(sel) < batch_size:
+                            continue
+                        data = [self._load(j) for j in sel]
+                        xs = np.stack([d[0] for d in data])
+                        ds = np.stack([d[1] for d in data])
+                        q.put((xs, ds))
+            finally:
+                q.put(stop)
+
+        threading.Thread(target=producer, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is stop:
+                return
+            xs, ds = item
+            if sharding is not None:
+                xs = jax.device_put(xs, sharding)
+                ds = jax.device_put(ds, sharding)
+            yield xs, ds

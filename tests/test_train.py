@@ -1,0 +1,56 @@
+"""Training stack tests: data pipeline, loss, orbax checkpointing,
+end-to-end fit on the fake mesh."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from ml_depth_pro_video_tpu.train.data import DepthDataset
+from ml_depth_pro_video_tpu.train.step import silog_loss
+
+
+def test_silog_loss_zero_for_perfect():
+    inv = jnp.full((2, 8, 8), 0.5)
+    target = 1.0 / inv
+    assert float(silog_loss(inv, target)) < 1e-10
+    worse = float(silog_loss(inv * 2, target))
+    assert worse > 1e-3
+
+
+def test_depth_dataset_and_batches(tmp_path):
+    rng = np.random.default_rng(0)
+    for i in range(5):
+        Image.fromarray((rng.random((40, 60, 3)) * 255).astype(np.uint8)).save(
+            tmp_path / f"s{i}.png"
+        )
+        np.save(tmp_path / f"s{i}_depth.npy", rng.uniform(1, 10, (40, 60)).astype(np.float32))
+    ds = DepthDataset(str(tmp_path), image_size=32)
+    assert len(ds) == 5
+    batches = list(ds.batches(batch_size=2, epochs=2))
+    assert len(batches) == 4  # 2 per epoch, remainder dropped
+    xs, ys = batches[0]
+    assert xs.shape == (2, 32, 32, 3) and ys.shape == (2, 32, 32)
+    assert float(jnp.abs(xs).max()) <= 1.0
+
+
+def test_orbax_roundtrip(tmp_path):
+    import optax
+
+    from ml_depth_pro_video_tpu.ckpt.checkpointing import (
+        latest_step,
+        restore_train_state,
+        save_train_state,
+    )
+    from ml_depth_pro_video_tpu.train.step import TrainState
+
+    params = {"w": jnp.arange(6.0).reshape(2, 3)}
+    opt = optax.adamw(1e-3)
+    state = TrainState(params, opt.init(params), jnp.asarray(7, jnp.int32))
+    save_train_state(str(tmp_path / "ckpt"), state)
+    assert latest_step(str(tmp_path / "ckpt")) == 7
+    restored = restore_train_state(str(tmp_path / "ckpt"), state)
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]), np.asarray(params["w"]))
+    assert int(restored.step) == 7
