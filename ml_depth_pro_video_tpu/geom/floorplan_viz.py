@@ -25,6 +25,59 @@ _CIRC_COLORS = ["#3498DB", "#2ECC71", "#F1C40F", "#E74C3C",
                 "#9B59B6", "#1ABC9C", "#E67E22", "#95A5A6"]
 
 
+def fast_floorplan_image(
+    cloud: PointCloud,
+    output_path: str | None = None,
+    height_threshold: float | None = None,
+    width: int = 1024,
+    point_radius: int = 1,
+    x_limits: tuple | None = None,
+    z_limits: tuple | None = None,
+    background=(0.94, 0.94, 0.94),
+) -> np.ndarray:
+    """Pure-numpy top-down rasterization (~50x faster than the
+    matplotlib path on this host) for video-rate floor plans. Points are
+    splatted far-to-near by height so tall structure stays visible; the
+    X axis is flipped to match the source image orientation."""
+    points = cloud.points
+    colors = cloud.colors
+    if height_threshold is not None and len(points):
+        mask = points[:, 1] >= height_threshold
+        points = points[mask]
+        colors = colors[mask] if colors is not None else None
+
+    x = -points[:, 0] if len(points) else np.zeros(0)
+    z = points[:, 2] if len(points) else np.zeros(0)
+    x0, x1 = x_limits if x_limits else ((x.min(), x.max()) if len(x) else (0, 1))
+    z0, z1 = z_limits if z_limits else ((z.min(), z.max()) if len(z) else (0, 1))
+    span_x = max(x1 - x0, 1e-9)
+    span_z = max(z1 - z0, 1e-9)
+    height = max(int(round(width * span_z / span_x)), 1)
+
+    img = np.empty((height, width, 3), np.float32)
+    img[:] = background
+    if len(points):
+        px = ((x - x0) / span_x * (width - 1)).astype(np.int64)
+        pz = ((z1 - z) / span_z * (height - 1)).astype(np.int64)
+        ok = (px >= 0) & (px < width) & (pz >= 0) & (pz < height)
+        px, pz = px[ok], pz[ok]
+        cols = (colors[ok] if colors is not None else np.full((ok.sum(), 3), 0.35)).astype(np.float32)
+        order = np.argsort(points[ok][:, 1])  # low first, tall drawn last
+        px, pz, cols = px[order], pz[order], cols[order]
+        r = point_radius
+        for dy in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                qx = np.clip(px + dx, 0, width - 1)
+                qz = np.clip(pz + dy, 0, height - 1)
+                img[qz, qx] = cols
+    out = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+    if output_path:
+        from PIL import Image
+
+        Image.fromarray(out).save(output_path)
+    return out
+
+
 def floorplan_visualization(
     cloud: PointCloud,
     output_path: str,

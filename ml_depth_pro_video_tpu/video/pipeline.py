@@ -26,7 +26,7 @@ from concurrent.futures import ThreadPoolExecutor
 import numpy as np
 
 from ..geom.clean import clean_shadows, remove_stray_points
-from ..geom.floorplan_viz import floorplan_visualization
+from ..geom.floorplan_viz import fast_floorplan_image, floorplan_visualization
 from ..geom.ground import (
     fit_ground_plane,
     grid_ground_adjustment,
@@ -83,6 +83,7 @@ def process_single_frame(
     output_all_files: bool = True,
     x_limits=None,
     z_limits=None,
+    renderer: str = "matplotlib",
 ) -> tuple[bool, float]:
     """Geometry + visualization for one frame (depth already computed)."""
     t0 = time.time()
@@ -100,16 +101,21 @@ def process_single_frame(
                 cloud, view="front", width=1280, height=720,
             )
 
-        floorplan_visualization(
-            cloud,
-            os.path.join(output_dir, f"{frame_name}_clean_simple_view.png"),
-            height_threshold=height_threshold,
-            point_size=point_size,
-            fit_shapes=fit_shapes and not simple_output,
-            output_all_files=output_all_files,
-            x_limits=x_limits,
-            z_limits=z_limits,
-        )
+        plan_path = os.path.join(output_dir, f"{frame_name}_clean_simple_view.png")
+        if renderer == "fast" and not (fit_shapes and not simple_output):
+            fast_floorplan_image(cloud, plan_path, height_threshold=height_threshold,
+                                 x_limits=x_limits, z_limits=z_limits)
+        else:
+            floorplan_visualization(
+                cloud,
+                plan_path,
+                height_threshold=height_threshold,
+                point_size=point_size,
+                fit_shapes=fit_shapes and not simple_output,
+                output_all_files=output_all_files,
+                x_limits=x_limits,
+                z_limits=z_limits,
+            )
         return True, time.time() - t0
     except Exception as exc:  # noqa: BLE001 - per-frame fault isolation
         import traceback
@@ -139,6 +145,7 @@ def process_images_to_floor_plans(
     x_limits=None,
     z_limits=None,
     batch_size: int = 1,
+    renderer: str = "matplotlib",
     runner: DepthVideoRunner | None = None,
 ):
     """Process a frame directory into per-frame floor plans."""
@@ -205,7 +212,7 @@ def process_images_to_floor_plans(
                 height_threshold=height_threshold, point_size=point_size,
                 fit_shapes=fit_shapes, visualize_3d=visualize_3d,
                 simple_output=simple_output, output_all_files=output_all_files,
-                x_limits=x_limits, z_limits=z_limits,
+                x_limits=x_limits, z_limits=z_limits, renderer=renderer,
             )
             n_done += 1
             save_progress(os.path.basename(result["key"]), ok)
@@ -258,6 +265,7 @@ def main(argv=None):  # pragma: no cover - CLI shim, exercised via cli tests
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--force_reprocess", action="store_true")
     ap.add_argument("--batch_size", type=int, default=1)
+    ap.add_argument("--renderer", choices=["matplotlib", "fast"], default="matplotlib")
     ap.add_argument("--x_limits", type=float, nargs=2, default=None)
     ap.add_argument("--z_limits", type=float, nargs=2, default=None)
     args = ap.parse_args(argv)
@@ -270,6 +278,7 @@ def main(argv=None):  # pragma: no cover - CLI shim, exercised via cli tests
         num_workers=args.num_workers, simple_output=args.simple_output,
         output_all_files=args.output_all_files, resume=args.resume,
         force_reprocess=args.force_reprocess, batch_size=args.batch_size,
+        renderer=args.renderer,
         x_limits=tuple(args.x_limits) if args.x_limits else None,
         z_limits=tuple(args.z_limits) if args.z_limits else None,
     )

@@ -78,3 +78,25 @@ def test_pipeline_frame_range(tiny_runner, frames_dir, tmp_path):
         num_workers=2, fit_shapes=False, runner=tiny_runner,
     )
     assert list(completed) == ["output_0001.png"]
+
+
+def test_fast_floorplan_renderer(tiny_runner, frames_dir, tmp_path):
+    import time
+
+    from ml_depth_pro_video_tpu.geom.floorplan_viz import fast_floorplan_image
+    from ml_depth_pro_video_tpu.geom.pointcloud import PointCloud
+
+    out = str(tmp_path / "fast_out")
+    completed = process_images_to_floor_plans(
+        frames_dir, output_dir=out, num_workers=1, fit_shapes=False,
+        renderer="fast", runner=tiny_runner, force_reprocess=True,
+    )
+    assert len(completed) == 3
+    for i in range(3):
+        assert os.path.exists(os.path.join(out, f"output_{i:04d}_clean_simple_view.png"))
+    # direct: deterministic image with fixed limits
+    rng = np.random.default_rng(0)
+    cloud = PointCloud(rng.normal(0, 1, (5000, 3)) + [0, 1, 5], rng.uniform(size=(5000, 3)))
+    img = fast_floorplan_image(cloud, x_limits=(-3, 3), z_limits=(2, 8), width=256)
+    assert img.shape[1] == 256 and img.dtype == np.uint8
+    assert (img < 230).any()
