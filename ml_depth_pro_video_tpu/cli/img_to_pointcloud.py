@@ -13,8 +13,6 @@ from __future__ import annotations
 import argparse
 import os
 
-import numpy as np
-
 from ..geom.ground import (
     apply_rotation_to_plane,
     fit_ground_plane,

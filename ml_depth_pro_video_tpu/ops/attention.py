@@ -95,22 +95,30 @@ def _flash_attention(q, k, v, heads_per_program: int = 2):
     return out.reshape(b, h, s_pad, d)[:, :, :s, :]
 
 
-def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int, scale: float):
-    q = q_ref[0, :, 0, 0, :]
-    k = k_ref[0, :, 0, 0, :]
-    v = v_ref[0, :, 0, 0, :]
-    s = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    s = s * scale
-    kidx = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
-    s = jnp.where(kidx < seq_len, s, -jnp.inf)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    out = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-    o_ref[0, :, 0, :] = out.astype(o_ref.dtype)
+def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int, scale: float,
+                   num_heads: int):
+    """One program = one batch item, all heads. q/k/v refs are the
+    (s_pad, D) column slices of the packed qkv tensor; heads are static
+    lane slices, so per-head matmuls stay MXU-shaped and the whole score
+    row lives in VMEM."""
+    hd = q_ref.shape[-1] // num_heads
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (q_ref.shape[1], q_ref.shape[1]), 1)
+    mask = kidx < seq_len
+    for h in range(num_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        q = q_ref[0, :, sl]
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = jnp.where(mask, s * scale, -jnp.inf)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        out = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        o_ref[0, :, sl] = out.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
@@ -118,37 +126,33 @@ def flash_attention_packed(qkv: jnp.ndarray, num_heads: int,
                            interpret: bool = False) -> jnp.ndarray:
     """Fused attention straight from the packed qkv projection.
 
-    qkv: (B, S, 3*D) as produced by the qkv matmul. The kernel's
-    BlockSpec index maps slice q/k/v and each head directly out of the
-    packed tensor, so no (B,S,3,H,d) -> (3,B,H,S,d) transpose is ever
-    materialized. Returns (B, S, D).
+    qkv: (B, S, 3*D) as produced by the qkv matmul. q/k/v are addressed
+    as D-wide column blocks of the packed tensor via BlockSpec index
+    maps — no (B,S,3,H,d) -> (3,B,H,S,d) transpose is ever materialized.
+    Grid is (B,): few large programs (all heads inside) amortize
+    per-program overhead. Returns (B, S, D).
     """
     b, s, d3 = qkv.shape
     d = d3 // 3
     hd = d // num_heads
     scale = hd**-0.5
     s_pad = _round_up(s, 128)
-    x = qkv.reshape(b, s, 3, num_heads, hd)
-    x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0), (0, 0), (0, 0)))
+    x = jnp.pad(qkv, ((0, 0), (0, s_pad - s), (0, 0)))
 
-    spec = lambda which: pl.BlockSpec(
-        (1, s_pad, 1, 1, hd),
-        lambda i: (i // num_heads, 0, which, i % num_heads, 0),
-        memory_space=pltpu.VMEM,
-    )
+    def spec(which):
+        return pl.BlockSpec((1, s_pad, d), lambda i: (i, 0, which),
+                            memory_space=pltpu.VMEM)
+
     out = pl.pallas_call(
-        functools.partial(_packed_kernel, seq_len=s, scale=scale),
-        grid=(b * num_heads,),
+        functools.partial(_packed_kernel, seq_len=s, scale=scale, num_heads=num_heads),
+        grid=(b,),
         in_specs=[spec(0), spec(1), spec(2)],
-        out_specs=pl.BlockSpec(
-            (1, s_pad, 1, hd),
-            lambda i: (i // num_heads, 0, i % num_heads, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, s_pad, num_heads, hd), qkv.dtype),
+        out_specs=pl.BlockSpec((1, s_pad, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, d), qkv.dtype),
         interpret=interpret,
     )(x, x, x)
-    return out[:, :s].reshape(b, s, d)
+    return out[:, :s]
 
 
 def xla_attention_packed(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:

@@ -18,8 +18,8 @@ import optax
 
 from ..core.precision import Precision
 from ..models.depth_pro import DepthProConfig, forward
-from ..parallel.mesh import batch_sharding, make_mesh
-from ..parallel.sharding import param_shardings, shard_params
+from ..parallel.mesh import batch_sharding
+from ..parallel.sharding import shard_params
 
 
 class TrainState(NamedTuple):

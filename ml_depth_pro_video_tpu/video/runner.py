@@ -21,7 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core.precision import Precision, resolve_precision
+from ..core.precision import resolve_precision
 from ..models.depth_pro import (
     DEFAULT_MONODEPTH_CONFIG,
     DepthProConfig,
