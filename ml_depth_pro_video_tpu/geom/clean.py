@@ -40,6 +40,10 @@ def remove_stray_points(cloud: PointCloud, nb_points: int = 20, radius: float = 
     """
     if len(cloud) == 0:
         return cloud.copy()
+    if _native is not None and _native.available():
+        # early-exit mask: point kept once nb_points-1 neighbors are seen
+        mask = _native.radius_mask(cloud.points, radius, nb_points - 1)
+        return cloud.select(mask)
     counts = radius_neighbor_counts(cloud.points, radius)
     return cloud.select(counts + 1 >= nb_points)
 

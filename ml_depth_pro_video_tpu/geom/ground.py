@@ -344,8 +344,16 @@ def grid_ground_adjustment(points_3d: np.ndarray, grid_size: int = 20,
     zi = np.clip(np.digitize(z, z_edges) - 1, 0, grid_size - 1)
     cell = xi * grid_size + zi
 
-    for c in np.unique(cell):
-        sel = np.nonzero(cell == c)[0]
+    # group points per cell with one sort (O(N log N), not O(N * cells))
+    order = np.argsort(cell, kind="stable")
+    cell_sorted = cell[order]
+    starts = np.nonzero(np.r_[True, cell_sorted[1:] != cell_sorted[:-1]])[0]
+    ends = np.r_[starts[1:], len(order)]
+
+    # per-cell lowering = percentile of the <0.2m points in that cell
+    y_pct_per_point = np.zeros(len(points))
+    for s, e in zip(starts, ends):
+        sel = order[s:e]
         if len(sel) < 10:
             continue
         cy = y[sel]
@@ -353,14 +361,17 @@ def grid_ground_adjustment(points_3d: np.ndarray, grid_size: int = 20,
         if len(low) < 5:
             continue
         y_pct = np.percentile(low, percentile)
-        if y_pct <= 0.01:
-            continue
-        adj = np.zeros(len(sel))
-        near = cy < 0.1
-        adj[near] = y_pct
-        mid = (cy >= 0.1) & (cy < 1.5)
-        adj[mid] = y_pct * (1.0 - (cy[mid] - 0.1) / 1.4)
-        out[sel, 1] -= adj
-        neg = out[sel, 1] < 0
-        out[sel[neg], 1] = 0.0
+        if y_pct > 0.01:
+            y_pct_per_point[sel] = y_pct
+
+    # height-graduated adjustment, fully vectorized
+    active = y_pct_per_point > 0
+    adj = np.zeros(len(points))
+    near = active & (y < 0.1)
+    adj[near] = y_pct_per_point[near]
+    mid = active & (y >= 0.1) & (y < 1.5)
+    adj[mid] = y_pct_per_point[mid] * (1.0 - (y[mid] - 0.1) / 1.4)
+    out[:, 1] -= adj
+    clipped = active & (out[:, 1] < 0)
+    out[clipped, 1] = 0.0
     return out

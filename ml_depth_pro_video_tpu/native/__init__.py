@@ -50,6 +50,10 @@ def _load():
         ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_double,
         ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.radius_mask.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_double,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8),
+    ]
     lib.voxel_downsample.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
         ctypes.c_int64, ctypes.c_double,
@@ -83,6 +87,20 @@ class neighbors:
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         )
         return out
+
+    @staticmethod
+    def radius_mask(points: np.ndarray, radius: float, min_count: int) -> np.ndarray:
+        """mask[i] = point i has >= min_count neighbors within radius
+        (early-exit; much faster than exact counts on dense clouds)."""
+        lib = _load()
+        pts = np.ascontiguousarray(points, dtype=np.float64)
+        out = np.zeros(len(pts), dtype=np.uint8)
+        lib.radius_mask(
+            pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            len(pts), float(radius), int(min_count),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        return out.astype(bool)
 
     @staticmethod
     def voxel_downsample(points: np.ndarray, colors: np.ndarray | None, voxel: float):

@@ -57,6 +57,41 @@ struct GridHash {
 
 extern "C" {
 
+// mask[i] = 1 iff point i has >= min_count neighbors (j != i) within radius.
+// Early exit once min_count is reached: on dense video clouds this is
+// ~50-100x cheaper than exact counting (the cleaning threshold only needs
+// the comparison, not the count).
+void radius_mask(const double* pts, int64_t n, double radius,
+                 int32_t min_count, uint8_t* mask) {
+    if (n == 0) return;
+    GridHash grid(pts, n, radius);
+    const double r2 = radius * radius;
+    for (int64_t i = 0; i < n; ++i) {
+        int32_t c = 0;
+        const double xi = pts[3 * i], yi = pts[3 * i + 1], zi = pts[3 * i + 2];
+        int64_t ix = (int64_t)std::floor(xi / grid.cell);
+        int64_t iy = (int64_t)std::floor(yi / grid.cell);
+        int64_t iz = (int64_t)std::floor(zi / grid.cell);
+        bool done = false;
+        for (int64_t dx = -1; dx <= 1 && !done; ++dx)
+            for (int64_t dy = -1; dy <= 1 && !done; ++dy)
+                for (int64_t dz = -1; dz <= 1 && !done; ++dz) {
+                    auto it = grid.cells.find(GridHash::key(ix + dx, iy + dy, iz + dz));
+                    if (it == grid.cells.end()) continue;
+                    for (int64_t j : it->second) {
+                        if (j == i) continue;
+                        const double ddx = pts[3 * j] - xi;
+                        const double ddy = pts[3 * j + 1] - yi;
+                        const double ddz = pts[3 * j + 2] - zi;
+                        if (ddx * ddx + ddy * ddy + ddz * ddz <= r2) {
+                            if (++c >= min_count) { done = true; break; }
+                        }
+                    }
+                }
+        mask[i] = c >= min_count ? 1 : 0;
+    }
+}
+
 // counts[i] = number of points j != i with |p_i - p_j| <= radius
 void radius_counts(const double* pts, int64_t n, double radius, int32_t* counts) {
     if (n == 0) return;

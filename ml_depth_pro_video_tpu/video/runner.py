@@ -67,10 +67,16 @@ class DepthVideoRunner:
         key = (batch.shape, f_px is not None)
         if key not in self._jit:
             cfg, prec = self.cfg, self.precision
+
+            def norm(x):
+                # uint8 frames travel to the device; normalization
+                # ((x/255 - 0.5)/0.5) happens on-chip (4x less transfer)
+                return x.astype(jnp.float32) / 127.5 - 1.0
+
             if f_px is None:
-                fn = lambda p, x: infer_fn(p, x, None, cfg, prec)  # noqa: E731
+                fn = lambda p, x: infer_fn(p, norm(x), None, cfg, prec)  # noqa: E731
             else:
-                fn = lambda p, x, f: infer_fn(p, x, f, cfg, prec)  # noqa: E731
+                fn = lambda p, x, f: infer_fn(p, norm(x), f, cfg, prec)  # noqa: E731
             if self.mesh is not None:
                 # shard_map: each chip runs the full per-frame program on
                 # its batch slice (pallas kernels aren't GSPMD-partitionable)
@@ -110,8 +116,9 @@ class DepthVideoRunner:
             if f_px is not None:
                 f_px = f_px * self.downscale_factor
             img = np.asarray(Image.fromarray(img).resize((w, h), Image.BILINEAR))
-        x = img.astype(np.float32) / 127.5 - 1.0
-        return key, x, f_px
+        if img.dtype != np.uint8:
+            img = np.clip(img, 0, 255).astype(np.uint8)
+        return key, img, f_px
 
     def depth_stream(self, items: Iterable) -> Iterator[dict]:
         """Yield {"key", "depth", "focallength_px", "image"} per frame.
@@ -166,7 +173,7 @@ class DepthVideoRunner:
                 break
             key, x, f = got
             pending.append((key, x, f))
-            raw_images.append(np.clip((x + 1.0) * 127.5, 0, 255).astype(np.uint8))
+            raw_images.append(x)
             if len(pending) >= self.batch_size:
                 for r in flush() or []:
                     yield r

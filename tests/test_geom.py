@@ -215,3 +215,15 @@ def test_native_matches_scipy():
     nrm = nat.estimate_normals(plane, radius=0.2, camera=(0.0, 10.0, 0.0))
     assert (np.abs(nrm[:, 1]) > 0.99).mean() > 0.95
     assert (nrm[:, 1] > 0).all()
+
+
+def test_native_radius_mask_matches_counts():
+    from ml_depth_pro_video_tpu.native import neighbors as nat
+
+    if not nat.available():
+        pytest.skip("native module unavailable")
+    pts = RNG.normal(0, 0.5, (3000, 3))
+    counts = nat.radius_counts(pts, 0.2)
+    for k in (1, 5, 20):
+        mask = nat.radius_mask(pts, 0.2, k)
+        np.testing.assert_array_equal(mask, counts >= k)
