@@ -265,9 +265,13 @@ def fov_apply(params: dict, x: jnp.ndarray, lowres: jnp.ndarray, cfg: DepthProCo
 
 def forward(params: dict, x: jnp.ndarray, cfg: DepthProConfig,
             precision: Precision = Precision.fp32(),
-            attn_impl: str | None = None) -> tuple[jnp.ndarray, jnp.ndarray | None]:
+            attn_impl: str | None = None,
+            compute_fov: bool = True) -> tuple[jnp.ndarray, jnp.ndarray | None]:
     """(B, img, img, 3) -> (canonical inverse depth (B, img, img, 1),
-    fov_deg (B,) or None). Mirrors `depth_pro.py:218-241`."""
+    fov_deg (B,) or None). Mirrors `depth_pro.py:218-241`.
+
+    ``compute_fov=False`` skips the third ViT pass — used when the
+    caller supplies f_px, where fov_deg would be discarded anyway."""
     if x.shape[1] != cfg.img_size or x.shape[2] != cfg.img_size:
         raise ValueError(
             f"forward expects {cfg.img_size}x{cfg.img_size} input, got {x.shape}; "
@@ -277,7 +281,7 @@ def forward(params: dict, x: jnp.ndarray, cfg: DepthProConfig,
     features, lowres = decoder_apply(params["decoder"], encodings)
     canonical = head_apply(params["head"], features, precision)
     fov_deg = None
-    if cfg.use_fov_head:
+    if cfg.use_fov_head and compute_fov:
         fov_deg = fov_apply(params["fov"], x, lowres, cfg, precision, attn_impl)
     return canonical, fov_deg
 
@@ -296,7 +300,8 @@ def infer_fn(params: dict, x: jnp.ndarray, f_px: jnp.ndarray | None, cfg: DepthP
     needs_resize = (h != s) or (w != s)
     xi = resize2d(x, (s, s), mode=interpolation_mode) if needs_resize else x
 
-    canonical, fov_deg = forward(params, xi, cfg, precision, attn_impl)
+    canonical, fov_deg = forward(params, xi, cfg, precision, attn_impl,
+                                 compute_fov=f_px is None)
     canonical = canonical[..., 0].astype(jnp.float32)  # (B, s, s)
 
     if f_px is None:
