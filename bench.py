@@ -33,8 +33,8 @@ def main() -> None:
     precision = Precision.bf16()
     params = jax.tree.map(jnp.asarray, params)
 
-    batch = int(os.environ.get("BENCH_BATCH", "1"))
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    batch = int(os.environ.get("BENCH_BATCH", "2"))
+    iters = int(os.environ.get("BENCH_ITERS", "6"))
     s = cfg.img_size
 
     # Reduce to a scalar on device so timing forces real execution — the

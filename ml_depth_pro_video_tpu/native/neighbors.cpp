@@ -72,6 +72,15 @@ void radius_mask(const double* pts, int64_t n, double radius,
         int64_t ix = (int64_t)std::floor(xi / grid.cell);
         int64_t iy = (int64_t)std::floor(yi / grid.cell);
         int64_t iz = (int64_t)std::floor(zi / grid.cell);
+        // fail-fast: the 27-cell population upper-bounds the neighbor count
+        int64_t upper = -1;  // exclude self
+        for (int64_t dx = -1; dx <= 1; ++dx)
+            for (int64_t dy = -1; dy <= 1; ++dy)
+                for (int64_t dz = -1; dz <= 1; ++dz) {
+                    auto it = grid.cells.find(GridHash::key(ix + dx, iy + dy, iz + dz));
+                    if (it != grid.cells.end()) upper += (int64_t)it->second.size();
+                }
+        if (upper < min_count) { mask[i] = 0; continue; }
         bool done = false;
         for (int64_t dx = -1; dx <= 1 && !done; ++dx)
             for (int64_t dy = -1; dy <= 1 && !done; ++dy)
