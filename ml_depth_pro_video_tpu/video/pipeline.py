@@ -196,10 +196,18 @@ def process_images_to_floor_plans(
             ground_model = compute_ground_from_frame(first["depth"], first["focallength_px"])
             save_ground_plane(ground_model, frames_dir)
 
+        import threading
+
+        progress_lock = threading.Lock()
+
         def save_progress(name: str, ok: bool):
-            completed[name] = {"success": ok, "timestamp": time.time()}
-            with open(progress_file, "w") as f:
-                json.dump(completed, f, indent=2)
+            # called from geometry worker threads; serialize the JSON write
+            with progress_lock:
+                completed[name] = {"success": ok, "timestamp": time.time()}
+                tmp = progress_file + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(completed, f, indent=2)
+                os.replace(tmp, progress_file)
 
         t_start = time.time()
         n_done = 0

@@ -92,9 +92,17 @@ class DepthVideoRunner:
             from ..parallel.mesh import batch_sharding
 
             batch = jax.device_put(batch, batch_sharding(self.mesh))
-        if f_px is None:
-            return fn(self.params, batch)
-        return fn(self.params, batch, jnp.asarray(f_px, jnp.float32))
+        args = (self.params, batch) if f_px is None else (
+            self.params, batch, jnp.asarray(f_px, jnp.float32))
+        # one retry on transient device/transport failures (long video
+        # runs survive a flaky interconnect hiccup instead of dying)
+        try:
+            return fn(*args)
+        except jax.errors.JaxRuntimeError:
+            import time as _time
+
+            _time.sleep(10.0)
+            return fn(*args)
 
     def _load_one(self, item):
         """item: path | (path, f_px) | ndarray. Returns (key, image, f_px)."""
