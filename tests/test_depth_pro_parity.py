@@ -6,6 +6,9 @@ every wiring detail (split/merge layout, hook captures, decoder fusion
 order, FOV path, infer() math) must match for this to pass.
 """
 
+import dataclasses
+import os
+
 import numpy as np
 import pytest
 import torch
@@ -82,3 +85,26 @@ def test_model_class_jit_cache(pair):
     assert len(model._jit_cache) == 1
     np.testing.assert_array_equal(np.asarray(o1["depth"]), np.asarray(o2["depth"]))
     assert o1["depth"].shape == (64, 64)
+
+
+@pytest.mark.skipif(not os.environ.get("RUN_SLOW"), reason="slow: set RUN_SLOW=1")
+def test_forward_parity_grid24():
+    """Parity at the REAL token grid (24x24 -> merge paddings 3 and 6,
+    `encoder.py:279-302`), with tiny channel dims to keep CPU time sane."""
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg,
+        vit=dataclasses.replace(cfg.vit, img_size=384, patch_size=16),
+    )
+    assert cfg.out_size == 24 and cfg.img_size == 1536
+    torch.manual_seed(1)
+    oracle = TorchDepthPro(cfg).eval()
+    params = jax.tree.map(jnp.asarray, convert_depth_pro(oracle.state_dict(), cfg))
+    x = _rand_img(cfg.img_size, cfg.img_size, seed=11)
+    with torch.no_grad():
+        t_canon, t_fov = oracle(torch.from_numpy(x))
+    j_canon, j_fov = forward(params, jnp.asarray(x.transpose(0, 2, 3, 1)), cfg)
+    np.testing.assert_allclose(
+        np.asarray(j_canon)[..., 0], t_canon.numpy()[:, 0], rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(np.asarray(j_fov), t_fov.numpy().reshape(-1), rtol=1e-3, atol=1e-4)
