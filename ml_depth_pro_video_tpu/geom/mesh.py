@@ -160,11 +160,22 @@ def marching_tetrahedra(values: np.ndarray, iso: float, origin: np.ndarray,
     Returns (vertices (V,3), faces (F,3)); vertices deduplicated.
     """
     nx, ny, nz = values.shape
-    # corner values for every cell, every cube corner: (cells, 8)
-    cx, cy, cz = np.meshgrid(
-        np.arange(nx - 1), np.arange(ny - 1), np.arange(nz - 1), indexing="ij"
-    )
-    base = np.stack([cx.ravel(), cy.ravel(), cz.ravel()], axis=1)  # (C, 3)
+    # Active-cell pre-filter: only cells whose 8 corners straddle the
+    # iso level can emit triangles (typically a few % of the grid) —
+    # avoids materializing corner tensors for the whole volume.
+    inside_grid = values > iso
+    all_in = np.ones((nx - 1, ny - 1, nz - 1), dtype=bool)
+    any_in = np.zeros((nx - 1, ny - 1, nz - 1), dtype=bool)
+    for dx, dy, dz in _CUBE_OFFSETS:
+        corner = inside_grid[dx : nx - 1 + dx, dy : ny - 1 + dy, dz : nz - 1 + dz]
+        all_in &= corner
+        any_in |= corner
+    active = np.nonzero((any_in & ~all_in).ravel())[0]
+    if len(active) == 0:
+        return np.zeros((0, 3)), np.zeros((0, 3), np.int64)
+
+    cx, cy, cz = np.unravel_index(active, (nx - 1, ny - 1, nz - 1))
+    base = np.stack([cx, cy, cz], axis=1)  # (C_active, 3)
     corner_idx = base[:, None, :] + _CUBE_OFFSETS[None, :, :]  # (C, 8, 3)
     corner_vals = values[corner_idx[..., 0], corner_idx[..., 1], corner_idx[..., 2]]
     corner_pos = origin + corner_idx * spacing
@@ -241,6 +252,50 @@ def _cg(apply_A, b: np.ndarray, iters: int = 200, tol: float = 1e-6) -> np.ndarr
     return x
 
 
+def _poisson_cg_device(b: np.ndarray, iters: int = 300, tol: float = 1e-6) -> np.ndarray:
+    """CG on -lap(x) = b, jitted on the default JAX device (the Poisson
+    solve is a pure stencil loop — ideal accelerator work; the TPU does
+    a 128^3 x 300-iteration solve in milliseconds)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    def neg_lap(x):
+        out = 6.0 * x
+        out = out.at[1:, :, :].add(-x[:-1, :, :])
+        out = out.at[:-1, :, :].add(-x[1:, :, :])
+        out = out.at[:, 1:, :].add(-x[:, :-1, :])
+        out = out.at[:, :-1, :].add(-x[:, 1:, :])
+        out = out.at[:, :, 1:].add(-x[:, :, :-1])
+        out = out.at[:, :, :-1].add(-x[:, :, 1:])
+        return out
+
+    @functools.partial(jax.jit, static_argnames=("n_iters",))
+    def solve(b, n_iters):
+        b_norm2 = jnp.sum(b * b) + 1e-30
+
+        def body(state):
+            i, x, r, p, rs = state
+            Ap = neg_lap(p)
+            alpha = rs / (jnp.sum(p * Ap) + 1e-30)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            rs_new = jnp.sum(r * r)
+            p = r + (rs_new / rs) * p
+            return i + 1, x, r, p, rs_new
+
+        def cond(state):
+            i, _, _, _, rs = state
+            return (i < n_iters) & (rs / b_norm2 > tol * tol)
+
+        x0 = jnp.zeros_like(b)
+        _, x, *_ = jax.lax.while_loop(cond, body, (0, x0, b, b, jnp.sum(b * b)))
+        return x
+
+    return np.asarray(solve(jnp.asarray(b, jnp.float32), iters), dtype=np.float64)
+
+
 def _splat_trilinear(grid: np.ndarray, coords: np.ndarray, values: np.ndarray) -> None:
     """Accumulate per-point vector/scalar values into grid (in place)."""
     lo = np.floor(coords).astype(np.int64)
@@ -302,8 +357,11 @@ def poisson_reconstruct(points: np.ndarray, normals: np.ndarray, depth: int = 6,
         grad[tuple(sl_c)] = (comp[tuple(sl_f)] - comp[tuple(sl_b)]) / 2.0
         div += grad
 
-    # solve -lap(chi) = -div  (SPD form)
-    chi = _cg(lambda x: -_laplacian_apply(x), -div, iters=cg_iters)
+    # solve -lap(chi) = -div  (SPD form) on the accelerator; numpy fallback
+    try:
+        chi = _poisson_cg_device(-div, iters=cg_iters)
+    except Exception:  # pragma: no cover - e.g. device OOM
+        chi = _cg(lambda x: -_laplacian_apply(x), -div, iters=cg_iters)
 
     # iso level: mean indicator value at the sample points
     ijk = np.clip(np.round(coords).astype(np.int64), 0, res - 1)
