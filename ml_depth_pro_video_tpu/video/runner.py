@@ -150,11 +150,11 @@ class DepthVideoRunner:
 
         pending = []
         raw_images = []
+        in_flight = None  # (keys, raw_images, device_out, n) — one-deep pipeline
 
-        def flush():
+        def dispatch():
+            """Launch the pending batch on the device (async)."""
             nonlocal pending, raw_images
-            if not pending:
-                return
             n = len(pending)
             keys = [p[0] for p in pending]
             xs = np.stack([p[1] for p in pending])
@@ -165,15 +165,20 @@ class DepthVideoRunner:
                 xs = np.concatenate([xs, np.repeat(xs[-1:], pad, axis=0)])
             f_arr = np.asarray(fs + [fs[-1]] * pad, np.float32) if have_f else None
             out = self._infer(jnp.asarray(xs), f_arr)
+            imgs = raw_images
+            pending, raw_images = [], []
+            return keys, imgs, out, n
+
+        def collect(flight):
+            """Fetch a completed batch to the host."""
+            keys, imgs, out, n = flight
             depth = np.asarray(out["depth"][:n])
             fl = np.asarray(out["focallength_px"][:n])
-            results = [
+            return [
                 {"key": keys[i], "depth": depth[i], "focallength_px": float(fl[i]),
-                 "image": raw_images[i]}
+                 "image": imgs[i]}
                 for i in range(n)
             ]
-            pending, raw_images = [], []
-            return results
 
         while True:
             got = q.get()
@@ -183,10 +188,17 @@ class DepthVideoRunner:
             pending.append((key, x, f))
             raw_images.append(x)
             if len(pending) >= self.batch_size:
-                for r in flush() or []:
-                    yield r
-        for r in flush() or []:
-            yield r
+                flight = dispatch()  # device starts batch N+1 ...
+                if in_flight is not None:
+                    yield from collect(in_flight)  # ... while batch N is fetched
+                in_flight = flight
+        if pending:
+            flight = dispatch()
+            if in_flight is not None:
+                yield from collect(in_flight)
+            in_flight = flight
+        if in_flight is not None:
+            yield from collect(in_flight)
 
     def infer_one(self, item) -> dict:
         return next(iter(self.depth_stream([item])))
