@@ -10,6 +10,7 @@
 #include <cstdint>
 #include <cmath>
 #include <cstring>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 #include <algorithm>
@@ -58,46 +59,140 @@ struct GridHash {
 extern "C" {
 
 // mask[i] = 1 iff point i has >= min_count neighbors (j != i) within radius.
-// Early exit once min_count is reached: on dense video clouds this is
-// ~50-100x cheaper than exact counting (the cleaning threshold only needs
-// the comparison, not the count).
+// CSR cell layout (points sorted by cell, contiguous float32 coords) for
+// cache-friendly scans; 27-cell population fail-fast; early exit once
+// min_count neighbors are found.
 void radius_mask(const double* pts, int64_t n, double radius,
                  int32_t min_count, uint8_t* mask) {
     if (n == 0) return;
-    GridHash grid(pts, n, radius);
-    const double r2 = radius * radius;
+    const float r2 = (float)(radius * radius);
+    const double inv_cell = 1.0 / radius;
+
+    // cell coordinates per point
+    std::vector<int32_t> cx(n), cy(n), cz(n);
+    double min_x = 1e300, min_y = 1e300, min_z = 1e300;
     for (int64_t i = 0; i < n; ++i) {
-        int32_t c = 0;
-        const double xi = pts[3 * i], yi = pts[3 * i + 1], zi = pts[3 * i + 2];
-        int64_t ix = (int64_t)std::floor(xi / grid.cell);
-        int64_t iy = (int64_t)std::floor(yi / grid.cell);
-        int64_t iz = (int64_t)std::floor(zi / grid.cell);
-        // fail-fast: the 27-cell population upper-bounds the neighbor count
-        int64_t upper = -1;  // exclude self
+        min_x = std::min(min_x, pts[3 * i]);
+        min_y = std::min(min_y, pts[3 * i + 1]);
+        min_z = std::min(min_z, pts[3 * i + 2]);
+    }
+    int32_t max_cx = 0, max_cy = 0, max_cz = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        cx[i] = (int32_t)((pts[3 * i] - min_x) * inv_cell);
+        cy[i] = (int32_t)((pts[3 * i + 1] - min_y) * inv_cell);
+        cz[i] = (int32_t)((pts[3 * i + 2] - min_z) * inv_cell);
+        max_cx = std::max(max_cx, cx[i]);
+        max_cy = std::max(max_cy, cy[i]);
+        max_cz = std::max(max_cz, cz[i]);
+    }
+    const int64_t nx = max_cx + 1, ny = max_cy + 1, nz = max_cz + 1;
+    const int64_t n_cells = nx * ny * nz;
+
+    // dense CSR when the grid is small enough, hashed CSR otherwise
+    std::vector<int64_t> cell_of(n);
+    std::unordered_map<int64_t, int64_t> remap;
+    int64_t n_slots;
+    if (n_cells <= 4 * n + 16) {
+        for (int64_t i = 0; i < n; ++i)
+            cell_of[i] = (cx[i] * ny + cy[i]) * nz + cz[i];
+        n_slots = n_cells;
+    } else {
+        remap.reserve((size_t)n);
+        for (int64_t i = 0; i < n; ++i) {
+            int64_t key = (cx[i] * ny + cy[i]) * nz + cz[i];
+            auto it = remap.find(key);
+            if (it == remap.end()) it = remap.emplace(key, (int64_t)remap.size()).first;
+            cell_of[i] = it->second;
+        }
+        n_slots = (int64_t)remap.size();
+    }
+
+    // counting sort into CSR
+    std::vector<int64_t> starts(n_slots + 1, 0);
+    for (int64_t i = 0; i < n; ++i) ++starts[cell_of[i] + 1];
+    for (int64_t c = 0; c < n_slots; ++c) starts[c + 1] += starts[c];
+    std::vector<int64_t> order(n);
+    {
+        std::vector<int64_t> cursor(starts.begin(), starts.end() - 1);
+        for (int64_t i = 0; i < n; ++i) order[cursor[cell_of[i]]++] = i;
+    }
+    // contiguous float32 coords in CSR order
+    std::vector<float> fx(n), fy(n), fz(n);
+    for (int64_t s = 0; s < n; ++s) {
+        int64_t i = order[s];
+        fx[s] = (float)pts[3 * i];
+        fy[s] = (float)pts[3 * i + 1];
+        fz[s] = (float)pts[3 * i + 2];
+    }
+
+    auto slot_of = [&](int64_t gx, int64_t gy, int64_t gz) -> int64_t {
+        if (gx < 0 || gy < 0 || gz < 0 || gx >= nx || gy >= ny || gz >= nz) return -1;
+        int64_t key = (gx * ny + gy) * nz + gz;
+        if (remap.empty()) return key;
+        auto it = remap.find(key);
+        return it == remap.end() ? -1 : it->second;
+    };
+
+    // iterate cell by cell: neighbor-slot discovery (hash lookups) happens
+    // once per occupied cell, not once per point. Cells are independent,
+    // so shard them across hardware threads (TPU-VM hosts have ~100 cores).
+    auto process_slots = [&](int64_t slot_begin, int64_t slot_end) {
+    for (int64_t slot = slot_begin; slot < slot_end; ++slot) {
+        const int64_t cell_lo = starts[slot], cell_hi = starts[slot + 1];
+        if (cell_lo == cell_hi) continue;
+        const int64_t i0 = order[cell_lo];
+        const int64_t gx = cx[i0], gy = cy[i0], gz = cz[i0];
+
+        int64_t upper = -1;
+        int64_t slots[27];
+        int n_nb = 0;
         for (int64_t dx = -1; dx <= 1; ++dx)
             for (int64_t dy = -1; dy <= 1; ++dy)
                 for (int64_t dz = -1; dz <= 1; ++dz) {
-                    auto it = grid.cells.find(GridHash::key(ix + dx, iy + dy, iz + dz));
-                    if (it != grid.cells.end()) upper += (int64_t)it->second.size();
+                    int64_t sl = slot_of(gx + dx, gy + dy, gz + dz);
+                    if (sl < 0) continue;
+                    int64_t cnt = starts[sl + 1] - starts[sl];
+                    if (cnt == 0) continue;
+                    upper += cnt;
+                    slots[n_nb++] = sl;
                 }
-        if (upper < min_count) { mask[i] = 0; continue; }
-        bool done = false;
-        for (int64_t dx = -1; dx <= 1 && !done; ++dx)
-            for (int64_t dy = -1; dy <= 1 && !done; ++dy)
-                for (int64_t dz = -1; dz <= 1 && !done; ++dz) {
-                    auto it = grid.cells.find(GridHash::key(ix + dx, iy + dy, iz + dz));
-                    if (it == grid.cells.end()) continue;
-                    for (int64_t j : it->second) {
-                        if (j == i) continue;
-                        const double ddx = pts[3 * j] - xi;
-                        const double ddy = pts[3 * j + 1] - yi;
-                        const double ddz = pts[3 * j + 2] - zi;
-                        if (ddx * ddx + ddy * ddy + ddz * ddz <= r2) {
-                            if (++c >= min_count) { done = true; break; }
-                        }
+        if (upper < min_count) {
+            for (int64_t s = cell_lo; s < cell_hi; ++s) mask[order[s]] = 0;
+            continue;
+        }
+        for (int64_t s = cell_lo; s < cell_hi; ++s) {
+            const float xi = fx[s], yi = fy[s], zi = fz[s];
+            int32_t c = -1;  // the point itself matches at distance 0
+            bool done = false;
+            for (int b = 0; b < n_nb && !done; ++b) {
+                const int64_t lo = starts[slots[b]], hi = starts[slots[b] + 1];
+                for (int64_t t = lo; t < hi; ++t) {
+                    const float ddx = fx[t] - xi;
+                    const float ddy = fy[t] - yi;
+                    const float ddz = fz[t] - zi;
+                    if (ddx * ddx + ddy * ddy + ddz * ddz <= r2) {
+                        if (++c >= min_count) { done = true; break; }
                     }
                 }
-        mask[i] = c >= min_count ? 1 : 0;
+            }
+            mask[order[s]] = c >= min_count ? 1 : 0;
+        }
+    }
+    };  // process_slots
+
+    unsigned n_threads = std::thread::hardware_concurrency();
+    if (n_threads <= 1 || n_slots < 4096) {
+        process_slots(0, n_slots);
+    } else {
+        n_threads = std::min<unsigned>(n_threads, 64);
+        std::vector<std::thread> workers;
+        const int64_t chunk = (n_slots + n_threads - 1) / n_threads;
+        for (unsigned t = 0; t < n_threads; ++t) {
+            const int64_t lo = t * chunk;
+            const int64_t hi = std::min<int64_t>(lo + chunk, n_slots);
+            if (lo < hi) workers.emplace_back(process_slots, lo, hi);
+        }
+        for (auto& w : workers) w.join();
     }
 }
 
