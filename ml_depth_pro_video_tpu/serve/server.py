@@ -1,0 +1,154 @@
+"""Minimal production serving layer for depth inference.
+
+Not present in the reference (SURVEY §1: "no serving layer"), added as a
+framework capability: a dependency-free HTTP service around the resident
+compiled model with micro-batching — concurrent requests are coalesced
+into one device batch (the TPU-idiomatic way to serve many streams).
+
+Endpoints:
+  GET  /healthz          -> {"status": "ok", "device": ...}
+  POST /v1/depth         -> body: PNG/JPEG bytes; returns JSON
+                            {depth_shape, focallength_px, min, max} plus
+                            base64 npz when ?return=npz, or a 16-bit
+                            grayscale PNG when ?return=png16.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import queue
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+
+class _Batcher:
+    """Coalesce concurrent requests into device batches."""
+
+    def __init__(self, runner, max_batch: int, max_wait_ms: float):
+        self.runner = runner
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1000.0
+        self.queue: queue.Queue = queue.Queue()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def infer(self, image: np.ndarray) -> dict:
+        done = threading.Event()
+        slot: dict = {}
+        self.queue.put((image, slot, done))
+        done.wait()
+        if "error" in slot:
+            raise RuntimeError(slot["error"])
+        return slot
+
+    def _loop(self):
+        while True:
+            first = self.queue.get()
+            batch = [first]
+            try:
+                while len(batch) < self.max_batch:
+                    batch.append(self.queue.get(timeout=self.max_wait))
+            except queue.Empty:
+                pass
+            images = [b[0] for b in batch]
+            try:
+                results = list(self.runner.depth_stream(images))
+                for (_, slot, done), res in zip(batch, results):
+                    slot.update(res)
+                    done.set()
+            except Exception as exc:  # noqa: BLE001
+                for _, slot, done in batch:
+                    slot["error"] = repr(exc)
+                    done.set()
+
+
+def make_handler(batcher: _Batcher):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, body: bytes, ctype: str = "application/json"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):  # quiet
+            pass
+
+        def do_GET(self):
+            if urlparse(self.path).path == "/healthz":
+                import jax
+
+                info = {"status": "ok", "device": str(jax.devices()[0])}
+                self._send(200, json.dumps(info).encode())
+            else:
+                self._send(404, b'{"error": "not found"}')
+
+        def do_POST(self):
+            parsed = urlparse(self.path)
+            if parsed.path != "/v1/depth":
+                self._send(404, b'{"error": "not found"}')
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                data = self.rfile.read(length)
+                from PIL import Image
+
+                img = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+                result = batcher.infer(img)
+                ret = parse_qs(parsed.query).get("return", ["json"])[0]
+                depth = result["depth"]
+                if ret == "png16":
+                    lo, hi = float(depth.min()), float(depth.max())
+                    normed = ((depth - lo) / max(hi - lo, 1e-9) * 65535).astype(np.uint16)
+                    buf = io.BytesIO()
+                    Image.fromarray(normed, mode="I;16").save(buf, format="PNG")
+                    self._send(200, buf.getvalue(), "image/png")
+                    return
+                payload = {
+                    "depth_shape": list(depth.shape),
+                    "focallength_px": result["focallength_px"],
+                    "depth_min": float(depth.min()),
+                    "depth_max": float(depth.max()),
+                }
+                if ret == "npz":
+                    buf = io.BytesIO()
+                    np.savez_compressed(buf, depth=depth)
+                    payload["npz_base64"] = base64.b64encode(buf.getvalue()).decode()
+                self._send(200, json.dumps(payload).encode())
+            except Exception as exc:  # noqa: BLE001
+                self._send(500, json.dumps({"error": repr(exc)}).encode())
+
+    return Handler
+
+
+def create_server(host: str = "127.0.0.1", port: int = 8500, runner=None,
+                  max_batch: int = 4, max_wait_ms: float = 30.0) -> ThreadingHTTPServer:
+    from ..video.runner import DepthVideoRunner
+
+    runner = runner or DepthVideoRunner(precision="bf16", batch_size=max_batch)
+    batcher = _Batcher(runner, max_batch=max_batch, max_wait_ms=max_wait_ms)
+    return ThreadingHTTPServer((host, port), make_handler(batcher))
+
+
+def main(argv=None):  # pragma: no cover
+    import argparse
+
+    ap = argparse.ArgumentParser(description="Depth Pro TPU serving")
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8500)
+    ap.add_argument("--max_batch", type=int, default=4)
+    ap.add_argument("--max_wait_ms", type=float, default=30.0)
+    args = ap.parse_args(argv)
+    server = create_server(args.host, args.port, max_batch=args.max_batch,
+                           max_wait_ms=args.max_wait_ms)
+    print(f"serving on {args.host}:{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -1,0 +1,88 @@
+"""Serving layer test: live HTTP round-trip against the tiny model."""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from ml_depth_pro_video_tpu.models.depth_pro import tiny_config
+from ml_depth_pro_video_tpu.serve.server import create_server
+from ml_depth_pro_video_tpu.video.runner import DepthVideoRunner
+
+
+@pytest.fixture(scope="module")
+def server_url():
+    runner = DepthVideoRunner(cfg=tiny_config(), precision="fp32", batch_size=2)
+    server = create_server(port=0, runner=runner, max_batch=2, max_wait_ms=20)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}"
+    server.shutdown()
+
+
+def _png_bytes(seed=0):
+    rng = np.random.default_rng(seed)
+    img = (rng.random((80, 100, 3)) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_healthz(server_url):
+    with urllib.request.urlopen(server_url + "/healthz") as r:
+        body = json.load(r)
+    assert body["status"] == "ok"
+
+
+def test_depth_json_and_npz(server_url):
+    req = urllib.request.Request(server_url + "/v1/depth?return=npz",
+                                 data=_png_bytes(), method="POST")
+    with urllib.request.urlopen(req) as r:
+        body = json.load(r)
+    assert body["depth_shape"] == [80, 100]
+    npz = np.load(io.BytesIO(base64.b64decode(body["npz_base64"])))
+    assert npz["depth"].shape == (80, 100)
+    assert np.isfinite(npz["depth"]).all()
+
+
+def test_depth_png16(server_url):
+    req = urllib.request.Request(server_url + "/v1/depth?return=png16",
+                                 data=_png_bytes(1), method="POST")
+    with urllib.request.urlopen(req) as r:
+        img = Image.open(io.BytesIO(r.read()))
+    assert img.size == (100, 80)
+
+
+def test_concurrent_requests_batched(server_url):
+    results = {}
+
+    def hit(i):
+        req = urllib.request.Request(server_url + "/v1/depth",
+                                     data=_png_bytes(i), method="POST")
+        with urllib.request.urlopen(req) as r:
+            results[i] = json.load(r)
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(results) == 4
+    assert all(r["depth_shape"] == [80, 100] for r in results.values())
+
+
+def test_bad_route_and_bad_payload(server_url):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(server_url + "/nope")
+    assert e.value.code == 404
+    req = urllib.request.Request(server_url + "/v1/depth", data=b"not an image",
+                                 method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 500
