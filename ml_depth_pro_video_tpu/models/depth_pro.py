@@ -132,7 +132,8 @@ def _apply_upsample_block(p: dict, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def encoder_apply(params: dict, x: jnp.ndarray, cfg: DepthProConfig,
-                  precision: Precision, attn_impl: str | None = None) -> list[jnp.ndarray]:
+                  precision: Precision, attn_impl: str | None = None,
+                  remat: bool = False) -> list[jnp.ndarray]:
     """Multi-resolution encoding (`encoder.py:233-332`). x: (B, 4p, 4p, 3)."""
     vit_cfg = cfg.vit
     b = x.shape[0]
@@ -150,7 +151,7 @@ def encoder_apply(params: dict, x: jnp.ndarray, cfg: DepthProConfig,
 
     tokens, (h0, h1) = vit_apply(
         params["patch_vit"], pyramid, vit_cfg, precision,
-        capture_blocks=cfg.hook_block_ids, attn_impl=attn_impl,
+        capture_blocks=cfg.hook_block_ids, attn_impl=attn_impl, remat=remat,
     )
 
     n0 = 25 * b
@@ -163,7 +164,8 @@ def encoder_apply(params: dict, x: jnp.ndarray, cfg: DepthProConfig,
     x1_feat = merge_patches(feat[n0 : n0 + n1], b, pad1)
     x2_feat = feat[n0 + n1 :]
 
-    image_tokens, _ = vit_apply(params["image_vit"], x2, vit_cfg, precision, attn_impl=attn_impl)
+    image_tokens, _ = vit_apply(params["image_vit"], x2, vit_cfg, precision,
+                                attn_impl=attn_impl, remat=remat)
     global_feat = tokens_to_grid(image_tokens, g)
 
     latent0 = _apply_upsample_block(params["upsample_latent0"], latent0)
@@ -266,7 +268,8 @@ def fov_apply(params: dict, x: jnp.ndarray, lowres: jnp.ndarray, cfg: DepthProCo
 def forward(params: dict, x: jnp.ndarray, cfg: DepthProConfig,
             precision: Precision = Precision.fp32(),
             attn_impl: str | None = None,
-            compute_fov: bool = True) -> tuple[jnp.ndarray, jnp.ndarray | None]:
+            compute_fov: bool = True,
+            remat: bool = False) -> tuple[jnp.ndarray, jnp.ndarray | None]:
     """(B, img, img, 3) -> (canonical inverse depth (B, img, img, 1),
     fov_deg (B,) or None). Mirrors `depth_pro.py:218-241`.
 
@@ -277,7 +280,7 @@ def forward(params: dict, x: jnp.ndarray, cfg: DepthProConfig,
             f"forward expects {cfg.img_size}x{cfg.img_size} input, got {x.shape}; "
             "use infer() for arbitrary sizes"
         )
-    encodings = encoder_apply(params["encoder"], x, cfg, precision, attn_impl)
+    encodings = encoder_apply(params["encoder"], x, cfg, precision, attn_impl, remat)
     features, lowres = decoder_apply(params["decoder"], encodings)
     canonical = head_apply(params["head"], features, precision)
     fov_deg = None

@@ -125,14 +125,20 @@ def _block(x: jnp.ndarray, bp: dict, cfg: ViTConfig, attn_impl: str | None) -> j
     return x + bp["ls2"].astype(cdt) * h
 
 
-def _scan_blocks(x, stacked, lo, hi, cfg, attn_impl):
-    """Run blocks [lo, hi) via lax.scan over the stacked param axis."""
+def _scan_blocks(x, stacked, lo, hi, cfg, attn_impl, remat=False):
+    """Run blocks [lo, hi) via lax.scan over the stacked param axis.
+
+    ``remat=True`` checkpoints each block (activations rematerialized in
+    the backward pass — O(sqrt) memory for training at 1536px)."""
     if hi == lo:
         return x
     seg = jax.tree.map(lambda a: a[lo:hi], stacked)
+    block = _block
+    if remat:
+        block = jax.checkpoint(_block, static_argnums=(2, 3))
 
     def body(carry, bp):
-        return _block(carry, bp, cfg, attn_impl), None
+        return block(carry, bp, cfg, attn_impl), None
 
     x, _ = jax.lax.scan(body, x, seg)
     return x
@@ -145,6 +151,7 @@ def vit_apply(
     precision: Precision = Precision.fp32(),
     capture_blocks: Sequence[int] = (),
     attn_impl: str | None = None,
+    remat: bool = False,
 ) -> tuple[jnp.ndarray, list[jnp.ndarray]]:
     """Forward pass.
 
@@ -171,10 +178,10 @@ def vit_apply(
     captures = []
     lo = 0
     for idx in sorted(capture_blocks):
-        tokens = _scan_blocks(tokens, params["blocks"], lo, idx + 1, cfg, attn_impl)
+        tokens = _scan_blocks(tokens, params["blocks"], lo, idx + 1, cfg, attn_impl, remat)
         captures.append(tokens)
         lo = idx + 1
-    tokens = _scan_blocks(tokens, params["blocks"], lo, cfg.depth, cfg, attn_impl)
+    tokens = _scan_blocks(tokens, params["blocks"], lo, cfg.depth, cfg, attn_impl, remat)
 
     tokens = layer_norm(tokens, params["norm"]["g"], params["norm"]["b"], cfg.layer_norm_eps)
     return tokens, captures

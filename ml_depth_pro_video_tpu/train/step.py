@@ -42,7 +42,10 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-2) -> optax.Gradie
 
 
 def loss_fn(params, images, target_depth, cfg: DepthProConfig, precision: Precision):
-    canonical, _ = forward(params, images, cfg, precision)
+    # rematerialize ViT blocks in the backward pass (1536px activations
+    # don't fit otherwise); FOV head isn't part of the depth loss
+    canonical, _ = forward(params, images, cfg, precision,
+                           compute_fov=False, remat=True)
     return silog_loss(canonical[..., 0].astype(jnp.float32), target_depth)
 
 
