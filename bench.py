@@ -31,6 +31,10 @@ def main() -> None:
         cfg = dataclasses.replace(cfg, checkpoint_uri=None)
         params = init_depth_pro(jax.random.PRNGKey(0), cfg)
     precision = Precision.bf16()
+    if os.environ.get("BENCH_QUANT"):
+        from ml_depth_pro_video_tpu.ckpt.quantize import quantize_vit_weights
+
+        params = quantize_vit_weights(params)
     params = jax.tree.map(jnp.asarray, params)
 
     batch = int(os.environ.get("BENCH_BATCH", "2"))

@@ -1,0 +1,60 @@
+"""Weight-only int8 quantization for the ViT matmul weights.
+
+v5e probe results (`scripts/tpu_int8_probe.py`): int8xint8 matmuls lower
+poorly through XLA here (~50 TOPs), but int8 weights dequantized to
+bf16 inside the matmul run ~19% FASTER than bf16 weights (152 vs 128
+TFLOPs) while halving weight HBM — the dequant fuses and the smaller
+weight stream feeds the MXU better. So the quantized mode stores the
+stacked ViT matmul weights as int8 with per-output-channel scales.
+
+Opt-in (``quantize_vit_weights``); expected output deviation is small
+(weight-only, per-channel) but it is NOT the <=1e-3 parity mode.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+_QUANT_KEYS = ("qkv_w", "proj_w", "fc1_w", "fc2_w")
+
+
+def _quantize(w) -> dict:
+    """(L, din, dout) fp32 -> {'q': int8, 's': fp32 (L, 1, dout)}."""
+    w = np.asarray(w, dtype=np.float32)
+    absmax = np.abs(w).max(axis=1, keepdims=True)  # per (layer, out-channel)
+    scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+    q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+    return {"q": jnp.asarray(q), "s": jnp.asarray(scale)}
+
+
+def quantize_vit_weights(params: dict) -> dict:
+    """Return params with every ViT block matmul weight int8-quantized
+    (encoder patch/image ViTs and the FOV ViT)."""
+
+    def quant_vit(vit_params: dict) -> dict:
+        blocks = dict(vit_params["blocks"])
+        for key in _QUANT_KEYS:
+            blocks[key] = _quantize(blocks[key])
+        out = dict(vit_params)
+        out["blocks"] = blocks
+        return out
+
+    out = dict(params)
+    enc = dict(params["encoder"])
+    enc["patch_vit"] = quant_vit(enc["patch_vit"])
+    enc["image_vit"] = quant_vit(enc["image_vit"])
+    out["encoder"] = enc
+    if "fov" in params:
+        fov = dict(params["fov"])
+        fov["vit"] = quant_vit(fov["vit"])
+        out["fov"] = fov
+    return out
+
+
+def materialize_weight(w, dtype):
+    """Dense weight for a matmul: plain array or quantized {'q','s'}.
+    The dequant multiply fuses into the consuming matmul under jit."""
+    if isinstance(w, dict):
+        return w["q"].astype(dtype) * w["s"].astype(dtype)
+    return w.astype(dtype)

@@ -107,21 +107,22 @@ def patchify(x: jnp.ndarray, patch: int) -> jnp.ndarray:
 
 
 def _block(x: jnp.ndarray, bp: dict, cfg: ViTConfig, attn_impl: str | None) -> jnp.ndarray:
+    from ..ckpt.quantize import materialize_weight as _w
+
     b, s, d = x.shape
     nh = cfg.num_heads
-    hd = d // nh
     cdt = x.dtype
 
     h = layer_norm(x, bp["ln1_g"], bp["ln1_b"], cfg.layer_norm_eps)
-    qkv = jnp.dot(h, bp["qkv_w"].astype(cdt), preferred_element_type=cdt) + bp["qkv_b"].astype(cdt)
+    qkv = jnp.dot(h, _w(bp["qkv_w"], cdt), preferred_element_type=cdt) + bp["qkv_b"].astype(cdt)
     attn = attention_packed(qkv, nh, impl=attn_impl)
-    attn = jnp.dot(attn, bp["proj_w"].astype(cdt), preferred_element_type=cdt) + bp["proj_b"].astype(cdt)
+    attn = jnp.dot(attn, _w(bp["proj_w"], cdt), preferred_element_type=cdt) + bp["proj_b"].astype(cdt)
     x = x + bp["ls1"].astype(cdt) * attn
 
     h = layer_norm(x, bp["ln2_g"], bp["ln2_b"], cfg.layer_norm_eps)
-    h = jnp.dot(h, bp["fc1_w"].astype(cdt), preferred_element_type=cdt) + bp["fc1_b"].astype(cdt)
+    h = jnp.dot(h, _w(bp["fc1_w"], cdt), preferred_element_type=cdt) + bp["fc1_b"].astype(cdt)
     h = jax.nn.gelu(h, approximate=False)
-    h = jnp.dot(h, bp["fc2_w"].astype(cdt), preferred_element_type=cdt) + bp["fc2_b"].astype(cdt)
+    h = jnp.dot(h, _w(bp["fc2_w"], cdt), preferred_element_type=cdt) + bp["fc2_b"].astype(cdt)
     return x + bp["ls2"].astype(cdt) * h
 
 

@@ -44,6 +44,7 @@ class DepthVideoRunner:
         mesh=None,
         prefetch: int = 2,
         rng_seed: int = 0,
+        quantize: bool = False,
     ):
         self.cfg = cfg
         self.precision = resolve_precision(precision)
@@ -55,6 +56,10 @@ class DepthVideoRunner:
         params = load_checkpoint(cfg)
         if params is None:
             params = init_depth_pro(jax.random.PRNGKey(rng_seed), cfg)
+        if quantize:
+            from ..ckpt.quantize import quantize_vit_weights
+
+            params = quantize_vit_weights(params)
         self.params = jax.tree.map(jnp.asarray, params)
         if mesh is not None:
             from ..parallel.sharding import shard_params

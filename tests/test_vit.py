@@ -81,3 +81,20 @@ def test_init_vit_shapes():
     out, caps = vit_apply(params, jnp.zeros((1, 32, 32, 3)), CFG, capture_blocks=(1,))
     assert out.shape == (1, CFG.num_tokens, CFG.embed_dim)
     assert len(caps) == 1
+
+
+def test_weight_only_quantization_close_to_fp32():
+    import jax
+
+    from ml_depth_pro_video_tpu.ckpt.quantize import quantize_vit_weights
+
+    cfg = CFG
+    params = init_vit(jax.random.PRNGKey(3), cfg)
+    x = jnp.asarray(np.random.default_rng(4).standard_normal((1, 32, 32, 3)), jnp.float32)
+    ref, _ = vit_apply(params, x, cfg)
+    fake_model = {"encoder": {"patch_vit": params, "image_vit": params}}
+    qparams = quantize_vit_weights(fake_model)["encoder"]["patch_vit"]
+    assert qparams["blocks"]["qkv_w"]["q"].dtype == jnp.int8
+    got, _ = vit_apply(qparams, x, cfg)
+    rel = float(jnp.abs(got - ref).max() / (jnp.abs(ref).max() + 1e-9))
+    assert rel < 0.02, rel
