@@ -108,3 +108,22 @@ def test_forward_parity_grid24():
         np.asarray(j_canon)[..., 0], t_canon.numpy()[:, 0], rtol=1e-3, atol=1e-4
     )
     np.testing.assert_allclose(np.asarray(j_fov), t_fov.numpy().reshape(-1), rtol=1e-3, atol=1e-4)
+
+
+def test_batched_infer_matches_per_frame(pair):
+    """Batch-layout correctness: the 35-patch split/merge must not mix
+    frames — infer on a 2-frame batch equals two single-frame infers."""
+    _, params = pair
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((2, CFG.img_size, CFG.img_size, 3)).astype(np.float32)
+    batched = infer_fn(params, jnp.asarray(x), None, CFG)
+    for i in range(2):
+        solo = infer_fn(params, jnp.asarray(x[i : i + 1]), None, CFG)
+        np.testing.assert_allclose(
+            np.asarray(batched["depth"][i]), np.asarray(solo["depth"][0]),
+            rtol=2e-5, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(batched["focallength_px"][i]),
+            np.asarray(solo["focallength_px"][0]), rtol=2e-5,
+        )
