@@ -441,6 +441,52 @@ def tangent_fan_triangulation(cloud: PointCloud, radius: float | None = None,
                         None if cloud.colors is None else cloud.colors.copy()).cleanup()
 
 
+def depth_map_mesh(depth: np.ndarray, f_px: float, image: np.ndarray | None = None,
+                   step: int = 2, max_edge_ratio: float = 0.05) -> TriangleMesh:
+    """Structured mesh straight from a depth map: grid vertices at every
+    ``step``-th pixel, two triangles per cell, edges cut at depth
+    discontinuities (legacy capability: the textured/video3d mesh
+    builders of `OLD_SCRIPTS/mesh_from_depth.py:2312-2606`).
+
+    ``max_edge_ratio``: drop faces whose corner depths differ by more
+    than this fraction of their mean (removes streaks across silhouettes).
+    """
+    d = np.asarray(depth, dtype=np.float64)[::step, ::step]
+    h, w = d.shape
+    full_h, full_w = depth.shape
+    ys, xs = np.indices((h, w))
+    px = xs * step
+    py = ys * step
+    x3 = -(px - full_w / 2.0) * d / f_px
+    y3 = -(py - full_h / 2.0) * d / f_px
+    verts = np.column_stack([x3.ravel(), y3.ravel(), d.ravel()])
+
+    idx = np.arange(h * w).reshape(h, w)
+    a = idx[:-1, :-1].ravel()
+    b = idx[1:, :-1].ravel()
+    c = idx[:-1, 1:].ravel()
+    dd = idx[1:, 1:].ravel()
+    faces = np.concatenate([np.column_stack([a, b, c]), np.column_stack([c, b, dd])])
+
+    # cut faces across strong depth discontinuities
+    dv = verts[:, 2]
+    f_depths = dv[faces]
+    mean_d = f_depths.mean(axis=1)
+    spread = f_depths.max(axis=1) - f_depths.min(axis=1)
+    keep = spread <= max_edge_ratio * np.maximum(mean_d, 1e-9)
+    # drop invalid-depth faces as well
+    keep &= np.isfinite(f_depths).all(axis=1) & (f_depths > 0).all(axis=1)
+    faces = faces[keep]
+
+    colors = None
+    if image is not None:
+        img = np.asarray(image)[::step, ::step].astype(np.float64)
+        if img.max() > 1.0:
+            img = img / 255.0
+        colors = img.reshape(-1, 3)
+    return TriangleMesh(verts, faces, colors).cleanup()
+
+
 def add_ground_plane_mesh(mesh: TriangleMesh, y: float = 0.0,
                           margin: float = 0.5, cells: int = 20,
                           color=(0.5, 0.5, 0.5)) -> TriangleMesh:

@@ -67,3 +67,12 @@ def test_mesh_driver(runner, image_path, tmp_path):
     )
     assert os.path.exists(path)
     assert len(mesh.faces) > 10
+
+
+def test_depth_to_floorplan_driver(runner, image_path, tmp_path):
+    from ml_depth_pro_video_tpu.cli.depth_to_floorplan import depth_image_to_floorplan
+
+    out = depth_image_to_floorplan(image_path, str(tmp_path), runner=runner,
+                                   height_threshold=None)
+    assert os.path.exists(out)
+    assert os.path.getsize(out) > 0

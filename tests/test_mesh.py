@@ -105,3 +105,19 @@ def test_add_ground_plane_mesh():
     assert len(out.faces) == 1 + 32
     # all added vertices at y=0
     np.testing.assert_allclose(out.vertices[3:, 1], 0.0)
+
+
+def test_depth_map_mesh():
+    from ml_depth_pro_video_tpu.geom.mesh import depth_map_mesh
+
+    # smooth plane with one depth discontinuity column
+    depth = np.full((40, 60), 5.0)
+    depth[:, 30:] = 10.0
+    img = np.full((40, 60, 3), 200, np.uint8)
+    mesh = depth_map_mesh(depth, f_px=100.0, image=img, step=2)
+    assert len(mesh.vertices) > 400
+    assert len(mesh.faces) > 400
+    assert mesh.vertex_colors is not None
+    # no face spans the discontinuity (edge ratio cut)
+    zd = mesh.vertices[mesh.faces][..., 2]
+    assert (zd.max(axis=1) - zd.min(axis=1)).max() < 1.0
