@@ -100,3 +100,34 @@ def test_fast_floorplan_renderer(tiny_runner, frames_dir, tmp_path):
     img = fast_floorplan_image(cloud, x_limits=(-3, 3), z_limits=(2, 8), width=256)
     assert img.shape[1] == 256 and img.dtype == np.uint8
     assert (img < 230).any()
+
+
+def test_runner_retries_transient_device_error(tiny_runner, monkeypatch):
+    """Fault injection: the first device call raises a transient runtime
+    error; the runner retries and succeeds."""
+    import jax
+
+    monkeypatch.setattr("time.sleep", lambda *_: None)  # fast retry
+
+    class FlakyOnce:
+        def __init__(self, fn):
+            self.fn = fn
+            self.fired = False
+
+        def __call__(self, *a, **k):
+            if not self.fired:
+                self.fired = True
+                raise jax.errors.JaxRuntimeError("injected transient failure")
+            return self.fn(*a, **k)
+
+    saved_cache = tiny_runner._jit
+    tiny_runner._jit = {}
+    orig_jit = jax.jit
+    monkeypatch.setattr(jax, "jit", lambda fn, **kw: FlakyOnce(orig_jit(fn, **kw)))
+    try:
+        rng = np.random.default_rng(0)
+        frame = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        result = tiny_runner.infer_one(frame)
+        assert np.isfinite(result["depth"]).all()
+    finally:
+        tiny_runner._jit = saved_cache
