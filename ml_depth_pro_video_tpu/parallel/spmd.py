@@ -14,15 +14,16 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 
-def make_dp_infer(infer_fn, mesh: Mesh):
-    """Wrap ``infer_fn(params, batch) -> pytree`` for data-parallel
-    execution over the mesh's ``dp`` axis. Batch size must be a multiple
-    of the dp size."""
+def make_dp_infer(infer_fn, mesh: Mesh, n_batch_args: int = 1):
+    """Wrap ``infer_fn(params, *batch_args) -> pytree`` for data-parallel
+    execution over the mesh's ``dp`` axis: params replicated, each of the
+    ``n_batch_args`` trailing arguments sharded on its leading dim.
+    Batch size must be a multiple of the dp size."""
 
     wrapped = shard_map(
         infer_fn,
         mesh=mesh,
-        in_specs=(P(), P("dp")),
+        in_specs=(P(),) + (P("dp"),) * n_batch_args,
         out_specs=P("dp"),
         check_rep=False,
     )

@@ -85,13 +85,13 @@ class DepthVideoRunner:
             if self.mesh is not None:
                 # shard_map: each chip runs the full per-frame program on
                 # its batch slice (pallas kernels aren't GSPMD-partitionable)
-                from jax.sharding import PartitionSpec as P
-                from jax.experimental.shard_map import shard_map
+                from ..parallel.spmd import make_dp_infer
 
-                in_specs = (P(), P("dp")) if f_px is None else (P(), P("dp"), P("dp"))
-                fn = shard_map(fn, mesh=self.mesh, in_specs=in_specs,
-                               out_specs=P("dp"), check_rep=False)
-            self._jit[key] = jax.jit(fn)
+                fn = make_dp_infer(fn, self.mesh,
+                                   n_batch_args=1 if f_px is None else 2)
+            else:
+                fn = jax.jit(fn)
+            self._jit[key] = fn
         fn = self._jit[key]
         if self.mesh is not None:
             from ..parallel.mesh import batch_sharding
