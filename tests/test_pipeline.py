@@ -131,3 +131,32 @@ def test_runner_retries_transient_device_error(tiny_runner, monkeypatch):
         assert np.isfinite(result["depth"]).all()
     finally:
         tiny_runner._jit = saved_cache
+
+
+def test_video_decode_roundtrip(tmp_path, tiny_runner):
+    """mp4 -> frame stream -> depth (direct video-file input)."""
+    from ml_depth_pro_video_tpu.effects.parallax import write_video
+    from ml_depth_pro_video_tpu.video.decode import extract_frames, video_frames, video_info
+
+    rng = np.random.default_rng(0)
+    frames = (rng.random((6, 64, 80, 3)) * 255).astype(np.uint8)
+    vid = str(tmp_path / "clip.mp4")
+    write_video(vid, frames, fps=6)
+
+    info = video_info(vid)
+    assert info["frames"] == 6 and info["width"] == 80
+
+    decoded = list(video_frames(vid, stride=2))
+    assert len(decoded) == 3
+    names = [n for n, _ in decoded]
+    assert names[0].endswith("000000") and names[1].endswith("000002")
+    assert decoded[0][1].shape == (64, 80, 3)
+
+    # straight into the runner
+    results = list(tiny_runner.depth_stream(f for _, f in decoded))
+    assert len(results) == 3
+    assert all(np.isfinite(r["depth"]).all() for r in results)
+
+    out_dir = str(tmp_path / "frames")
+    written = extract_frames(vid, out_dir, stride=3)
+    assert len(written) == 2 and os.path.exists(written[0])
