@@ -255,7 +255,10 @@ def main(argv=None):  # pragma: no cover - CLI shim, exercised via cli tests
     import argparse
 
     ap = argparse.ArgumentParser(description="Video frames -> floor plans (TPU)")
-    ap.add_argument("--frames_dir", required=True)
+    ap.add_argument("--frames_dir", required=False, default=None,
+                    help="directory of frames (or destination when --video is given)")
+    ap.add_argument("--video", default=None,
+                    help="decode this video file into frames_dir first")
     ap.add_argument("--output_dir", default=None)
     ap.add_argument("--height_threshold", type=float, default=1.3)
     ap.add_argument("--point_size", type=float, default=10)
@@ -277,6 +280,14 @@ def main(argv=None):  # pragma: no cover - CLI shim, exercised via cli tests
     ap.add_argument("--x_limits", type=float, nargs=2, default=None)
     ap.add_argument("--z_limits", type=float, nargs=2, default=None)
     args = ap.parse_args(argv)
+    if not args.frames_dir and not args.video:
+        ap.error("--frames_dir or --video is required")
+    if args.video:
+        from .decode import extract_frames
+
+        args.frames_dir = args.frames_dir or os.path.splitext(args.video)[0] + "_frames"
+        print(f"Decoding {args.video} -> {args.frames_dir}")
+        extract_frames(args.video, args.frames_dir)
     process_images_to_floor_plans(
         frames_dir=args.frames_dir, output_dir=args.output_dir,
         height_threshold=args.height_threshold, point_size=args.point_size,
