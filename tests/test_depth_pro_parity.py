@@ -127,3 +127,20 @@ def test_batched_infer_matches_per_frame(pair):
             np.asarray(batched["focallength_px"][i]),
             np.asarray(solo["focallength_px"][0]), rtol=2e-5,
         )
+
+
+def test_no_fov_config_parity():
+    """use_fov_head=False path: conversion + forward parity (fov absent)."""
+    cfg = dataclasses.replace(tiny_config(), use_fov_head=False)
+    torch.manual_seed(2)
+    oracle = TorchDepthPro(cfg).eval()
+    params = jax.tree.map(jnp.asarray, convert_depth_pro(oracle.state_dict(), cfg))
+    assert "fov" not in params
+    x = _rand_img(cfg.img_size, cfg.img_size, seed=6)
+    with torch.no_grad():
+        t_canon, t_fov = oracle(torch.from_numpy(x))
+    j_canon, j_fov = forward(params, jnp.asarray(x.transpose(0, 2, 3, 1)), cfg)
+    assert t_fov is None and j_fov is None
+    np.testing.assert_allclose(
+        np.asarray(j_canon)[..., 0], t_canon.numpy()[:, 0], rtol=1e-3, atol=1e-4
+    )

@@ -160,3 +160,17 @@ def test_video_decode_roundtrip(tmp_path, tiny_runner):
     out_dir = str(tmp_path / "frames")
     written = extract_frames(vid, out_dir, stride=3)
     assert len(written) == 2 and os.path.exists(written[0])
+
+
+def test_runner_downscale_rescales_fpx(frames_dir):
+    from ml_depth_pro_video_tpu.models.depth_pro import tiny_config
+    from ml_depth_pro_video_tpu.video.runner import DepthVideoRunner
+
+    half = DepthVideoRunner(cfg=tiny_config(), precision="fp32",
+                            downscale_factor=0.5)
+    import glob
+
+    path = sorted(glob.glob(os.path.join(frames_dir, "*.png")))[0]
+    r = half.infer_one((path, 400.0))  # explicit f_px rescaled by 0.5
+    assert r["depth"].shape == (60, 80)
+    assert abs(r["focallength_px"] - 200.0) < 1e-3
