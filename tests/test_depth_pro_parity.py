@@ -144,3 +144,39 @@ def test_no_fov_config_parity():
     np.testing.assert_allclose(
         np.asarray(j_canon)[..., 0], t_canon.numpy()[:, 0], rtol=1e-3, atol=1e-4
     )
+
+
+def test_split_patches_layout():
+    """Each split tile equals the direct slice; patch-major batch order."""
+    from ml_depth_pro_video_tpu.models.depth_pro import split_patches
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 512, 512, 3)).astype(np.float32)
+    tiles = np.asarray(split_patches(jnp.asarray(x), 128, overlap=0.25))
+    assert tiles.shape == (5 * 5 * 2, 128, 128, 3)
+    stride = 96
+    for j in range(5):
+        for i in range(5):
+            for b in range(2):
+                expected = x[b, j * stride : j * stride + 128, i * stride : i * stride + 128]
+                np.testing.assert_array_equal(tiles[(j * 5 + i) * 2 + b], expected)
+
+
+def test_merge_patches_positions():
+    """Merged output places each patch's kept region at the right spot."""
+    from ml_depth_pro_video_tpu.models.depth_pro import merge_patches
+
+    g, pad, steps, batch = 8, 1, 3, 2
+    # encode (patch_index, row, col) into channel values
+    tiles = np.zeros((steps * steps * batch, g, g, 1), np.float32)
+    for p in range(steps * steps):
+        for b in range(batch):
+            tiles[p * batch + b, :, :, 0] = p * 100 + b
+    out = np.asarray(merge_patches(jnp.asarray(tiles), batch, pad))
+    side = steps * g - 2 * (steps - 1) * pad
+    assert out.shape == (batch, side, side, 1)
+    # first kept block comes from patch 0, last from patch 8
+    assert out[0, 0, 0, 0] == 0
+    assert out[1, -1, -1, 0] == 800 + 1
+    # interior boundary: after patch 0's kept width (g - pad), patch 1 starts
+    assert out[0, 0, g - pad, 0] == 100
