@@ -1,6 +1,6 @@
 """ctypes bindings for the native C++ geometry kernels.
 
-Builds lazily with g++ on first use (cached as ``_geom_native.so``);
+Builds lazily with g++ on first use (cached as ``geom-native.so``);
 every caller has a pure numpy/scipy fallback, so a missing toolchain
 degrades performance, not capability.
 """
@@ -17,7 +17,9 @@ import numpy as np
 LOGGER = logging.getLogger(__name__)
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "neighbors.cpp")
-_SO = os.path.join(_DIR, "_geom_native.so")
+# dash keeps pkgutil/import machinery from treating the ctypes
+# library as a Python extension module
+_SO = os.path.join(_DIR, "geom-native.so")
 
 _lib = None
 _tried = False
