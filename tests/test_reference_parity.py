@@ -1,0 +1,105 @@
+"""Parity against the ACTUAL reference torch modules.
+
+Round-1 parity was anchored to `torch_oracle.py`, a hand-written mirror.
+These tests remove that single point of failure: the real
+`DepthProEncoder`/`MultiresConvDecoder`/`FOVNetwork`/`DepthPro` classes
+from `/root/reference/src/depth_pro` are instantiated with a tiny
+timm-layout stub backbone, their state dict feeds `ckpt/convert.py`
+unmodified, and the JAX model is compared against their forward/infer
+outputs at the real topology (backbone 384/grid 24, input 1536).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from ml_depth_pro_video_tpu.ckpt.convert import convert_depth_pro
+from ml_depth_pro_video_tpu.models.depth_pro import forward, infer_fn, tiny_config
+
+from reference_modules import build_reference_model
+from torch_oracle import TorchDepthPro
+
+
+def _grid24_config(use_fov_head=True):
+    """Tiny channel dims at the REAL spatial topology (the reference
+    encoder hardcodes 384px patches / merge paddings 3 and 6,
+    `encoder.py:176,279-302`, so grid must be 24 and input 1536)."""
+    cfg = tiny_config(use_fov_head=use_fov_head)
+    return dataclasses.replace(
+        cfg,
+        vit=dataclasses.replace(cfg.vit, img_size=384, patch_size=16, embed_dim=32),
+    )
+
+
+CFG = _grid24_config()
+
+
+@pytest.fixture(scope="module")
+def ref_pair():
+    torch.manual_seed(7)
+    model = build_reference_model(CFG)
+    params = jax.tree.map(jnp.asarray, convert_depth_pro(model.state_dict(), CFG))
+    return model, params
+
+
+def test_oracle_state_dict_layout_matches_reference(ref_pair):
+    """The hand-written oracle's key layout == the real module tree's —
+    this license lets the fast tiny-scale tests keep using the oracle."""
+    model, _ = ref_pair
+    torch.manual_seed(0)
+    oracle = TorchDepthPro(CFG)
+    ref_keys = set(model.state_dict().keys())
+    oracle_keys = set(oracle.state_dict().keys())
+    assert ref_keys == oracle_keys
+    for k in ref_keys:
+        assert tuple(model.state_dict()[k].shape) == tuple(oracle.state_dict()[k].shape), k
+
+
+def test_forward_parity_vs_reference_modules(ref_pair):
+    model, params = ref_pair
+    rng = np.random.default_rng(21)
+    x = rng.standard_normal((1, 3, CFG.img_size, CFG.img_size)).astype(np.float32)
+    with torch.no_grad():
+        t_canon, t_fov = model(torch.from_numpy(x))
+    j_canon, j_fov = forward(params, jnp.asarray(x.transpose(0, 2, 3, 1)), CFG)
+    np.testing.assert_allclose(
+        np.asarray(j_canon)[..., 0], t_canon.numpy()[:, 0], rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(j_fov), t_fov.numpy().reshape(-1), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_infer_parity_vs_reference_modules(ref_pair):
+    """infer() contract vs the reference implementation
+    (`depth_pro.py:243-298`): resize to 1536, f_px derivation from the
+    estimated FOV with the ORIGINAL width, resize back, clamp."""
+    model, params = ref_pair
+    rng = np.random.default_rng(22)
+    x = rng.standard_normal((1, 3, 460, 620)).astype(np.float32)
+    t_out = model.infer(torch.from_numpy(x))
+    j_out = infer_fn(params, jnp.asarray(x.transpose(0, 2, 3, 1)), None, CFG)
+    np.testing.assert_allclose(
+        np.asarray(j_out["focallength_px"]).reshape(()),
+        t_out["focallength_px"].numpy(),
+        rtol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(j_out["depth"])[0], t_out["depth"].numpy(), rtol=2e-3, atol=1e-6
+    )
+
+
+def test_infer_parity_vs_reference_modules_given_fpx(ref_pair):
+    model, params = ref_pair
+    rng = np.random.default_rng(23)
+    x = rng.standard_normal((1, 3, CFG.img_size, CFG.img_size)).astype(np.float32)
+    t_out = model.infer(torch.from_numpy(x), f_px=torch.tensor(777.0))
+    j_out = infer_fn(params, jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.array([777.0]), CFG)
+    np.testing.assert_allclose(
+        np.asarray(j_out["depth"])[0], t_out["depth"].numpy(), rtol=1e-3, atol=1e-6
+    )
