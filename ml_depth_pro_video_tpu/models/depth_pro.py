@@ -32,7 +32,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.precision import Precision, resolve_precision
-from ..ops.conv import conv2d, conv_transpose2x2, linear
+from ..ops.conv import (
+    conv2d,
+    conv_transpose2x2,
+    depth_to_space2x2,
+    fold_deconv2x2_conv3x3,
+    linear,
+)
 from ..ops.resize import resize2d
 from .vit import ViTConfig, init_vit, vit_apply
 
@@ -227,14 +233,33 @@ def head_apply(params: dict, x: jnp.ndarray,
                precision: Precision = Precision.fp32()) -> jnp.ndarray:
     """Depth head (`depth_pro.py:182-204`). Convs run in the compute
     dtype with fp32 accumulation; the final 1x1 conv producing the
-    canonical inverse depth is always fp32."""
+    canonical inverse depth is always fp32.
+
+    The deconv and the following 3x3 conv are both linear, so they are
+    folded into ONE 3x3 conv at HALF resolution over subpixel-packed
+    channels (exact, borders included — see fold_deconv2x2_conv3x3);
+    ReLU and the 1x1 output conv commute with depth-to-space, so every
+    heavy op runs at (img/2)^2 with >=128 channels instead of a
+    badly-tiling 32-channel conv at full resolution (34.8 -> ~5 ms
+    measured, scripts/tpu_r2_profile1.out)."""
     x = x.astype(precision.compute_dtype)
     x = conv2d(x, params["conv_in"]["w"], params["conv_in"]["b"], padding=1)
-    x = conv_transpose2x2(x, params["deconv"]["w"], params["deconv"]["b"])
-    x = conv2d(x, params["conv_mid"]["w"], params["conv_mid"]["b"], padding=1)
-    x = jax.nn.relu(x).astype(jnp.float32)
-    x = conv2d(x, params["conv_out"]["w"], params["conv_out"]["b"])
-    return jax.nn.relu(x)
+
+    wcomp = fold_deconv2x2_conv3x3(
+        params["deconv"]["w"], params["deconv"]["b"], params["conv_mid"]["w"]
+    )
+    ones = jnp.ones(x.shape[:3] + (1,), x.dtype)
+    h = conv2d(jnp.concatenate([x, ones], axis=-1), wcomp, padding=1)
+    n = params["conv_mid"]["b"].shape[0]
+    h = h + jnp.tile(params["conv_mid"]["b"], 4).astype(h.dtype)
+    h = jax.nn.relu(h).astype(jnp.float32)
+
+    # 1x1 output conv applied per packed subpixel group, then unpack
+    bsz, hh, ww, _ = h.shape
+    wo = params["conv_out"]["w"].reshape(n, -1)  # (N, n_out)
+    y = jnp.dot(h.reshape(bsz, hh, ww, 4, n), wo) + params["conv_out"]["b"]
+    y = depth_to_space2x2(y.reshape(bsz, hh, ww, -1))  # (B, 2H, 2W, n_out)
+    return jax.nn.relu(y)
 
 
 def fov_apply(params: dict, x: jnp.ndarray, lowres: jnp.ndarray, cfg: DepthProConfig,
@@ -292,10 +317,15 @@ def forward(params: dict, x: jnp.ndarray, cfg: DepthProConfig,
 def infer_fn(params: dict, x: jnp.ndarray, f_px: jnp.ndarray | None, cfg: DepthProConfig,
              precision: Precision = Precision.fp32(),
              attn_impl: str | None = None,
-             interpolation_mode: str = "bilinear") -> dict:
+             interpolation_mode: str = "bilinear",
+             derive_missing: bool = False) -> dict:
     """The `infer()` contract (`depth_pro.py:243-298`), NHWC.
 
     x: (B, H, W, 3) normalized; f_px: (B,) or None.
+    With ``derive_missing=True``, ``f_px`` may contain NaN entries: the
+    FOV head runs and only those entries are replaced by the derived
+    focal length — a mixed-EXIF batch keeps the provided focals instead
+    of forcing the whole batch through FOV derivation.
     Returns {"depth": (B, H, W) fp32 [m], "focallength_px": (B,)}.
     """
     b, h, w = x.shape[0], x.shape[1], x.shape[2]
@@ -303,13 +333,19 @@ def infer_fn(params: dict, x: jnp.ndarray, f_px: jnp.ndarray | None, cfg: DepthP
     needs_resize = (h != s) or (w != s)
     xi = resize2d(x, (s, s), mode=interpolation_mode) if needs_resize else x
 
+    need_fov = f_px is None or derive_missing
     canonical, fov_deg = forward(params, xi, cfg, precision, attn_impl,
-                                 compute_fov=f_px is None)
+                                 compute_fov=need_fov)
     canonical = canonical[..., 0].astype(jnp.float32)  # (B, s, s)
 
-    if f_px is None:
+    if need_fov:
         fov_rad = jnp.deg2rad(fov_deg.astype(jnp.float32))
-        f_px = 0.5 * w / jnp.tan(0.5 * fov_rad)
+        derived = 0.5 * w / jnp.tan(0.5 * fov_rad)
+        if f_px is None:
+            f_px = derived
+        else:
+            given = jnp.asarray(f_px, jnp.float32).reshape(b)
+            f_px = jnp.where(jnp.isnan(given), derived, given)
     else:
         f_px = jnp.asarray(f_px, jnp.float32).reshape(b)
 

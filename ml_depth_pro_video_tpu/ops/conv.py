@@ -70,8 +70,73 @@ def conv_transpose2x2(
 
 
 def linear(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Dense layer, w: (Cin, Cout)."""
-    y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=x.dtype)
+    """Dense layer, w: (Cin, Cout). fp32 accumulation like every other
+    matmul in the framework (precision policy: bf16 inputs, fp32 MXU
+    accumulate, output back in the input dtype)."""
+    y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
     if b is not None:
         y = y + b.astype(y.dtype)
     return y
+
+
+def fold_deconv2x2_conv3x3(
+    wd: jnp.ndarray, bd: jnp.ndarray, wc: jnp.ndarray
+) -> jnp.ndarray:
+    """Fold a 2x2/s2 deconv followed by a 3x3/p1 conv into ONE 3x3 conv
+    at the deconv's INPUT resolution over subpixel-packed channels.
+
+    Both ops are linear, so their composition is a single convolution:
+    output pixel (2p+a, 2q+b) of the 3x3 conv reads deconv rows
+    2p+a-1..2p+a+1, each of which is produced by exactly one input row
+    p+s with subpixel a' (2s+a' = a+dy). Running the composite at half
+    resolution keeps the hot conv MXU-shaped (the direct 3x3 at full
+    resolution with few output channels tiles poorly on TPU — measured
+    34.8 ms -> ~5 ms for the Depth Pro head, scripts/tpu_r2_profile1).
+
+    The deconv bias rides an appended ones-channel, which makes the
+    composite exact INCLUDING image borders: zero-padding the ones
+    channel at half resolution zeroes exactly the taps whose deconv
+    rows fall outside the full-resolution image.
+
+    wd: (C, 4*M) matmul-form deconv weight, packed (a, b, m);
+    bd: (M,) deconv bias; wc: (3, 3, M, N) conv weight (HWIO).
+    Returns (3, 3, C+1, 4*N) packed (a, b, n), such that
+
+        conv2d(concat([x, ones], -1), folded, padding=1)
+
+    followed by depth-to-space equals
+    ``conv2d(conv_transpose2x2(x, wd, bd), wc, padding=1)`` minus the
+    3x3 conv's own bias (add it separately, tiled over the 4 groups).
+    """
+    c, m4 = wd.shape
+    m = m4 // 4
+    n = wc.shape[-1]
+    wd4 = wd.reshape(c, 2, 2, m)
+    # ones-channel row: the deconv bias appears at every subpixel
+    bias_row = jnp.broadcast_to(bd.reshape(1, 1, 1, m), (1, 2, 2, m))
+    wd4 = jnp.concatenate([wd4, bias_row], axis=0)  # (C+1, 2, 2, M)
+
+    comp = jnp.zeros((3, 3, c + 1, 2, 2, n), wc.dtype)
+    for s in (-1, 0, 1):
+        for t in (-1, 0, 1):
+            for a in (0, 1):
+                for ap in (0, 1):
+                    dy = 2 * s + ap - a
+                    if abs(dy) > 1:
+                        continue
+                    for b_ in (0, 1):
+                        for bp in (0, 1):
+                            dx = 2 * t + bp - b_
+                            if abs(dx) > 1:
+                                continue
+                            contrib = jnp.dot(wd4[:, ap, bp, :], wc[dy + 1, dx + 1])
+                            comp = comp.at[s + 1, t + 1, :, a, b_, :].add(contrib)
+    return comp.reshape(3, 3, c + 1, 4 * n)
+
+
+def depth_to_space2x2(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, 4*C) packed (a, b, c) -> (B, 2H, 2W, C)."""
+    bsz, h, w, c4 = x.shape
+    c = c4 // 4
+    y = x.reshape(bsz, h, w, 2, 2, c)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(bsz, 2 * h, 2 * w, c)

@@ -222,11 +222,13 @@ def process_images_to_floor_plans(
                 simple_output=simple_output, output_all_files=output_all_files,
                 x_limits=x_limits, z_limits=z_limits, renderer=renderer,
             )
-            n_done += 1
+            with progress_lock:
+                n_done += 1
+                done = n_done
             save_progress(os.path.basename(result["key"]), ok)
-            avg = (time.time() - t_start) / n_done
-            eta = avg * (total - n_done)
-            print(f"[{n_done}/{total}] {os.path.basename(result['key'])} "
+            avg = (time.time() - t_start) / done
+            eta = avg * (total - done)
+            print(f"[{done}/{total}] {os.path.basename(result['key'])} "
                   f"ok={ok} {dt:.1f}s (avg {avg:.1f}s/frame, ETA {eta/60:.1f} min)")
 
         if num_workers > 1:

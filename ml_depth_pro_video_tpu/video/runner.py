@@ -45,6 +45,7 @@ class DepthVideoRunner:
         prefetch: int = 2,
         rng_seed: int = 0,
         quantize: bool = False,
+        max_retries: int = 2,
     ):
         self.cfg = cfg
         self.precision = resolve_precision(precision)
@@ -52,6 +53,7 @@ class DepthVideoRunner:
         self.downscale_factor = downscale_factor
         self.mesh = mesh
         self.prefetch = prefetch
+        self.max_retries = max_retries
 
         params = load_checkpoint(cfg)
         if params is None:
@@ -68,8 +70,8 @@ class DepthVideoRunner:
         self._jit = {}
 
     # ------------------------------------------------------------------
-    def _infer(self, batch: jnp.ndarray, f_px: np.ndarray | None):
-        key = (batch.shape, f_px is not None)
+    def _infer(self, batch: jnp.ndarray, f_px: np.ndarray | None, mixed: bool = False):
+        key = (batch.shape, f_px is not None, mixed)
         if key not in self._jit:
             cfg, prec = self.cfg, self.precision
 
@@ -81,7 +83,10 @@ class DepthVideoRunner:
             if f_px is None:
                 fn = lambda p, x: infer_fn(p, norm(x), None, cfg, prec)  # noqa: E731
             else:
-                fn = lambda p, x, f: infer_fn(p, norm(x), f, cfg, prec)  # noqa: E731
+                # mixed batches carry NaN for frames without EXIF focal
+                # length; only those derive f_px from the FOV head
+                fn = lambda p, x, f: infer_fn(p, norm(x), f, cfg, prec,  # noqa: E731
+                                              derive_missing=mixed)
             if self.mesh is not None:
                 # shard_map: each chip runs the full per-frame program on
                 # its batch slice (pallas kernels aren't GSPMD-partitionable)
@@ -99,15 +104,24 @@ class DepthVideoRunner:
             batch = jax.device_put(batch, batch_sharding(self.mesh))
         args = (self.params, batch) if f_px is None else (
             self.params, batch, jnp.asarray(f_px, jnp.float32))
-        # one retry on transient device/transport failures (long video
-        # runs survive a flaky interconnect hiccup instead of dying)
-        try:
-            return fn(*args)
-        except jax.errors.JaxRuntimeError:
-            import time as _time
+        # bounded retries with backoff on transient device/transport
+        # failures (long video runs survive an interconnect hiccup
+        # instead of dying); each failure is logged with its cause
+        delay = 5.0
+        for attempt in range(self.max_retries + 1):
+            try:
+                return fn(*args)
+            except jax.errors.JaxRuntimeError as e:
+                if attempt == self.max_retries:
+                    raise
+                import logging
+                import time as _time
 
-            _time.sleep(10.0)
-            return fn(*args)
+                logging.getLogger(__name__).warning(
+                    "device inference failed (attempt %d/%d): %s — retrying in %.0fs",
+                    attempt + 1, self.max_retries, e, delay)
+                _time.sleep(delay)
+                delay = min(delay * 2, 60.0)
 
     def _load_one(self, item):
         """item: path | (path, f_px) | ndarray. Returns (key, image, f_px)."""
@@ -165,11 +179,18 @@ class DepthVideoRunner:
             xs = np.stack([p[1] for p in pending])
             fs = [p[2] for p in pending]
             have_f = all(f is not None for f in fs)
+            any_f = any(f is not None for f in fs)
             pad = self.batch_size - n if n < self.batch_size else 0
             if pad:
                 xs = np.concatenate([xs, np.repeat(xs[-1:], pad, axis=0)])
-            f_arr = np.asarray(fs + [fs[-1]] * pad, np.float32) if have_f else None
-            out = self._infer(jnp.asarray(xs), f_arr)
+            if any_f:
+                # mixed batches: NaN marks frames whose f_px must come
+                # from the FOV head; frames WITH EXIF keep their focal
+                fs = [np.nan if f is None else f for f in fs]
+                f_arr = np.asarray(fs + [fs[-1]] * pad, np.float32)
+            else:
+                f_arr = None
+            out = self._infer(jnp.asarray(xs), f_arr, mixed=any_f and not have_f)
             imgs = raw_images
             pending, raw_images = [], []
             return keys, imgs, out, n

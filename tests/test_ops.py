@@ -137,3 +137,35 @@ def test_flash_attention_packed_interpret_matches_xla():
     ref = xla_attention_packed(jnp.asarray(qkv), 4)
     got = flash_attention_packed(jnp.asarray(qkv), 4, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_fold_deconv_conv3x3_exact_with_borders():
+    """The folded half-resolution conv == deconv2x2 -> conv3x3, exactly,
+    including image borders (the ones-channel carries the deconv bias
+    into only the in-bounds taps)."""
+    import numpy as np
+
+    from ml_depth_pro_video_tpu.ops.conv import (
+        conv2d,
+        conv_transpose2x2,
+        depth_to_space2x2,
+        fold_deconv2x2_conv3x3,
+    )
+
+    rng = np.random.default_rng(0)
+    c, m, n = 5, 7, 3
+    x = jnp.asarray(rng.standard_normal((2, 6, 4, c)), jnp.float32)
+    wd = jnp.asarray(rng.standard_normal((c, 4 * m)), jnp.float32)
+    bd = jnp.asarray(rng.standard_normal((m,)), jnp.float32)
+    wc = jnp.asarray(rng.standard_normal((3, 3, m, n)), jnp.float32)
+    bc = jnp.asarray(rng.standard_normal((n,)), jnp.float32)
+
+    ref = conv2d(conv_transpose2x2(x, wd, bd), wc, bc, padding=1)
+
+    folded = fold_deconv2x2_conv3x3(wd, bd, wc)
+    ones = jnp.ones(x.shape[:3] + (1,), x.dtype)
+    h = conv2d(jnp.concatenate([x, ones], axis=-1), folded, padding=1)
+    h = h + jnp.tile(bc, 4)
+    out = depth_to_space2x2(h)
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)

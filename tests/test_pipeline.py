@@ -174,3 +174,23 @@ def test_runner_downscale_rescales_fpx(frames_dir):
     r = half.infer_one((path, 400.0))  # explicit f_px rescaled by 0.5
     assert r["depth"].shape == (60, 80)
     assert abs(r["focallength_px"] - 200.0) < 1e-3
+
+
+def test_mixed_fpx_batch_keeps_given_focals(tiny_runner):
+    """A batch mixing EXIF and EXIF-less frames must use the provided
+    f_px for the frames that have one (FOV derivation only fills the
+    gaps) — one frame without EXIF no longer changes the others'
+    results (reference contract: `depth_pro.py:272-276` per image)."""
+    rng = np.random.default_rng(5)
+    fa = (rng.random((96, 96, 3)) * 255).astype(np.uint8)
+    fb = (rng.random((96, 96, 3)) * 255).astype(np.uint8)
+
+    mixed = list(tiny_runner.depth_stream([(fa, 500.0), fb]))
+    solo_a = tiny_runner.infer_one((fa, 500.0))
+    solo_b = tiny_runner.infer_one(fb)  # f_px derived from FOV head
+
+    assert mixed[0]["focallength_px"] == pytest.approx(500.0)
+    np.testing.assert_allclose(mixed[0]["depth"], solo_a["depth"], rtol=1e-5)
+    assert mixed[1]["focallength_px"] == pytest.approx(
+        solo_b["focallength_px"], rel=1e-5)
+    np.testing.assert_allclose(mixed[1]["depth"], solo_b["depth"], rtol=1e-5)
