@@ -19,6 +19,7 @@ def main() -> None:
     from ml_depth_pro_video_tpu.core.precision import Precision
     from ml_depth_pro_video_tpu.models.depth_pro import (
         DEFAULT_MONODEPTH_CONFIG,
+        fold_head_params,
         infer_fn,
         init_depth_pro,
         load_checkpoint,
@@ -35,19 +36,27 @@ def main() -> None:
         from ml_depth_pro_video_tpu.ckpt.quantize import quantize_vit_weights
 
         params = quantize_vit_weights(params)
+    params = fold_head_params(params)
     params = jax.tree.map(jnp.asarray, params)
 
-    batch = int(os.environ.get("BENCH_BATCH", "2"))
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
     iters = int(os.environ.get("BENCH_ITERS", "6"))
     s = cfg.img_size
 
     # Reduce to a scalar on device so timing forces real execution — the
     # axon tunnel's block_until_ready can return before execution.
     fn = jax.jit(lambda p, x: infer_fn(p, x, None, cfg, precision)["depth"].mean())
-    x = jnp.zeros((batch, s, s, 3), jnp.float32)
 
-    # compile + warmup (scalar fetch = hard sync)
-    float(fn(params, x))
+    # compile + warmup (scalar fetch = hard sync); halve the batch on OOM
+    while True:
+        try:
+            x = jnp.zeros((batch, s, s, 3), jnp.float32)
+            float(fn(params, x))
+            break
+        except jax.errors.JaxRuntimeError:
+            if batch == 1:
+                raise
+            batch //= 2
     float(fn(params, x))
 
     t0 = time.perf_counter()

@@ -245,21 +245,46 @@ def head_apply(params: dict, x: jnp.ndarray,
     x = x.astype(precision.compute_dtype)
     x = conv2d(x, params["conv_in"]["w"], params["conv_in"]["b"], padding=1)
 
-    wcomp = fold_deconv2x2_conv3x3(
-        params["deconv"]["w"], params["deconv"]["b"], params["conv_mid"]["w"]
-    )
-    ones = jnp.ones(x.shape[:3] + (1,), x.dtype)
-    h = conv2d(jnp.concatenate([x, ones], axis=-1), wcomp, padding=1)
+    # inference paths precompute the fold once (fold_head_params);
+    # training folds in-graph so gradients flow to the raw weights
+    wcomp = params.get("folded_wcomp")
+    if wcomp is None:
+        wcomp = fold_deconv2x2_conv3x3(
+            params["deconv"]["w"], params["deconv"]["b"], params["conv_mid"]["w"]
+        )
+    cin = x.shape[-1]
+    # main conv on x; the ones-channel (deconv-bias border handling)
+    # becomes a separate batch-1 conv of a constant — input-independent,
+    # so XLA hoists/CSEs it and the hot conv keeps a clean channel count
+    h = conv2d(x, wcomp[:, :, :cin], padding=1)
+    ones = jnp.ones((1,) + x.shape[1:3] + (1,), x.dtype)
+    h = h + conv2d(ones, wcomp[:, :, cin:], padding=1)
     n = params["conv_mid"]["b"].shape[0]
     h = h + jnp.tile(params["conv_mid"]["b"], 4).astype(h.dtype)
     h = jax.nn.relu(h).astype(jnp.float32)
 
-    # 1x1 output conv applied per packed subpixel group, then unpack
-    bsz, hh, ww, _ = h.shape
+    # 1x1 output conv per packed subpixel group as ONE block-diagonal
+    # matmul (keeps the lane dim at 4*N instead of a 5-D reshape)
     wo = params["conv_out"]["w"].reshape(n, -1)  # (N, n_out)
-    y = jnp.dot(h.reshape(bsz, hh, ww, 4, n), wo) + params["conv_out"]["b"]
-    y = depth_to_space2x2(y.reshape(bsz, hh, ww, -1))  # (B, 2H, 2W, n_out)
+    n_out = wo.shape[-1]
+    eye4 = jnp.eye(4, dtype=wo.dtype)
+    wbig = jnp.einsum("gh,no->gnho", eye4, wo).reshape(4 * n, 4 * n_out)
+    y = jnp.dot(h, wbig) + jnp.tile(params["conv_out"]["b"], 4)
+    y = depth_to_space2x2(y)  # (B, 2H, 2W, n_out)
     return jax.nn.relu(y)
+
+
+def fold_head_params(params: dict) -> dict:
+    """Return a copy of the full param tree with the head's
+    deconv+conv_mid fold precomputed (inference-time optimization; the
+    forward uses it when present instead of folding in-graph)."""
+    head = dict(params["head"])
+    head["folded_wcomp"] = fold_deconv2x2_conv3x3(
+        head["deconv"]["w"], head["deconv"]["b"], head["conv_mid"]["w"]
+    )
+    out = dict(params)
+    out["head"] = head
+    return out
 
 
 def fov_apply(params: dict, x: jnp.ndarray, lowres: jnp.ndarray, cfg: DepthProConfig,
@@ -457,6 +482,8 @@ class DepthPro:
     def __init__(self, params: dict, cfg: DepthProConfig,
                  precision: Precision = Precision.fp32(),
                  attn_impl: str | None = None):
+        if "folded_wcomp" not in params.get("head", {}):
+            params = fold_head_params(params)
         self.params = params
         self.cfg = cfg
         self.precision = precision

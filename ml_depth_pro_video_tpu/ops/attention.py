@@ -191,3 +191,4 @@ def multi_head_attention(
     if impl == "pallas":
         return _flash_attention(q, k, v)
     return _xla_attention(q, k, v)
+

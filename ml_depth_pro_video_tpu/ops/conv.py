@@ -14,6 +14,8 @@ Checkpoint conversion transposes torch weights into these layouts
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax.numpy as jnp
 from jax import lax
 
@@ -116,21 +118,20 @@ def fold_deconv2x2_conv3x3(
     bias_row = jnp.broadcast_to(bd.reshape(1, 1, 1, m), (1, 2, 2, m))
     wd4 = jnp.concatenate([wd4, bias_row], axis=0)  # (C+1, 2, 2, M)
 
-    comp = jnp.zeros((3, 3, c + 1, 2, 2, n), wc.dtype)
-    for s in (-1, 0, 1):
-        for t in (-1, 0, 1):
-            for a in (0, 1):
-                for ap in (0, 1):
-                    dy = 2 * s + ap - a
-                    if abs(dy) > 1:
-                        continue
-                    for b_ in (0, 1):
-                        for bp in (0, 1):
-                            dx = 2 * t + bp - b_
-                            if abs(dx) > 1:
-                                continue
-                            contrib = jnp.dot(wd4[:, ap, bp, :], wc[dy + 1, dx + 1])
-                            comp = comp.at[s + 1, t + 1, :, a, b_, :].add(contrib)
+    # tap mapping as a constant 0/1 tensor: MAP[s, a, a', y] = 1 iff the
+    # 3x3 conv tap dy = 2(s-1) + a' - a is in range and y = dy + 1 —
+    # the whole fold is then ONE einsum (cheap enough to stay in-graph,
+    # so training differentiates through it and inference pays ~nothing)
+    tap = np.zeros((3, 2, 2, 3), wc.dtype if isinstance(wc, np.ndarray) else np.float32)
+    for s in range(3):
+        for a in range(2):
+            for ap in range(2):
+                dy = 2 * (s - 1) + ap - a
+                if abs(dy) <= 1:
+                    tap[s, a, ap, dy + 1] = 1.0
+    tap = jnp.asarray(tap, wc.dtype)
+
+    comp = jnp.einsum("cpqm,yxmn,sapy,tbqx->stcabn", wd4, wc, tap, tap)
     return comp.reshape(3, 3, c + 1, 4 * n)
 
 

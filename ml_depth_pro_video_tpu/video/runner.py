@@ -62,6 +62,9 @@ class DepthVideoRunner:
             from ..ckpt.quantize import quantize_vit_weights
 
             params = quantize_vit_weights(params)
+        from ..models.depth_pro import fold_head_params
+
+        params = fold_head_params(params)  # precompute head deconv+conv fold
         self.params = jax.tree.map(jnp.asarray, params)
         if mesh is not None:
             from ..parallel.sharding import shard_params
