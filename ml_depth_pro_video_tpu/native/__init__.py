@@ -16,7 +16,7 @@ import numpy as np
 
 LOGGER = logging.getLogger(__name__)
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "neighbors.cpp")
+_SOURCES = [os.path.join(_DIR, "neighbors.cpp"), os.path.join(_DIR, "geometry.cpp")]
 # dash keeps pkgutil/import machinery from treating the ctypes
 # library as a Python extension module
 _SO = os.path.join(_DIR, "geom-native.so")
@@ -27,7 +27,7 @@ _tried = False
 
 def _build() -> bool:
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           "-pthread", _SRC, "-o", _SO]
+           "-pthread", *_SOURCES, "-o", _SO]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=240)
         return True
@@ -41,7 +41,8 @@ def _load():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < max(
+            os.path.getmtime(s) for s in _SOURCES):
         if not _build():
             return None
     try:
@@ -68,6 +69,16 @@ def _load():
         ctypes.c_double, ctypes.c_double, ctypes.c_double,
         ctypes.POINTER(ctypes.c_double),
     ]
+    lib.normalized_cloud.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_double, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_double), ctypes.c_double,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_double,
+        ctypes.c_int, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.normalized_cloud.restype = ctypes.c_int64
     _lib = lib
     return _lib
 
@@ -133,3 +144,55 @@ class neighbors:
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         )
         return out
+
+    @staticmethod
+    def normalized_cloud(depth: np.ndarray, f_px: float, ground_model: dict,
+                         image: np.ndarray | None = None,
+                         grid_size: int = 20, percentile: float = 5.0,
+                         max_depth: float | None = None):
+        """Fused depth -> normalized, grid-adjusted cloud (geometry.cpp).
+
+        Mirrors depth_to_3d -> normalize_to_ground ->
+        grid_ground_adjustment exactly; returns (points (N,3) float64,
+        colors (N,3) float64 or None). None when the native lib is
+        unavailable (callers fall back to the numpy chain).
+        """
+        lib = _load()
+        if lib is None:
+            return None
+        dep = np.ascontiguousarray(depth, dtype=np.float32)
+        h, w = dep.shape
+        normal = np.asarray(ground_model["normal"], dtype=np.float64)
+        normal = normal / np.linalg.norm(normal)
+        d = float(ground_model["d"])
+
+        # rotation decided exactly as geom.ground.normalize_to_ground
+        horizontal = np.array([0.0, 1.0, 0.0])
+        if abs(normal @ horizontal) > 0.99:
+            use_rot, R, y_shift = 0, np.eye(3), 0.0
+        else:
+            from ..geom.ground import rotation_between
+
+            R = rotation_between(normal, horizontal)
+            rn = R @ normal
+            use_rot, y_shift = 1, float(-d / rn[1])
+        R = np.ascontiguousarray(R, dtype=np.float64)
+
+        img = None
+        if image is not None:
+            img = np.ascontiguousarray(image[..., :3], dtype=np.uint8)
+        out_pts = np.empty((h * w, 3), dtype=np.float64)
+        out_cols = np.empty((h * w, 3), dtype=np.float64) if img is not None else None
+        n = lib.normalized_cloud(
+            dep.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), h, w,
+            float(f_px), float(max_depth) if max_depth is not None else -1.0,
+            img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)) if img is not None else None,
+            normal.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), d,
+            R.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), use_rot, y_shift,
+            int(grid_size), float(percentile),
+            out_pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            out_cols.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+            if out_cols is not None else None,
+        )
+        pts = out_pts[:n]
+        return pts, (out_cols[:n] if out_cols is not None else None)

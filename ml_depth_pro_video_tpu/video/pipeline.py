@@ -55,7 +55,22 @@ def normalized_cloud_from_depth(
     ground_percentile: float = 5.0,
     max_depth: float | None = None,
 ) -> PointCloud:
-    """depth map + ground model -> ground-normalized, grid-adjusted cloud."""
+    """depth map + ground model -> ground-normalized, grid-adjusted cloud.
+
+    Hot path of the video pipeline: prefers the fused native kernel
+    (native/geometry.cpp, one pass; exact same math) and falls back to
+    the numpy chain when the native lib or uint8 colors are unavailable.
+    """
+    if image is None or image.dtype == np.uint8:
+        from ..native import neighbors as native
+
+        fused = native.normalized_cloud(
+            depth, f_px, ground_model, image=image,
+            grid_size=grid_size, percentile=ground_percentile, max_depth=max_depth,
+        )
+        if fused is not None:
+            pts, cols = fused
+            return PointCloud(pts, cols)
     cloud = depth_to_3d(depth, f_px, image=image, max_depth=max_depth)
     pts = normalize_to_ground(cloud.points, ground_model)
     pts = grid_ground_adjustment(pts, grid_size=grid_size, percentile=ground_percentile)

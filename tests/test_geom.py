@@ -227,3 +227,54 @@ def test_native_radius_mask_matches_counts():
     for k in (1, 5, 20):
         mask = nat.radius_mask(pts, 0.2, k)
         np.testing.assert_array_equal(mask, counts >= k)
+
+
+def test_native_normalized_cloud_matches_numpy_chain():
+    """The fused C++ kernel (native/geometry.cpp) must reproduce the
+    numpy chain depth_to_3d -> normalize_to_ground ->
+    grid_ground_adjustment element-for-element."""
+    from ml_depth_pro_video_tpu.geom.ground import (
+        grid_ground_adjustment,
+        normalize_to_ground,
+    )
+    from ml_depth_pro_video_tpu.geom.unproject import depth_to_3d
+    from ml_depth_pro_video_tpu.native import neighbors as native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+
+    rng = np.random.default_rng(3)
+    h, w = 120, 160
+    depth = (rng.random((h, w)) * 8 + 0.5).astype(np.float32)
+    depth[rng.random((h, w)) < 0.03] = np.nan  # invalid holes
+    depth[rng.random((h, w)) < 0.02] = 0.0
+    image = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+    f_px = 300.0
+
+    n = np.array([0.08, 0.99, -0.06])
+    n = n / np.linalg.norm(n)
+    model = {"normal": n, "d": 1.7, "origin": np.zeros(3)}
+
+    for max_depth, img in [(None, image), (6.0, None)]:
+        cloud = depth_to_3d(depth, f_px, image=img, max_depth=max_depth)
+        ref_pts = cloud.points if img is not None else cloud[0]
+        if img is None:
+            ref_pts = depth_to_3d(depth, f_px, max_depth=max_depth)[0]
+        else:
+            ref_pts = cloud.points
+        ref = grid_ground_adjustment(normalize_to_ground(ref_pts, model))
+        got_pts, got_cols = native.normalized_cloud(
+            depth, f_px, model, image=img, max_depth=max_depth)
+        assert got_pts.shape == ref.shape
+        np.testing.assert_allclose(got_pts, ref, rtol=1e-12, atol=1e-12)
+        if img is not None:
+            np.testing.assert_allclose(got_cols, cloud.colors, atol=1e-12)
+
+    # near-horizontal normal: identity path (no rotation)
+    model2 = {"normal": np.array([0.0, 1.0, 0.005]), "d": 1.5, "origin": np.zeros(3)}
+    pts0, _ = depth_to_3d(depth, f_px)
+    ref = grid_ground_adjustment(normalize_to_ground(pts0, model2))
+    got_pts, _ = native.normalized_cloud(depth, f_px, model2)
+    np.testing.assert_allclose(got_pts, ref, rtol=1e-12, atol=1e-12)
