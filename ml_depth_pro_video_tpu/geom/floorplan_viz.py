@@ -187,6 +187,118 @@ def floorplan_visualization(
         plt.close(fig)
 
     if fit_shapes and output_all_files:
-        shapes_path = os.path.splitext(output_path)[0] + "_shapes.txt"
-        export_shape_data(rectangles, circles, shapes_path)
+        base = os.path.splitext(output_path)[0]
+        export_shape_data(rectangles, circles, base + "_shapes.txt")
+        lim = dict(
+            x_limits=x_limits or (float(x.min()), float(x.max())),
+            z_limits=z_limits or (float(z.min()), float(z.max())),
+            dpi=dpi,
+        )
+        shapes_only_plan(rectangles, circles, base + "_shapes.png", **lim)
+        filled_floor_plan(rectangles, circles, base + "_floor_plan.png", **lim)
     return rectangles, circles
+
+
+def shapes_only_plan(
+    rectangles, circles, output_path: str,
+    x_limits: tuple | None = None, z_limits: tuple | None = None,
+    dpi: int = 150,
+):
+    """Clean floor plan of just the fitted shapes with a 1 m scale bar
+    (`simple_pointcloud_viewer.py:681-786`): colored patches, numeric
+    labels, dimension text on large shapes, total-area title."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.patches as patches
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(12, 12))
+    try:
+        ax = plt.gca()
+        for i, rect in enumerate(rectangles):
+            cx, cy, w, h, ang = rect
+            ax.add_patch(
+                plt.Polygon(rect_corners(rect), closed=True, linewidth=2,
+                            edgecolor="black",
+                            facecolor=_RECT_COLORS[i % len(_RECT_COLORS)], alpha=0.7)
+            )
+            plt.text(cx, cy, str(i + 1), ha="center", va="center",
+                     color="white", fontsize=10, fontweight="bold")
+            if w > 0.3 and h > 0.3:
+                plt.text(cx, cy + 0.15, f"{w:.2f}×{h:.2f}m",
+                         ha="center", va="center", color="white", fontsize=8)
+        for i, (cx, cy, r) in enumerate(circles):
+            ax.add_patch(
+                patches.Circle((cx, cy), r, linewidth=2, edgecolor="black",
+                               facecolor=_CIRC_COLORS[i % len(_CIRC_COLORS)], alpha=0.7)
+            )
+            plt.text(cx, cy, str(len(rectangles) + i + 1), ha="center",
+                     va="center", color="white", fontsize=10, fontweight="bold")
+            if r > 0.2:
+                plt.text(cx, cy + 0.1, f"r={r:.2f}m", ha="center", va="center",
+                         color="white", fontsize=8)
+
+        total = (sum(r[2] * r[3] for r in rectangles)
+                 + sum(np.pi * c[2] ** 2 for c in circles))
+        plt.title(f"Floor Plan - {len(rectangles)} Rectangles, "
+                  f"{len(circles)} Circles (Total Area: {total:.2f}m²)")
+        plt.xlabel("X (meters)")
+        plt.ylabel("Z (meters)")
+        plt.axis("equal")
+        plt.grid(True, linestyle="--", alpha=0.4)
+        ax.set_facecolor("#f8f9fa")
+        if x_limits:
+            plt.xlim(*x_limits)
+        if z_limits:
+            plt.ylim(*z_limits)
+
+        # 1 m scale bar near the lower-left corner
+        xl, zl = plt.xlim(), plt.ylim()
+        bar_x = xl[0] + 0.1 * (xl[1] - xl[0])
+        bar_y = zl[0] + 0.1 * (zl[1] - zl[0])
+        plt.plot([bar_x, bar_x + 1.0], [bar_y, bar_y], "k-", linewidth=3)
+        plt.text(bar_x + 0.5, bar_y - 0.1, "1 meter", ha="center", va="top")
+
+        plt.tight_layout()
+        plt.savefig(output_path, dpi=dpi)
+    finally:
+        plt.close(fig)
+
+
+def filled_floor_plan(
+    rectangles, circles, output_path: str,
+    x_limits: tuple | None = None, z_limits: tuple | None = None,
+    dpi: int = 150,
+):
+    """Simplified floor plan with solid light-gray fills, axes off
+    (`simple_pointcloud_viewer.py:788-846`)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.patches as patches
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(12, 12), facecolor="white")
+    try:
+        ax.set_facecolor("white")
+        for rect in rectangles:
+            ax.add_patch(
+                plt.Polygon(rect_corners(rect), closed=True, linewidth=1.5,
+                            edgecolor="black", facecolor="lightgray", alpha=1.0)
+            )
+        for cx, cy, r in circles:
+            ax.add_patch(
+                patches.Circle((cx, cy), r, linewidth=1.5, edgecolor="black",
+                               facecolor="lightgray", alpha=1.0)
+            )
+        plt.axis("equal")
+        plt.axis("off")
+        if x_limits:
+            plt.xlim(*x_limits)
+        if z_limits:
+            plt.ylim(*z_limits)
+        plt.tight_layout()
+        plt.savefig(output_path, dpi=dpi, bbox_inches="tight", pad_inches=0.1)
+    finally:
+        plt.close(fig)

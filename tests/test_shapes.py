@@ -1,5 +1,7 @@
 """Shape fitting + rendering tests."""
 
+import os
+
 import numpy as np
 
 from ml_depth_pro_video_tpu.geom.pointcloud import PointCloud
@@ -80,3 +82,59 @@ def test_render_views():
     assert (img < 250).any()
     grid = render_multi_view(cloud, width=320, height=240)
     assert grid.shape == (240, 320, 3)
+
+
+def test_viewer_outputs_all_files(tmp_path):
+    """output_all_files writes all four artifacts like the reference
+    viewer (`simple_pointcloud_viewer.py:681-846`): scatter PNG,
+    _shapes.txt, _shapes.png (scale bar), _floor_plan.png (filled)."""
+    from ml_depth_pro_video_tpu.geom.floorplan_viz import floorplan_visualization
+    from ml_depth_pro_video_tpu.geom.pointcloud import PointCloud
+
+    rng = np.random.default_rng(0)
+    # two dense boxes and one disc on the floor plane
+    def box(cx, cz, w, d, n):
+        p = rng.random((n, 2)) * [w, d] + [cx - w / 2, cz - d / 2]
+        return np.column_stack([p[:, 0], np.full(n, 1.5), p[:, 1]])
+
+    th = rng.random(400) * 2 * np.pi
+    rr = np.sqrt(rng.random(400)) * 0.8
+    disc = np.column_stack([4 + rr * np.cos(th), np.full(400, 1.5), 2 + rr * np.sin(th)])
+    pts = np.concatenate([box(0, 0, 2, 1, 600), box(-3, 3, 1, 1, 400), disc])
+    cloud = PointCloud(pts, None)
+
+    out = str(tmp_path / "view.png")
+    rects, circles = floorplan_visualization(
+        cloud, out, height_threshold=1.0, fit_shapes=True, output_all_files=True,
+    )
+    assert len(rects) + len(circles) >= 2
+    assert os.path.exists(str(tmp_path / "view.png"))
+    assert os.path.exists(str(tmp_path / "view_shapes.txt"))
+    assert os.path.exists(str(tmp_path / "view_shapes.png"))
+    assert os.path.exists(str(tmp_path / "view_floor_plan.png"))
+
+
+def test_shape_export_golden_format(tmp_path):
+    """The _shapes.txt format must match the reference's checked-in
+    golden artifact (`output_0243_clean_simple_view_shapes.txt`):
+    header, counts, total area, and per-shape CSV lines."""
+    from ml_depth_pro_video_tpu.geom.shapes import export_shape_data
+
+    rects = [(-0.322, 11.256, 5.821, 9.540, 86.3), (1.0, 2.0, 0.5, 0.4, 10.0)]
+    circles = [(4.0, 2.0, 0.8)]
+    path = str(tmp_path / "shapes.txt")
+    export_shape_data(rects, circles, path)
+    lines = open(path).read().splitlines()
+
+    assert lines[0] == "# Floor Plan Shape Data"
+    assert lines[1] == "# Units: meters"
+    assert f"Total Shapes: {len(rects) + len(circles)}" in lines
+    assert f"Rectangles: {len(rects)}" in lines
+    assert f"Circles: {len(circles)}" in lines
+    total = sum(r[2] * r[3] for r in rects) + np.pi * 0.8 ** 2
+    assert any(line == f"Total Area: {total:.2f} square meters" for line in lines)
+    # per-rectangle line: ID, cx, cy, w, h, angle, area
+    rect_line = [line for line in lines if line.startswith("1, ")][0]
+    fields = [f.strip() for f in rect_line.split(",")]
+    assert len(fields) == 7
+    assert float(fields[3]) == 5.821 and float(fields[6]) == round(5.821 * 9.540, 3)
