@@ -111,7 +111,8 @@ def floorplan_visualization(
 
     if len(points) < max(min_cluster_size, 1):
         # nothing above the threshold: emit a blank frame so video
-        # sequences stay continuous
+        # sequences stay continuous (+ the empty shape artifacts, so a
+        # fit_shapes run always produces the full file set)
         fig = plt.figure(figsize=(12, 12))
         try:
             plt.axis("off")
@@ -121,6 +122,12 @@ def floorplan_visualization(
             plt.savefig(output_path, dpi=dpi, bbox_inches="tight", pad_inches=0)
         finally:
             plt.close(fig)
+        if fit_shapes and output_all_files:
+            base = os.path.splitext(output_path)[0]
+            export_shape_data([], [], base + "_shapes.txt")
+            lim = dict(x_limits=x_limits or (0, 1), z_limits=z_limits or (0, 1), dpi=dpi)
+            shapes_only_plan([], [], base + "_shapes.png", **lim)
+            filled_floor_plan([], [], base + "_floor_plan.png", **lim)
         return [], []
 
     # top-down (X flipped to match the source image orientation)
