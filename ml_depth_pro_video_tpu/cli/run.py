@@ -52,11 +52,32 @@ def run(args) -> None:
         batch_size=args.batch_size,
     )
 
+    # live side-by-side display (reference cli/run.py:99-113); requires
+    # an interactive matplotlib backend — degrades to headless politely
+    fig = ax_rgb = ax_disp = None
+    if not args.skip_display:
+        try:
+            import matplotlib.pyplot as plt
+
+            plt.ion()
+            fig, (ax_rgb, ax_disp) = plt.subplots(1, 2)
+            fig.canvas.manager.set_window_title("Depth Pro")
+        except Exception as exc:  # noqa: BLE001 - headless hosts
+            LOGGER.warning("no interactive display (%s); continuing headless", exc)
+            args.skip_display = True
+
     # the runner extracts the EXIF focal length per image itself
     for result in runner.depth_stream(str(p) for p in paths):
         rel = Path(result["key"])
         depth = result["depth"]
         LOGGER.info("%s: f_px=%.1f", rel.name, result["focallength_px"])
+        if not args.skip_display:
+            inv = 1.0 / depth
+            normed = (inv - inv.min()) / max(inv.max() - inv.min(), 1e-9)
+            ax_rgb.imshow(result["image"])
+            ax_disp.imshow(normed, cmap="turbo")
+            fig.canvas.draw()
+            fig.canvas.flush_events()
         if args.output_path is not None:
             out_dir = Path(args.output_path)
             out_dir.mkdir(parents=True, exist_ok=True)
@@ -73,6 +94,11 @@ def run(args) -> None:
             print(f"{rel.name}: depth [{depth.min():.2f}, {depth.max():.2f}] m, "
                   f"f_px={result['focallength_px']:.1f}")
 
+    if not args.skip_display:
+        import matplotlib.pyplot as plt
+
+        plt.show(block=True)
+
 
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description="Depth Pro inference (TPU-native)")
@@ -84,6 +110,8 @@ def main(argv=None) -> None:
     ap.add_argument("--fp32", dest="half", action="store_false")
     ap.add_argument("--batch-size", type=int, default=1)
     ap.add_argument("-v", "--verbose", action="store_true")
+    ap.add_argument("--skip-display", action="store_true", default=False,
+                    help="do not open the live matplotlib view")
     run(ap.parse_args(argv))
 
 

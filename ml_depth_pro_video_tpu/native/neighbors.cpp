@@ -59,138 +59,120 @@ struct GridHash {
 extern "C" {
 
 // mask[i] = 1 iff point i has >= min_count neighbors (j != i) within radius.
-// CSR cell layout (points sorted by cell, contiguous float32 coords) for
-// cache-friendly scans; 27-cell population fail-fast; early exit once
-// min_count neighbors are found.
+// Cells sorted by linear key; the 27-cell neighborhood of every cell is
+// discovered with 9 monotonic two-pointer streams over the sorted key
+// array (one per (dx,dy), z-neighbors are key +/-1) — sequential scans
+// instead of 27 random hash probes per cell, which dominated on sparse
+// multi-million-cell clouds. Key-space wrap at grid edges can only add
+// FALSE neighbor cells (never miss true ones); the r^2 check filters them.
 void radius_mask(const double* pts, int64_t n, double radius,
                  int32_t min_count, uint8_t* mask) {
     if (n == 0) return;
     const float r2 = (float)(radius * radius);
     const double inv_cell = 1.0 / radius;
 
-    // cell coordinates per point
-    std::vector<int32_t> cx(n), cy(n), cz(n);
     double min_x = 1e300, min_y = 1e300, min_z = 1e300;
+    double max_x = -1e300, max_y = -1e300, max_z = -1e300;
     for (int64_t i = 0; i < n; ++i) {
-        min_x = std::min(min_x, pts[3 * i]);
-        min_y = std::min(min_y, pts[3 * i + 1]);
-        min_z = std::min(min_z, pts[3 * i + 2]);
+        min_x = std::min(min_x, pts[3 * i]);     max_x = std::max(max_x, pts[3 * i]);
+        min_y = std::min(min_y, pts[3 * i + 1]); max_y = std::max(max_y, pts[3 * i + 1]);
+        min_z = std::min(min_z, pts[3 * i + 2]); max_z = std::max(max_z, pts[3 * i + 2]);
     }
-    int32_t max_cx = 0, max_cy = 0, max_cz = 0;
+    const int64_t ny = (int64_t)((max_y - min_y) * inv_cell) + 1;
+    const int64_t nz = (int64_t)((max_z - min_z) * inv_cell) + 1;
+
+    // (key, point) pairs sorted by key
+    std::vector<std::pair<int64_t, int64_t>> kp(n);
     for (int64_t i = 0; i < n; ++i) {
-        cx[i] = (int32_t)((pts[3 * i] - min_x) * inv_cell);
-        cy[i] = (int32_t)((pts[3 * i + 1] - min_y) * inv_cell);
-        cz[i] = (int32_t)((pts[3 * i + 2] - min_z) * inv_cell);
-        max_cx = std::max(max_cx, cx[i]);
-        max_cy = std::max(max_cy, cy[i]);
-        max_cz = std::max(max_cz, cz[i]);
+        const int64_t gx = (int64_t)((pts[3 * i] - min_x) * inv_cell);
+        const int64_t gy = (int64_t)((pts[3 * i + 1] - min_y) * inv_cell);
+        const int64_t gz = (int64_t)((pts[3 * i + 2] - min_z) * inv_cell);
+        kp[i] = {(gx * ny + gy) * nz + gz, i};
     }
-    const int64_t nx = max_cx + 1, ny = max_cy + 1, nz = max_cz + 1;
-    const int64_t n_cells = nx * ny * nz;
+    std::sort(kp.begin(), kp.end());
 
-    // dense CSR when the grid is small enough, hashed CSR otherwise
-    std::vector<int64_t> cell_of(n);
-    std::unordered_map<int64_t, int64_t> remap;
-    int64_t n_slots;
-    if (n_cells <= 4 * n + 16) {
-        for (int64_t i = 0; i < n; ++i)
-            cell_of[i] = (cx[i] * ny + cy[i]) * nz + cz[i];
-        n_slots = n_cells;
-    } else {
-        remap.reserve((size_t)n);
-        for (int64_t i = 0; i < n; ++i) {
-            int64_t key = (cx[i] * ny + cy[i]) * nz + cz[i];
-            auto it = remap.find(key);
-            if (it == remap.end()) it = remap.emplace(key, (int64_t)remap.size()).first;
-            cell_of[i] = it->second;
-        }
-        n_slots = (int64_t)remap.size();
-    }
-
-    // counting sort into CSR
-    std::vector<int64_t> starts(n_slots + 1, 0);
-    for (int64_t i = 0; i < n; ++i) ++starts[cell_of[i] + 1];
-    for (int64_t c = 0; c < n_slots; ++c) starts[c + 1] += starts[c];
-    std::vector<int64_t> order(n);
-    {
-        std::vector<int64_t> cursor(starts.begin(), starts.end() - 1);
-        for (int64_t i = 0; i < n; ++i) order[cursor[cell_of[i]]++] = i;
-    }
-    // contiguous float32 coords in CSR order
+    // CSR over unique keys + contiguous float32 coords in sorted order
+    std::vector<int64_t> ukey;  ukey.reserve(n / 4 + 16);
+    std::vector<int64_t> starts; starts.reserve(n / 4 + 17);
     std::vector<float> fx(n), fy(n), fz(n);
+    std::vector<int64_t> order(n);
     for (int64_t s = 0; s < n; ++s) {
-        int64_t i = order[s];
+        if (s == 0 || kp[s].first != kp[s - 1].first) {
+            ukey.push_back(kp[s].first);
+            starts.push_back(s);
+        }
+        const int64_t i = kp[s].second;
+        order[s] = i;
         fx[s] = (float)pts[3 * i];
         fy[s] = (float)pts[3 * i + 1];
         fz[s] = (float)pts[3 * i + 2];
     }
+    const int64_t u = (int64_t)ukey.size();
+    starts.push_back(n);
 
-    auto slot_of = [&](int64_t gx, int64_t gy, int64_t gz) -> int64_t {
-        if (gx < 0 || gy < 0 || gz < 0 || gx >= nx || gy >= ny || gz >= nz) return -1;
-        int64_t key = (gx * ny + gy) * nz + gz;
-        if (remap.empty()) return key;
-        auto it = remap.find(key);
-        return it == remap.end() ? -1 : it->second;
-    };
+    const int64_t nynz = ny * nz;
+    const int64_t offs[9] = {-nynz - nz, -nynz, -nynz + nz,
+                             -nz,        0,     nz,
+                             nynz - nz,  nynz,  nynz + nz};
 
-    // iterate cell by cell: neighbor-slot discovery (hash lookups) happens
-    // once per occupied cell, not once per point. Cells are independent,
-    // so shard them across hardware threads (TPU-VM hosts have ~100 cores).
-    auto process_slots = [&](int64_t slot_begin, int64_t slot_end) {
-    for (int64_t slot = slot_begin; slot < slot_end; ++slot) {
-        const int64_t cell_lo = starts[slot], cell_hi = starts[slot + 1];
-        if (cell_lo == cell_hi) continue;
-        const int64_t i0 = order[cell_lo];
-        const int64_t gx = cx[i0], gy = cy[i0], gz = cz[i0];
+    // cells are independent: shard contiguous ranges across threads,
+    // each range re-seeding its 9 stream pointers by binary search
+    auto process_range = [&](int64_t c0, int64_t c1) {
+    int64_t ptr[9];
+    for (int q = 0; q < 9; ++q)
+        ptr[q] = std::lower_bound(ukey.begin(), ukey.end(),
+                                  ukey[c0] + offs[q] - 1) - ukey.begin();
 
-        int64_t upper = -1;
-        int64_t slots[27];
+    for (int64_t c = c0; c < c1; ++c) {
+        const int64_t k = ukey[c];
+        int64_t nb_lo[27], nb_hi[27];
         int n_nb = 0;
-        for (int64_t dx = -1; dx <= 1; ++dx)
-            for (int64_t dy = -1; dy <= 1; ++dy)
-                for (int64_t dz = -1; dz <= 1; ++dz) {
-                    int64_t sl = slot_of(gx + dx, gy + dy, gz + dz);
-                    if (sl < 0) continue;
-                    int64_t cnt = starts[sl + 1] - starts[sl];
-                    if (cnt == 0) continue;
-                    upper += cnt;
-                    slots[n_nb++] = sl;
-                }
+        int64_t upper = -1;
+        for (int q = 0; q < 9; ++q) {
+            const int64_t target = k + offs[q] - 1;  // window [target, target+2]
+            int64_t& p = ptr[q];
+            while (p < u && ukey[p] < target) ++p;
+            for (int64_t t = p; t < u && ukey[t] <= target + 2; ++t) {
+                nb_lo[n_nb] = starts[t];
+                nb_hi[n_nb] = starts[t + 1];
+                upper += nb_hi[n_nb] - nb_lo[n_nb];
+                ++n_nb;
+            }
+        }
+        const int64_t cell_lo = starts[c], cell_hi = starts[c + 1];
         if (upper < min_count) {
             for (int64_t s = cell_lo; s < cell_hi; ++s) mask[order[s]] = 0;
             continue;
         }
         for (int64_t s = cell_lo; s < cell_hi; ++s) {
             const float xi = fx[s], yi = fy[s], zi = fz[s];
-            int32_t c = -1;  // the point itself matches at distance 0
+            int32_t cnt = -1;  // the point itself matches at distance 0
             bool done = false;
             for (int b = 0; b < n_nb && !done; ++b) {
-                const int64_t lo = starts[slots[b]], hi = starts[slots[b] + 1];
-                for (int64_t t = lo; t < hi; ++t) {
+                for (int64_t t = nb_lo[b]; t < nb_hi[b]; ++t) {
                     const float ddx = fx[t] - xi;
                     const float ddy = fy[t] - yi;
                     const float ddz = fz[t] - zi;
                     if (ddx * ddx + ddy * ddy + ddz * ddz <= r2) {
-                        if (++c >= min_count) { done = true; break; }
+                        if (++cnt >= min_count) { done = true; break; }
                     }
                 }
             }
-            mask[order[s]] = c >= min_count ? 1 : 0;
+            mask[order[s]] = cnt >= min_count ? 1 : 0;
         }
     }
-    };  // process_slots
+    };  // process_range
 
     unsigned n_threads = std::thread::hardware_concurrency();
-    if (n_threads <= 1 || n_slots < 4096) {
-        process_slots(0, n_slots);
+    if (n_threads <= 1 || u < 4096) {
+        process_range(0, u);
     } else {
         n_threads = std::min<unsigned>(n_threads, 64);
         std::vector<std::thread> workers;
-        const int64_t chunk = (n_slots + n_threads - 1) / n_threads;
+        const int64_t chunk = (u + n_threads - 1) / n_threads;
         for (unsigned t = 0; t < n_threads; ++t) {
-            const int64_t lo = t * chunk;
-            const int64_t hi = std::min<int64_t>(lo + chunk, n_slots);
-            if (lo < hi) workers.emplace_back(process_slots, lo, hi);
+            const int64_t lo = t * chunk, hi = std::min<int64_t>(lo + chunk, u);
+            if (lo < hi) workers.emplace_back(process_range, lo, hi);
         }
         for (auto& w : workers) w.join();
     }
