@@ -74,28 +74,74 @@ def clean_shadows(
     zi = np.minimum(((z - z_min) / cell_size).astype(np.int64), nz - 1)
     cell = xi * nz + zi
 
-    # group points by cell: sort once, then segment reductions
+    # group points by cell (height-sorted within cells), then do the
+    # whole tall-column analysis with segment reductions — no per-cell
+    # Python loop (that loop cost ~8 s on a 2.4M-point frame)
     order = np.lexsort((y, cell))
     cell_sorted = cell[order]
-    starts = np.nonzero(np.r_[True, cell_sorted[1:] != cell_sorted[:-1]])[0]
+    new_seg = np.r_[True, cell_sorted[1:] != cell_sorted[:-1]]
+    starts = np.nonzero(new_seg)[0]
     ends = np.r_[starts[1:], n]
+    counts = ends - starts
+    ys = y[order]
+
+    # qualifying cells: enough points AND tall (ys ascending per cell)
+    qual_seg = (counts >= max(min_points_per_column, 3)) & (
+        ys[ends - 1] - ys[starts] > shadow_height_threshold
+    )
+    if not qual_seg.any():
+        return cloud.select(np.ones(n, dtype=bool))
+
+    seg_id = np.cumsum(new_seg) - 1  # per sorted point -> segment index
+    # consecutive height-sorted pairs within one cell, in qualifying
+    # cells — componentwise 1-D diffs, no (N,3) gather/compress
+    pair_same = cell_sorted[1:] == cell_sorted[:-1]
+    pair_seg = seg_id[:-1]
+    pmask = pair_same & qual_seg[pair_seg]
+    xs, zs = x[order], z[order]
+    dvy = np.diff(ys)
+    dn2 = dvy * dvy + np.diff(xs) ** 2 + np.diff(zs) ** 2
+    vy = dvy[pmask]
+    n2 = dn2[pmask]
+    pseg = pair_seg[pmask]
+
+    # median(angle) < t reduces to COUNTING pairs with angle < t:
+    # angle < t  <=>  vy > cos(t)*|vec|  <=>  vy > 0 and vy^2 > cos^2(t)*|vec|^2
+    # (sqrt/arccos-free; zero-length pairs give angle 90 in the direct
+    # formula and vy=0 here — same verdict). For odd pair-count m the
+    # median is < t iff count >= (m+1)/2; for even m only the boundary
+    # case count == m/2 needs the two middle values, computed exactly
+    # for just those (few) cells.
+    cos_t = np.cos(np.radians(max_shadow_angle))
+    below = (vy > 0) & (vy * vy > cos_t * cos_t * n2)
+
+    n_seg = len(starts)
+    m = np.bincount(pseg, minlength=n_seg)
+    cnt_below = np.bincount(pseg[below], minlength=n_seg)
+    drop_seg = np.zeros(n_seg, dtype=bool)
+    has_pairs = m > 0
+    odd = has_pairs & (m % 2 == 1)
+    even = has_pairs & ~odd
+    drop_seg[odd] = cnt_below[odd] >= (m[odd] + 1) // 2
+    drop_seg[even] = cnt_below[even] >= m[even] // 2 + 1
+    boundary = even & (cnt_below == m // 2)
+    if boundary.any():
+        # exact medians for just the boundary cells: compress their
+        # pairs, one sort by (cell, angle), average the two middles
+        bmask = boundary[pseg]
+        bvy, bn2, bseg = vy[bmask], n2[bmask], pseg[bmask]
+        norms = np.sqrt(bn2)
+        norms[norms == 0] = 1e-12
+        bang = np.degrees(np.arccos(np.clip(bvy / norms, -1.0, 1.0)))
+        border = np.lexsort((bang, bseg))
+        a_sorted, s_sorted = bang[border], bseg[border]
+        b_new = np.r_[True, s_sorted[1:] != s_sorted[:-1]]
+        b_starts = np.nonzero(b_new)[0]
+        b_counts = np.r_[b_starts[1:], len(s_sorted)] - b_starts
+        med = 0.5 * (a_sorted[b_starts + b_counts // 2 - 1]
+                     + a_sorted[b_starts + b_counts // 2])
+        drop_seg[s_sorted[b_starts]] = med < max_shadow_angle
 
     keep = np.ones(n, dtype=bool)
-    y_sorted_global = y[order]
-    for s, e in zip(starts, ends):
-        cnt = e - s
-        if cnt < min_points_per_column:
-            continue
-        ys = y_sorted_global[s:e]  # ascending within the cell (lexsort)
-        if ys[-1] - ys[0] <= shadow_height_threshold:
-            continue
-        idx = order[s:e]
-        pts = points[idx]  # already height-sorted
-        if cnt >= 3:
-            vec = np.diff(pts, axis=0)
-            norms = np.linalg.norm(vec, axis=1)
-            norms[norms == 0] = 1e-12
-            angles = np.degrees(np.arccos(np.clip(vec[:, 1] / norms, -1.0, 1.0)))
-            if np.median(angles) < max_shadow_angle:
-                keep[idx] = False
+    keep[order] = ~drop_seg[seg_id]
     return cloud.select(keep)

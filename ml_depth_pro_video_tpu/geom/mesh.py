@@ -327,7 +327,10 @@ def poisson_reconstruct(points: np.ndarray, normals: np.ndarray, depth: int = 6,
     """
     pts = np.asarray(points, dtype=np.float64)
     nrm = np.asarray(normals, dtype=np.float64)
-    res = min(2**depth, 192)
+    # depth 8 = 256^3, the reference's octree default
+    # (pointcloud_to_mesh.py:356-366); the CG solve runs jitted on the
+    # accelerator, so the host only pays the splat + marching pass
+    res = min(2**depth, 256)
 
     lo = pts.min(axis=0)
     hi = pts.max(axis=0)
@@ -338,8 +341,8 @@ def poisson_reconstruct(points: np.ndarray, normals: np.ndarray, depth: int = 6,
     coords = (pts - origin) / spacing
 
     # vector field from oriented normals; density for filtering
-    V = np.zeros((res, res, res, 3))
-    density = np.zeros((res, res, res))
+    V = np.zeros((res, res, res, 3), np.float32)
+    density = np.zeros((res, res, res), np.float32)
     _splat_trilinear(V, coords, nrm)
     _splat_trilinear(density, coords, np.ones(len(pts)))
 
@@ -528,7 +531,7 @@ def create_mesh_from_pointcloud(cloud: PointCloud, voxel_size: float = 0.05,
     down = voxel_downsample(cloud, voxel_size)
     if method == "poisson":
         normals = estimate_normals(down.points, radius=voxel_size * 2)
-        mesh = poisson_reconstruct(down.points, normals, depth=min(depth, 7))
+        mesh = poisson_reconstruct(down.points, normals, depth=depth)
         if down.colors is not None and len(mesh.vertices):
             from scipy.spatial import cKDTree
 

