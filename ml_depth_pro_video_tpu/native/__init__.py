@@ -16,7 +16,8 @@ import numpy as np
 
 LOGGER = logging.getLogger(__name__)
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SOURCES = [os.path.join(_DIR, "neighbors.cpp"), os.path.join(_DIR, "geometry.cpp")]
+_SOURCES = [os.path.join(_DIR, "neighbors.cpp"), os.path.join(_DIR, "geometry.cpp"),
+            os.path.join(_DIR, "bpa.cpp")]
 # dash keeps pkgutil/import machinery from treating the ctypes
 # library as a Python extension module
 _SO = os.path.join(_DIR, "geom-native.so")
@@ -79,6 +80,13 @@ def _load():
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
     ]
     lib.normalized_cloud.restype = ctypes.c_int64
+    lib.bpa_reconstruct.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+    ]
+    lib.bpa_reconstruct.restype = ctypes.c_int64
     _lib = lib
     return _lib
 
@@ -196,3 +204,25 @@ class neighbors:
         )
         pts = out_pts[:n]
         return pts, (out_cols[:n] if out_cols is not None else None)
+
+    @staticmethod
+    def bpa_reconstruct(points: np.ndarray, normals: np.ndarray,
+                        radii, max_tris: int | None = None):
+        """Ball-pivoting reconstruction (native/bpa.cpp). Returns an
+        (T, 3) int64 face array, or None if the native lib is missing."""
+        lib = _load()
+        if lib is None:
+            return None
+        pts = np.ascontiguousarray(points, dtype=np.float64)
+        nrm = np.ascontiguousarray(normals, dtype=np.float64)
+        rad = np.ascontiguousarray(sorted(float(r) for r in radii), dtype=np.float64)
+        cap = int(max_tris if max_tris is not None else max(4 * len(pts), 1024))
+        out = np.empty((cap, 3), dtype=np.int64)
+        nt = lib.bpa_reconstruct(
+            pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            nrm.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            len(pts),
+            rad.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(rad),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), cap,
+        )
+        return out[:nt].copy()

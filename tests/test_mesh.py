@@ -121,3 +121,37 @@ def test_depth_map_mesh():
     # no face spans the discontinuity (edge ratio cut)
     zd = mesh.vertices[mesh.faces][..., 2]
     assert (zd.max(axis=1) - zd.min(axis=1)).max() < 1.0
+
+
+def test_ball_pivoting_sphere_watertight():
+    """TRUE BPA (native/bpa.cpp): a dense sphere reconstructs to exactly
+    2n-4 triangles, watertight — strictly beats the tangent-fan
+    fallback on triangle count and open (hole) edge count."""
+    from ml_depth_pro_video_tpu.geom.mesh import ball_pivoting, tangent_fan_triangulation
+    from ml_depth_pro_video_tpu.native import neighbors as native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+
+    rng = np.random.default_rng(0)
+    n = 2000
+    v = rng.standard_normal((n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    cloud = PointCloud(v, None)
+
+    def edge_stats(faces):
+        e = np.sort(np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]]), axis=1)
+        key = e[:, 0].astype(np.int64) * (10 ** 7) + e[:, 1]
+        _, cnt = np.unique(key, return_counts=True)
+        return int((cnt == 1).sum()), int((cnt > 2).sum())
+
+    mesh = ball_pivoting(cloud)
+    boundary, nonmani = edge_stats(mesh.faces)
+    assert len(mesh.faces) == 2 * n - 4
+    assert boundary == 0 and nonmani == 0
+
+    fan = tangent_fan_triangulation(cloud)
+    fan_boundary, _ = edge_stats(fan.faces)
+    assert len(mesh.faces) > len(fan.faces) or boundary < fan_boundary
