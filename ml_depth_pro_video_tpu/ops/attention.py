@@ -96,17 +96,19 @@ def _flash_attention(q, k, v, heads_per_program: int = 2):
 
 
 def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int, scale: float,
-                   num_heads: int):
+                   num_heads: int, q_rows: int):
     """One program = one batch item, all heads. q/k/v refs are the
     (s_pad, D) column slices of the packed qkv tensor; heads are static
     lane slices, so per-head matmuls stay MXU-shaped and the whole score
-    row lives in VMEM."""
+    row lives in VMEM. Queries are trimmed to ``q_rows`` (next sublane
+    multiple of seq_len instead of the 128-lane multiple keys need) —
+    7.5% less score/PV work at S=577."""
     hd = q_ref.shape[-1] // num_heads
-    kidx = jax.lax.broadcasted_iota(jnp.int32, (q_ref.shape[1], q_ref.shape[1]), 1)
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (q_rows, q_ref.shape[1]), 1)
     mask = kidx < seq_len
     for h in range(num_heads):
         sl = slice(h * hd, (h + 1) * hd)
-        q = q_ref[0, :, sl]
+        q = q_ref[0, :q_rows, sl]
         k = k_ref[0, :, sl]
         v = v_ref[0, :, sl]
         s = jax.lax.dot_general(
@@ -118,7 +120,7 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int, scale: float,
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
         out = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-        o_ref[0, :, sl] = out.astype(o_ref.dtype)
+        o_ref[0, :q_rows, sl] = out.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
@@ -137,6 +139,7 @@ def flash_attention_packed(qkv: jnp.ndarray, num_heads: int,
     hd = d // num_heads
     scale = hd**-0.5
     s_pad = _round_up(s, 128)
+    q_rows = _round_up(s, 8)
     x = jnp.pad(qkv, ((0, 0), (0, s_pad - s), (0, 0)))
 
     def spec(which):
@@ -144,7 +147,8 @@ def flash_attention_packed(qkv: jnp.ndarray, num_heads: int,
                             memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
-        functools.partial(_packed_kernel, seq_len=s, scale=scale, num_heads=num_heads),
+        functools.partial(_packed_kernel, seq_len=s, scale=scale,
+                          num_heads=num_heads, q_rows=q_rows),
         grid=(b,),
         in_specs=[spec(0), spec(1), spec(2)],
         out_specs=pl.BlockSpec((1, s_pad, d), lambda i: (i, 0, 0),
