@@ -62,8 +62,11 @@ def conv_transpose2x2(
     """
     bsz, h, wd, cin = x.shape
     cout = w.shape[1] // 4
+    # accumulate in the compute dtype: on v5e an fp32-accumulate matmul
+    # runs at HALF the MXU rate (66 vs 126 TF measured,
+    # scripts/tpu_conv_acc.out); parity mode computes in fp32 anyway
     y = jnp.dot(x.reshape(-1, cin), w.astype(x.dtype),
-                preferred_element_type=jnp.float32).astype(x.dtype)
+                preferred_element_type=x.dtype)
     y = y.reshape(bsz, h, wd, 2, 2, cout)
     y = y.transpose(0, 1, 3, 2, 4, 5).reshape(bsz, 2 * h, 2 * wd, cout)
     if b is not None:
@@ -72,10 +75,12 @@ def conv_transpose2x2(
 
 
 def linear(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Dense layer, w: (Cin, Cout). fp32 accumulation like every other
-    matmul in the framework (precision policy: bf16 inputs, fp32 MXU
-    accumulate, output back in the input dtype)."""
-    y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
+    """Dense layer, w: (Cin, Cout). Accumulates in the compute dtype,
+    matching the ViT matmuls: fp32-accumulate matmuls run at half the
+    v5e MXU rate (scripts/tpu_conv_acc.out), and parity mode computes
+    in fp32 end-to-end anyway. Convolutions keep fp32 accumulation
+    (free on the conv lowering)."""
+    y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=x.dtype)
     if b is not None:
         y = y + b.astype(y.dtype)
     return y
