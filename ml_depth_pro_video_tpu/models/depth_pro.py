@@ -139,8 +139,14 @@ def _apply_upsample_block(p: dict, x: jnp.ndarray) -> jnp.ndarray:
 
 def encoder_apply(params: dict, x: jnp.ndarray, cfg: DepthProConfig,
                   precision: Precision, attn_impl: str | None = None,
-                  remat: bool = False) -> list[jnp.ndarray]:
-    """Multi-resolution encoding (`encoder.py:233-332`). x: (B, 4p, 4p, 3)."""
+                  remat: bool = False, patch_vit_fn=None) -> list[jnp.ndarray]:
+    """Multi-resolution encoding (`encoder.py:233-332`). x: (B, 4p, 4p, 3).
+
+    ``patch_vit_fn(params, pyramid) -> (tokens, (h0, h1))`` overrides the
+    35-patch backbone call — the latency-parallel path (parallel/
+    latency.py) injects a shard_map here that splits the patch axis over
+    every chip on the mesh.
+    """
     vit_cfg = cfg.vit
     b = x.shape[0]
     p = vit_cfg.img_size
@@ -155,10 +161,13 @@ def encoder_apply(params: dict, x: jnp.ndarray, cfg: DepthProConfig,
     x1_patches = split_patches(x1, p, overlap=0.5)   # 9B
     pyramid = jnp.concatenate([x0_patches, x1_patches, x2], axis=0)  # 35B
 
-    tokens, (h0, h1) = vit_apply(
-        params["patch_vit"], pyramid, vit_cfg, precision,
-        capture_blocks=cfg.hook_block_ids, attn_impl=attn_impl, remat=remat,
-    )
+    if patch_vit_fn is None:
+        tokens, (h0, h1) = vit_apply(
+            params["patch_vit"], pyramid, vit_cfg, precision,
+            capture_blocks=cfg.hook_block_ids, attn_impl=attn_impl, remat=remat,
+        )
+    else:
+        tokens, (h0, h1) = patch_vit_fn(params["patch_vit"], pyramid)
 
     n0 = 25 * b
     n1 = 9 * b

@@ -98,3 +98,40 @@ def test_runner_with_mesh_shard_map():
     solo.params = runner.params
     ref = list(solo.depth_stream(frames))
     np.testing.assert_allclose(results[0]["depth"], ref[0]["depth"], rtol=2e-5, atol=1e-5)
+
+
+def test_latency_parallel_infer_matches_single_device():
+    """Single-frame latency parallelism (parallel/latency.py): patch-
+    sharded ViT + row-sharded conv trunk over the 8 fake chips must
+    match single-device inference within the 1e-3 parity contract
+    (partitioned convs/collectives reassociate fp32 sums)."""
+    import jax.numpy as jnp
+
+    from ml_depth_pro_video_tpu.core.precision import Precision
+    from ml_depth_pro_video_tpu.models.depth_pro import (
+        infer_fn,
+        init_depth_pro,
+        tiny_config,
+    )
+    from ml_depth_pro_video_tpu.parallel.latency import (
+        make_latency_infer,
+        make_sp_mesh,
+    )
+
+    cfg = tiny_config()
+    params = init_depth_pro(jax.random.PRNGKey(0), cfg)
+    fn = make_latency_infer(cfg, make_sp_mesh(), Precision.fp32())
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, cfg.img_size, cfg.img_size, 3)).astype(np.float32))
+
+    out = fn(params, x)
+    ref = infer_fn(params, x, None, cfg, Precision.fp32())
+    np.testing.assert_allclose(np.asarray(out["focallength_px"]),
+                               np.asarray(ref["focallength_px"]), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["depth"]), np.asarray(ref["depth"]),
+                               rtol=2e-3, atol=1e-5)
+
+    out2 = fn(params, x, jnp.array([321.0]))
+    ref2 = infer_fn(params, x, jnp.array([321.0]), cfg, Precision.fp32())
+    np.testing.assert_allclose(np.asarray(out2["depth"]), np.asarray(ref2["depth"]),
+                               rtol=2e-3, atol=1e-5)
