@@ -85,20 +85,28 @@ def _sharded_patch_vit(mesh: Mesh, cfg: DepthProConfig, precision: Precision,
 
 def make_latency_infer(cfg: DepthProConfig, mesh: Mesh | None = None,
                        precision: Precision = Precision.fp32(),
-                       attn_impl: str | None = None):
-    """Jitted single-frame forward with the model itself sharded over
-    the mesh. Signature: ``fn(params, x, f_px) -> {"depth",
-    "focallength_px"}`` with x (B, img, img, 3) and f_px (B,) or None
-    (mirrors models.depth_pro.infer_fn at network resolution)."""
+                       attn_impl: str | None = None,
+                       derive_missing: bool = False):
+    """Jitted forward with the model itself sharded over the mesh.
+    Signature: ``fn(params, x, f_px) -> {"depth", "focallength_px"}``
+    with x (B, H, W, 3) and f_px (B,) or None — the full infer()
+    contract of models.depth_pro.infer_fn, including resize and
+    (with ``derive_missing``) NaN-marked mixed-EXIF batches."""
     mesh = mesh if mesh is not None else make_sp_mesh()
     patch_vit_fn = _sharded_patch_vit(mesh, cfg, precision, attn_impl)
     row_sharded = NamedSharding(mesh, P(None, "sp"))
 
     def fn(params, x, f_px=None):
         b, h, w = x.shape[0], x.shape[1], x.shape[2]
-        assert h == cfg.img_size and w == cfg.img_size, (
-            "latency path runs at network resolution; resize on the host")
-        encodings = encoder_apply(params["encoder"], x, cfg, precision,
+        s = cfg.img_size
+        needs_resize = (h != s) or (w != s)
+        if needs_resize:  # same infer() contract as models.depth_pro.infer_fn
+            from ..ops.resize import resize2d
+
+            xi = resize2d(x, (s, s))
+        else:
+            xi = x
+        encodings = encoder_apply(params["encoder"], xi, cfg, precision,
                                   attn_impl, patch_vit_fn=patch_vit_fn)
         # spatially shard the conv trunk along image rows: GSPMD
         # partitions the 3x3 convs with automatic halo exchange
@@ -109,14 +117,23 @@ def make_latency_infer(cfg: DepthProConfig, mesh: Mesh | None = None,
         canonical = head_apply(params["head"], features, precision)
         canonical = canonical[..., 0].astype(jnp.float32)
 
-        if f_px is None:
-            fov_deg = fov_apply(params["fov"], x, lowres, cfg, precision, attn_impl)
+        if f_px is None or derive_missing:
+            fov_deg = fov_apply(params["fov"], xi, lowres, cfg, precision, attn_impl)
             fov_rad = jnp.deg2rad(fov_deg.astype(jnp.float32))
-            f_px = 0.5 * w / jnp.tan(0.5 * fov_rad)
+            derived = 0.5 * w / jnp.tan(0.5 * fov_rad)
+            if f_px is None:
+                f_px = derived
+            else:
+                given = jnp.asarray(f_px, jnp.float32).reshape(b)
+                f_px = jnp.where(jnp.isnan(given), derived, given)
         else:
             f_px = jnp.asarray(f_px, jnp.float32).reshape(b)
 
         inverse_depth = canonical * (w / f_px)[:, None, None]
+        if needs_resize:
+            from ..ops.resize import resize2d
+
+            inverse_depth = resize2d(inverse_depth[..., None], (h, w))[..., 0]
         depth = 1.0 / jnp.clip(inverse_depth, 1e-4, 1e4)
         return {"depth": depth, "focallength_px": f_px}
 

@@ -46,7 +46,10 @@ class DepthVideoRunner:
         rng_seed: int = 0,
         quantize: bool = False,
         max_retries: int = 2,
+        parallel: str = "dp",
     ):
+        if parallel not in ("dp", "latency"):
+            raise ValueError(f"parallel must be 'dp' or 'latency', got {parallel!r}")
         self.cfg = cfg
         self.precision = resolve_precision(precision)
         self.batch_size = batch_size
@@ -54,6 +57,10 @@ class DepthVideoRunner:
         self.mesh = mesh
         self.prefetch = prefetch
         self.max_retries = max_retries
+        # "dp": frames sharded over chips (throughput). "latency": the
+        # MODEL is sharded over chips (parallel/latency.py) — lowest
+        # single-stream latency, best with batch_size=1.
+        self.parallel = parallel
 
         params = load_checkpoint(cfg)
         if params is None:
@@ -90,7 +97,18 @@ class DepthVideoRunner:
                 # length; only those derive f_px from the FOV head
                 fn = lambda p, x, f: infer_fn(p, norm(x), f, cfg, prec,  # noqa: E731
                                               derive_missing=mixed)
-            if self.mesh is not None:
+            if self.mesh is not None and self.parallel == "latency":
+                # the model itself is sharded over the mesh: patch-split
+                # ViT + row-sharded conv trunk (parallel/latency.py)
+                from ..parallel.latency import make_latency_infer, make_sp_mesh
+
+                sp_mesh = make_sp_mesh(list(self.mesh.devices.flat))
+                lat = make_latency_infer(cfg, sp_mesh, prec,
+                                         derive_missing=mixed)
+
+                def fn(p, x, f=None, _lat=lat):  # noqa: E731
+                    return _lat(p, norm(x), f)
+            elif self.mesh is not None:
                 # shard_map: each chip runs the full per-frame program on
                 # its batch slice (pallas kernels aren't GSPMD-partitionable)
                 from ..parallel.spmd import make_dp_infer
@@ -101,7 +119,7 @@ class DepthVideoRunner:
                 fn = jax.jit(fn)
             self._jit[key] = fn
         fn = self._jit[key]
-        if self.mesh is not None:
+        if self.mesh is not None and self.parallel == "dp":
             from ..parallel.mesh import batch_sharding
 
             batch = jax.device_put(batch, batch_sharding(self.mesh))
