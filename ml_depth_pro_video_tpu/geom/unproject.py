@@ -43,6 +43,22 @@ def depth_to_3d(depth, focallength_px, image=None, max_depth=None):
       (points (N,3) float64, valid_mask (H,W) bool) — or a PointCloud
       when ``image`` is given.
     """
+    dep = np.asarray(depth)
+    if dep.dtype == np.float32 and (image is None or image.dtype == np.uint8):
+        # hot path: single native pass (exact same math/compaction; the
+        # fp32 depth widens losslessly to the float64 the numpy path uses)
+        try:
+            from ..native import neighbors as _native
+
+            out = _native.unproject_valid(dep, float(focallength_px),
+                                          image=image, max_depth=max_depth)
+        except Exception:  # pragma: no cover
+            out = None
+        if out is not None:
+            points, valid, colors = out
+            if image is None:
+                return points, valid
+            return PointCloud(points, colors)
     depth_np = np.asarray(depth, dtype=np.float64)
     h, w = depth_np.shape
     valid = ~np.isnan(depth_np) & (depth_np > 0)

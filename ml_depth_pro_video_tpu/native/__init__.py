@@ -80,6 +80,14 @@ def _load():
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
     ]
     lib.normalized_cloud.restype = ctypes.c_int64
+    lib.unproject_valid.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_double, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.unproject_valid.restype = ctypes.c_int64
     lib.bpa_reconstruct.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
         ctypes.c_int64,
@@ -226,3 +234,32 @@ class neighbors:
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), cap,
         )
         return out[:nt].copy()
+
+    @staticmethod
+    def unproject_valid(depth: np.ndarray, f_px: float,
+                        image: np.ndarray | None = None,
+                        max_depth: float | None = None):
+        """Raw unprojection + validity compaction (geometry.cpp).
+        Returns (points (N,3) f64, valid (H,W) bool, colors or None),
+        or None when the native lib is unavailable."""
+        lib = _load()
+        if lib is None:
+            return None
+        dep = np.ascontiguousarray(depth, dtype=np.float32)
+        h, w = dep.shape
+        img = None
+        if image is not None:
+            img = np.ascontiguousarray(image[..., :3], dtype=np.uint8)
+        out_pts = np.empty((h * w, 3), dtype=np.float64)
+        out_valid = np.empty((h, w), dtype=np.uint8)
+        out_cols = np.empty((h * w, 3), dtype=np.float64) if img is not None else None
+        n = lib.unproject_valid(
+            dep.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), h, w,
+            float(f_px), float(max_depth) if max_depth is not None else -1.0,
+            img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)) if img is not None else None,
+            out_pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            out_valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            out_cols.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+            if out_cols is not None else None,
+        )
+        return out_pts[:n], out_valid.astype(bool), (out_cols[:n] if out_cols is not None else None)

@@ -181,3 +181,42 @@ int64_t normalized_cloud(
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Raw pinhole unprojection with validity compaction (depth_to_3d's hot
+// loop, geom/unproject.py): out_pts (h*w*3 f64), out_valid (h*w u8),
+// optional colors. Returns the number of valid points.
+int64_t unproject_valid(
+    const float* depth, int64_t h, int64_t w,
+    double f_px, double max_depth,
+    const uint8_t* image,
+    double* out_pts, uint8_t* out_valid, double* out_colors) {
+
+    const double cx = (double)w / 2.0, cy = (double)h / 2.0;
+    int64_t n = 0;
+    for (int64_t r = 0; r < h; ++r) {
+        const float* row = depth + r * w;
+        const double py0 = -((double)r - cy);
+        for (int64_t c = 0; c < w; ++c) {
+            const double z = (double)row[c];
+            const bool ok = (z > 0.0) && !std::isnan(z) &&
+                            (max_depth <= 0.0 || z < max_depth);
+            out_valid[r * w + c] = ok ? 1 : 0;
+            if (!ok) continue;
+            out_pts[3 * n] = -((double)c - cx) * z / f_px;
+            out_pts[3 * n + 1] = py0 * z / f_px;
+            out_pts[3 * n + 2] = z;
+            if (image && out_colors) {
+                const uint8_t* px = image + (r * w + c) * 3;
+                out_colors[3 * n] = px[0] / 255.0;
+                out_colors[3 * n + 1] = px[1] / 255.0;
+                out_colors[3 * n + 2] = px[2] / 255.0;
+            }
+            ++n;
+        }
+    }
+    return n;
+}
+
+}  // extern "C"

@@ -278,3 +278,33 @@ def test_native_normalized_cloud_matches_numpy_chain():
     ref = grid_ground_adjustment(normalize_to_ground(pts0, model2))
     got_pts, _ = native.normalized_cloud(depth, f_px, model2)
     np.testing.assert_allclose(got_pts, ref, rtol=1e-12, atol=1e-12)
+
+
+def test_native_unproject_matches_numpy():
+    """native unproject_valid == the numpy depth_to_3d path, element-
+    exact (compaction order, colors, valid mask, max_depth)."""
+    from ml_depth_pro_video_tpu.geom.unproject import depth_to_3d
+    from ml_depth_pro_video_tpu.native import neighbors as native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+
+    rng = np.random.default_rng(7)
+    depth32 = (rng.random((80, 100)) * 9 + 0.5).astype(np.float32)
+    depth32[rng.random((80, 100)) < 0.05] = np.nan
+    depth32[rng.random((80, 100)) < 0.04] = 0.0
+    image = (rng.random((80, 100, 3)) * 255).astype(np.uint8)
+
+    # numpy reference from the float64 path (identical math)
+    ref_pts, ref_valid = depth_to_3d(depth32.astype(np.float64), 250.0, max_depth=8.0)
+    got_pts, got_valid, _ = native.unproject_valid(depth32, 250.0, max_depth=8.0)
+    np.testing.assert_array_equal(got_valid, ref_valid)
+    np.testing.assert_allclose(got_pts, ref_pts, rtol=0, atol=0)
+
+    # public API dispatch (fp32 input -> native) incl. colors
+    cloud = depth_to_3d(depth32, 250.0, image=image)
+    ref_cloud = depth_to_3d(depth32.astype(np.float64), 250.0, image=image)
+    np.testing.assert_allclose(cloud.points, ref_cloud.points)
+    np.testing.assert_allclose(cloud.colors, ref_cloud.colors)
