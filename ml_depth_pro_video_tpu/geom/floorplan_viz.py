@@ -61,15 +61,35 @@ def fast_floorplan_image(
         pz = ((z1 - z) / span_z * (height - 1)).astype(np.int64)
         ok = (px >= 0) & (px < width) & (pz >= 0) & (pz < height)
         px, pz = px[ok], pz[ok]
-        cols = (colors[ok] if colors is not None else np.full((ok.sum(), 3), 0.35)).astype(np.float32)
-        order = np.argsort(points[ok][:, 1])  # low first, tall drawn last
-        px, pz, cols = px[order], pz[order], cols[order]
+        cols = (colors[ok] if colors is not None else np.full((int(ok.sum()), 3), 0.35)).astype(np.float32)
+        ys = points[ok][:, 1]
+
+        # ONE winner-per-pixel scatter (tallest point wins), then the
+        # point radius becomes a height-aware dilation over the IMAGE —
+        # 9 passes over ~1M pixels instead of 9 scatters over millions
+        # of points (8 s -> ~0.5 s on a dense 2.4M-point frame)
+        order = np.argsort(ys)  # low first, tall written last
+        lin = pz[order] * width + px[order]
+        hbuf = np.full(height * width, -np.inf, np.float32)
+        hbuf[lin] = ys[order]
+        img.reshape(-1, 3)[lin] = cols[order]
+        hbuf = hbuf.reshape(height, width)
         r = point_radius
-        for dy in range(-r, r + 1):
-            for dx in range(-r, r + 1):
-                qx = np.clip(px + dx, 0, width - 1)
-                qz = np.clip(pz + dy, 0, height - 1)
-                img[qz, qx] = cols
+        if r > 0:
+            src_img = img.copy()
+            src_h = hbuf.copy()
+            for dy in range(-r, r + 1):
+                for dx in range(-r, r + 1):
+                    if dy == 0 and dx == 0:
+                        continue
+                    sh = np.full_like(src_h, -np.inf)
+                    ys0, ys1 = max(dy, 0), height + min(dy, 0)
+                    xs0, xs1 = max(dx, 0), width + min(dx, 0)
+                    sh[ys0:ys1, xs0:xs1] = src_h[ys0 - dy:ys1 - dy, xs0 - dx:xs1 - dx]
+                    win = sh > hbuf
+                    if win.any():
+                        img[win] = np.roll(np.roll(src_img, dy, 0), dx, 1)[win]
+                        hbuf[win] = sh[win]
     out = (np.clip(img, 0, 1) * 255).astype(np.uint8)
     if output_path:
         from PIL import Image
