@@ -210,13 +210,22 @@ def _residual(p: dict, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _fusion_apply(p: dict, x0: jnp.ndarray, x1: jnp.ndarray | None) -> jnp.ndarray:
-    """FeatureFusionBlock2d (`decoder.py:121-180`)."""
+    """FeatureFusionBlock2d (`decoder.py:121-180`).
+
+    When the 2x upsample is present, the trailing 1x1 out_conv is folded
+    INTO the deconv matmul (both linear, adjacent): one matmul instead of
+    matmul + a full-map 1x1 conv at the upsampled resolution."""
     x = x0
     if x1 is not None:
         x = x + _residual(p["res1"], x1)
     x = _residual(p["res2"], x)
     if p["deconv_w"] is not None:
-        x = conv_transpose2x2(x, p["deconv_w"])
+        wd = p["deconv_w"]  # (C, 4*M) packed (a, b, m)
+        wo = p["out"]["w"][0, 0]  # (M, O)
+        c = wd.shape[0]
+        m = wd.shape[1] // 4
+        w_fold = (wd.reshape(c, 4, m) @ wo).reshape(c, -1)
+        return conv_transpose2x2(x, w_fold, p["out"]["b"])
     return conv2d(x, p["out"]["w"], p["out"]["b"])
 
 

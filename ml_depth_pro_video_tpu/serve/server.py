@@ -127,10 +127,17 @@ def make_handler(batcher: _Batcher):
 
 
 def create_server(host: str = "127.0.0.1", port: int = 8500, runner=None,
-                  max_batch: int = 4, max_wait_ms: float = 30.0) -> ThreadingHTTPServer:
+                  max_batch: int = 4, max_wait_ms: float = 30.0,
+                  warmup_shape: tuple | None = None) -> ThreadingHTTPServer:
+    """``warmup_shape=(H, W)`` compiles the full-batch program before the
+    server accepts traffic — the first real request then runs at steady-
+    state latency instead of paying the ~40 s XLA compile."""
     from ..video.runner import DepthVideoRunner
 
     runner = runner or DepthVideoRunner(precision="bf16", batch_size=max_batch)
+    if warmup_shape is not None:
+        dummy = np.zeros((*warmup_shape, 3), np.uint8)
+        list(runner.depth_stream([dummy] * max_batch))
     batcher = _Batcher(runner, max_batch=max_batch, max_wait_ms=max_wait_ms)
     return ThreadingHTTPServer((host, port), make_handler(batcher))
 
@@ -143,9 +150,12 @@ def main(argv=None):  # pragma: no cover
     ap.add_argument("--port", type=int, default=8500)
     ap.add_argument("--max_batch", type=int, default=4)
     ap.add_argument("--max_wait_ms", type=float, default=30.0)
+    ap.add_argument("--warmup", default=None,
+                    help="HxW to pre-compile before serving, e.g. 1536x1536")
     args = ap.parse_args(argv)
+    warm = tuple(int(v) for v in args.warmup.split("x")) if args.warmup else None
     server = create_server(args.host, args.port, max_batch=args.max_batch,
-                           max_wait_ms=args.max_wait_ms)
+                           max_wait_ms=args.max_wait_ms, warmup_shape=warm)
     print(f"serving on {args.host}:{args.port}")
     server.serve_forever()
 
