@@ -162,6 +162,7 @@ def process_images_to_floor_plans(
     batch_size: int = 1,
     renderer: str = "matplotlib",
     runner: DepthVideoRunner | None = None,
+    parallel: str = "none",
 ):
     """Process a frame directory into per-frame floor plans."""
     output_dir = output_dir or frames_dir
@@ -196,10 +197,23 @@ def process_images_to_floor_plans(
     stop = {"flag": False}
     prev_handler = signal.signal(signal.SIGINT, lambda *_: stop.__setitem__("flag", True))
 
+    mesh = None
+    if runner is None and parallel in ("dp", "latency"):
+        import jax
+
+        from ..parallel.mesh import make_mesh
+
+        if len(jax.devices()) > 1:
+            mesh = make_mesh(tp=1)
+        else:
+            print(f"--parallel {parallel}: single device, running unsharded")
+            parallel = "none"
     runner = runner or DepthVideoRunner(
         precision="bf16" if half_precision else "fp32",
         batch_size=batch_size,
         downscale_factor=downscale_factor,
+        mesh=mesh,
+        parallel=parallel if parallel in ("dp", "latency") else "dp",
     )
 
     try:
@@ -298,6 +312,9 @@ def main(argv=None):  # pragma: no cover - CLI shim, exercised via cli tests
     ap.add_argument("--force_reprocess", action="store_true")
     ap.add_argument("--batch_size", type=int, default=1)
     ap.add_argument("--renderer", choices=["matplotlib", "fast"], default="matplotlib")
+    ap.add_argument("--parallel", choices=["none", "dp", "latency"], default="none",
+                    help="multi-chip mode: dp shards frame batches, latency "
+                         "shards the MODEL for single-stream speed")
     ap.add_argument("--x_limits", type=float, nargs=2, default=None)
     ap.add_argument("--z_limits", type=float, nargs=2, default=None)
     args = ap.parse_args(argv)
@@ -318,7 +335,7 @@ def main(argv=None):  # pragma: no cover - CLI shim, exercised via cli tests
         num_workers=args.num_workers, simple_output=args.simple_output,
         output_all_files=args.output_all_files, resume=args.resume,
         force_reprocess=args.force_reprocess, batch_size=args.batch_size,
-        renderer=args.renderer,
+        renderer=args.renderer, parallel=args.parallel,
         x_limits=tuple(args.x_limits) if args.x_limits else None,
         z_limits=tuple(args.z_limits) if args.z_limits else None,
     )
