@@ -37,8 +37,22 @@ def silog_loss(pred_inv_depth: jnp.ndarray, target_depth: jnp.ndarray,
     return jnp.mean(jnp.square(g)) - lam * jnp.square(jnp.mean(g))
 
 
-def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-2) -> optax.GradientTransformation:
-    return optax.adamw(lr, weight_decay=weight_decay)
+def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-2,
+                   warmup_steps: int = 0, total_steps: int | None = None,
+                   clip_norm: float | None = 1.0) -> optax.GradientTransformation:
+    """AdamW with optional global-norm clipping and a linear-warmup +
+    cosine-decay schedule (``total_steps`` enables the schedule;
+    without it the LR is constant)."""
+    if total_steps is not None:
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=lr,
+            warmup_steps=max(warmup_steps, 1),
+            decay_steps=max(total_steps, warmup_steps + 1),
+        )
+    tx = optax.adamw(lr, weight_decay=weight_decay)
+    if clip_norm is not None:
+        tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
+    return tx
 
 
 def loss_fn(params, images, target_depth, cfg: DepthProConfig, precision: Precision):
@@ -60,11 +74,14 @@ def train_step(state: TrainState, images, target_depth, cfg: DepthProConfig,
 
 def make_sharded_train_step(params, cfg: DepthProConfig, mesh, lr: float = 1e-4,
                             precision: Precision = Precision.bf16(),
-                            tensor_parallel: bool = True):
+                            tensor_parallel: bool = True,
+                            warmup_steps: int = 0, total_steps: int | None = None,
+                            clip_norm: float | None = 1.0):
     """Build (state, jitted step) with params TP-sharded and the batch
     DP-sharded over ``mesh``. Gradients reduce over dp automatically via
     GSPMD; TP all-reduces ride the tp axis."""
-    optimizer = make_optimizer(lr)
+    optimizer = make_optimizer(lr, warmup_steps=warmup_steps,
+                               total_steps=total_steps, clip_norm=clip_norm)
     params = shard_params(params, mesh, tensor_parallel)
     # optimizer moments inherit the param shardings through init
     opt_state = optimizer.init(params)

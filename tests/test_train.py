@@ -54,3 +54,25 @@ def test_orbax_roundtrip(tmp_path):
     restored = restore_train_state(str(tmp_path / "ckpt"), state)
     np.testing.assert_array_equal(np.asarray(restored.params["w"]), np.asarray(params["w"]))
     assert int(restored.step) == 7
+
+
+def test_optimizer_schedule_and_clipping():
+    """Warmup+cosine schedule ramps the LR from ~0 and decays it; global
+    gradient-norm clipping bounds the update magnitude."""
+    import optax
+
+    from ml_depth_pro_video_tpu.train.step import make_optimizer
+
+    tx = make_optimizer(lr=1e-2, warmup_steps=5, total_steps=20, clip_norm=1.0)
+    params = {"w": jnp.ones((4,))}
+    state = tx.init(params)
+    big_grad = {"w": jnp.full((4,), 100.0)}
+
+    # step 0 (warmup start): LR ~ 0 -> tiny update even for a huge grad
+    updates0, state = tx.update(big_grad, state, params)
+    assert float(jnp.abs(updates0["w"]).max()) < 1e-4
+
+    # advance into the schedule peak: updates bounded by clip + peak LR
+    for _ in range(6):
+        updates, state = tx.update(big_grad, state, params)
+    assert float(jnp.abs(updates["w"]).max()) <= 1.1e-2
