@@ -103,3 +103,21 @@ def test_infer_parity_vs_reference_modules_given_fpx(ref_pair):
     np.testing.assert_allclose(
         np.asarray(j_out["depth"])[0], t_out["depth"].numpy(), rtol=1e-3, atol=1e-6
     )
+
+
+def test_real_tree_convert_npz_roundtrip(ref_pair, tmp_path):
+    """The converted REAL module tree survives the npz save/load used by
+    checkpoint deployment (ckpt/convert.py::save_params/load_params)."""
+    import numpy as np
+
+    from ml_depth_pro_video_tpu.ckpt.convert import load_params, save_params
+
+    _, params = ref_pair
+    path = str(tmp_path / "real_tree.npz")
+    save_params(path, jax.tree.map(lambda a: np.asarray(a), params))
+    loaded = load_params(path)
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = {jax.tree_util.keystr(k): v for k, v in jax.tree_util.tree_leaves_with_path(loaded)}
+    assert len(flat_a) == len(flat_b)
+    for k, v in flat_a:
+        np.testing.assert_array_equal(np.asarray(v), flat_b[jax.tree_util.keystr(k)])
