@@ -128,13 +128,28 @@ def make_handler(batcher: _Batcher):
 
 def create_server(host: str = "127.0.0.1", port: int = 8500, runner=None,
                   max_batch: int = 4, max_wait_ms: float = 30.0,
-                  warmup_shape: tuple | None = None) -> ThreadingHTTPServer:
+                  warmup_shape: tuple | None = None,
+                  parallel: str = "none") -> ThreadingHTTPServer:
     """``warmup_shape=(H, W)`` compiles the full-batch program before the
     server accepts traffic — the first real request then runs at steady-
-    state latency instead of paying the ~40 s XLA compile."""
+    state latency instead of paying the ~40 s XLA compile. ``parallel``:
+    "dp" shards request batches over chips, "latency" shards the model
+    (lowest per-request latency)."""
     from ..video.runner import DepthVideoRunner
 
-    runner = runner or DepthVideoRunner(precision="bf16", batch_size=max_batch)
+    mesh = None
+    if runner is None and parallel in ("dp", "latency"):
+        import jax
+
+        from ..parallel.mesh import make_mesh
+
+        if len(jax.devices()) > 1:
+            mesh = make_mesh(tp=1)
+        else:
+            parallel = "none"
+    runner = runner or DepthVideoRunner(
+        precision="bf16", batch_size=max_batch, mesh=mesh,
+        parallel=parallel if parallel in ("dp", "latency") else "dp")
     if warmup_shape is not None:
         dummy = np.zeros((*warmup_shape, 3), np.uint8)
         list(runner.depth_stream([dummy] * max_batch))
@@ -152,10 +167,12 @@ def main(argv=None):  # pragma: no cover
     ap.add_argument("--max_wait_ms", type=float, default=30.0)
     ap.add_argument("--warmup", default=None,
                     help="HxW to pre-compile before serving, e.g. 1536x1536")
+    ap.add_argument("--parallel", choices=["none", "dp", "latency"], default="none")
     args = ap.parse_args(argv)
     warm = tuple(int(v) for v in args.warmup.split("x")) if args.warmup else None
     server = create_server(args.host, args.port, max_batch=args.max_batch,
-                           max_wait_ms=args.max_wait_ms, warmup_shape=warm)
+                           max_wait_ms=args.max_wait_ms, warmup_shape=warm,
+                           parallel=args.parallel)
     print(f"serving on {args.host}:{args.port}")
     server.serve_forever()
 
