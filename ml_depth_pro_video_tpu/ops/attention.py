@@ -169,10 +169,32 @@ def xla_attention_packed(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
     return out.transpose(0, 2, 1, 3).reshape(b, s, d)
 
 
+# The Pallas kernel has no VJP of its own; training on TPU needs one
+# (the CPU dryrun uses the XLA path and never exercises this). Forward
+# runs the fused kernel; backward recomputes through the XLA attention
+# math — exact same function up to bf16 rounding, and the ViT blocks
+# are rematerialized during training anyway.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _flash_packed_diff(qkv, num_heads):
+    return flash_attention_packed(qkv, num_heads)
+
+
+def _flash_packed_fwd(qkv, num_heads):
+    return flash_attention_packed(qkv, num_heads), qkv
+
+
+def _flash_packed_bwd(num_heads, qkv, g):
+    _, vjp = jax.vjp(lambda q: xla_attention_packed(q, num_heads), qkv)
+    return vjp(g)
+
+
+_flash_packed_diff.defvjp(_flash_packed_fwd, _flash_packed_bwd)
+
+
 def attention_packed(qkv: jnp.ndarray, num_heads: int, impl: str | None = None) -> jnp.ndarray:
     impl = impl or _default_impl()
     if impl == "pallas":
-        return flash_attention_packed(qkv, num_heads)
+        return _flash_packed_diff(qkv, num_heads)
     return xla_attention_packed(qkv, num_heads)
 
 

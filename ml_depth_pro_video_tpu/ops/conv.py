@@ -35,15 +35,19 @@ def conv2d(
     if isinstance(padding, int):
         padding = (padding, padding)
     pad = [(padding[0], padding[0]), (padding[1], padding[1])]
-    # fp32 accumulation regardless of the compute dtype
+    # accumulate in the compute dtype, like every matmul-form op:
+    # measured perf-neutral for convs (124 TF either way,
+    # scripts/tpu_conv_acc.out), parity mode computes fp32 end-to-end,
+    # and a float32-preferred conv has a broken VJP on bf16 inputs
+    # (mixed-dtype grads) which blocked bf16 training on TPU
     y = lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
         window_strides=stride,
         padding=pad,
         dimension_numbers=_DIMSPEC,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+        preferred_element_type=x.dtype,
+    )
     if b is not None:
         y = y + b.astype(y.dtype)
     return y
