@@ -193,7 +193,10 @@ _flash_packed_diff.defvjp(_flash_packed_fwd, _flash_packed_bwd)
 
 def attention_packed(qkv: jnp.ndarray, num_heads: int, impl: str | None = None) -> jnp.ndarray:
     impl = impl or _default_impl()
-    if impl == "pallas":
+    # the kernel's VMEM budget (full score rows + packed qkv blocks per
+    # program) is sized for bf16; fp32 at ViT-L scale exceeds the 16 MB
+    # scoped vmem (compile error) — fp32 parity runs take the XLA path
+    if impl == "pallas" and qkv.dtype == jnp.bfloat16:
         return _flash_packed_diff(qkv, num_heads)
     return xla_attention_packed(qkv, num_heads)
 
@@ -214,7 +217,7 @@ def multi_head_attention(
 ) -> jnp.ndarray:
     """Self-attention over (B, H, S, D) tensors with 1/sqrt(D) scaling."""
     impl = impl or _default_impl()
-    if impl == "pallas":
+    if impl == "pallas" and q.dtype == jnp.bfloat16:
         return _flash_attention(q, k, v)
     return _xla_attention(q, k, v)
 
