@@ -12,7 +12,13 @@ mesh cleanup) without Open3D:
   shifts), and the iso-surface is extracted with marching tetrahedra
   (6-tet Kuhn cube decomposition — no big marching-cubes tables).
   Low-density vertices (bottom 10% of the splat-density quantile, like
-  the reference's Open3D density filter) are removed.
+  the reference's Open3D density filter) are removed. Depth <= 8
+  (the reference's octree default) solves the dense grid with the CG
+  jitted on the accelerator; depth >= 9 switches to a sparse
+  narrow-band solve (`poisson_reconstruct_sparse`): a coarse dense
+  solve supplies global topology / Dirichlet data and the indicator is
+  refined at full resolution only on a thin band of nodes around the
+  samples — 512^3+ effective resolution without 512^3 memory.
 - **ball_pivoting** — approximated by tangent-plane fan triangulation
   over k-NN neighborhoods with radius-limited edges (same role: direct
   surface over a dense cloud).
@@ -179,7 +185,14 @@ def marching_tetrahedra(values: np.ndarray, iso: float, origin: np.ndarray,
     corner_idx = base[:, None, :] + _CUBE_OFFSETS[None, :, :]  # (C, 8, 3)
     corner_vals = values[corner_idx[..., 0], corner_idx[..., 1], corner_idx[..., 2]]
     corner_pos = origin + corner_idx * spacing
+    return _march_cells(corner_vals, corner_pos, iso, spacing)
 
+
+def _march_cells(corner_vals: np.ndarray, corner_pos: np.ndarray, iso: float,
+                 spacing: float) -> tuple[np.ndarray, np.ndarray]:
+    """Triangulate a batch of grid cells given their 8 corner values
+    (C, 8) and positions (C, 8, 3) — shared by the dense grid and the
+    sparse narrow-band Poisson paths."""
     tris = []
     inside = corner_vals > iso  # (C, 8)
     for tet in _TETS:
@@ -318,29 +331,22 @@ def _splat_trilinear(grid: np.ndarray, coords: np.ndarray, values: np.ndarray) -
                     np.add.at(grid, (ix, iy, iz), values * w)
 
 
-def poisson_reconstruct(points: np.ndarray, normals: np.ndarray, depth: int = 6,
-                        density_quantile: float = 0.1, cg_iters: int = 300):
-    """Grid Poisson surface reconstruction (see module docstring).
-
-    ``depth`` mirrors the reference's octree depth: grid resolution is
-    2**depth per axis (capped at 192 for host memory).
-    """
-    pts = np.asarray(points, dtype=np.float64)
-    nrm = np.asarray(normals, dtype=np.float64)
-    # depth 8 = 256^3, the reference's octree default
-    # (pointcloud_to_mesh.py:356-366); the CG solve runs jitted on the
-    # accelerator, so the host only pays the splat + marching pass
-    res = min(2**depth, 256)
-
+def _grid_frame(pts: np.ndarray, res: int):
+    """Common bounding-box -> grid mapping: (origin, spacing)."""
     lo = pts.min(axis=0)
     hi = pts.max(axis=0)
     center = (lo + hi) / 2
     span = float((hi - lo).max()) * 1.1 + 1e-9
     spacing = span / (res - 1)
     origin = center - span / 2
-    coords = (pts - origin) / spacing
+    return origin, spacing
 
-    # vector field from oriented normals; density for filtering
+
+def _dense_chi(pts: np.ndarray, nrm: np.ndarray, res: int, origin: np.ndarray,
+               spacing: float, cg_iters: int):
+    """Dense grid Poisson solve: splat normals, divergence, CG.
+    Returns (chi, density) as (res, res, res) arrays."""
+    coords = (pts - origin) / spacing
     V = np.zeros((res, res, res, 3), np.float32)
     density = np.zeros((res, res, res), np.float32)
     _splat_trilinear(V, coords, nrm)
@@ -365,6 +371,44 @@ def poisson_reconstruct(points: np.ndarray, normals: np.ndarray, depth: int = 6,
         chi = _poisson_cg_device(-div, iters=cg_iters)
     except Exception:  # pragma: no cover - e.g. device OOM
         chi = _cg(lambda x: -_laplacian_apply(x), -div, iters=cg_iters)
+    return chi, density
+
+
+def _density_filter(mesh_verts, faces, vdens, density_quantile):
+    """Drop vertices in the bottom density quantile (reference behavior:
+    remove_vertices_by_mask(densities < quantile(0.1)))."""
+    keep = vdens >= np.quantile(vdens, density_quantile)
+    keep_idx = np.nonzero(keep)[0]
+    remap = -np.ones(len(mesh_verts), dtype=np.int64)
+    remap[keep_idx] = np.arange(len(keep_idx))
+    face_ok = keep[faces].all(axis=1)
+    faces = remap[faces[face_ok]]
+    return TriangleMesh(mesh_verts[keep_idx], faces).cleanup()
+
+
+def poisson_reconstruct(points: np.ndarray, normals: np.ndarray, depth: int = 6,
+                        density_quantile: float = 0.1, cg_iters: int = 300):
+    """Grid Poisson surface reconstruction (see module docstring).
+
+    ``depth`` mirrors the reference's octree depth: grid resolution is
+    2**depth per axis. Up to depth 8 (256^3, the reference's octree
+    default, `pointcloud_to_mesh.py:356-366`) the solve is a dense grid
+    CG jitted on the accelerator; depth >= 9 switches to the sparse
+    narrow-band solver (`poisson_reconstruct_sparse`) — a dense 512^3+
+    grid would not fit host memory, and the surface only occupies a thin
+    shell of it anyway.
+    """
+    pts = np.asarray(points, dtype=np.float64)
+    nrm = np.asarray(normals, dtype=np.float64)
+    if 2**depth > 256:
+        return poisson_reconstruct_sparse(
+            pts, nrm, depth=depth, density_quantile=density_quantile,
+            cg_iters=cg_iters)
+    res = 2**depth
+
+    origin, spacing = _grid_frame(pts, res)
+    coords = (pts - origin) / spacing
+    chi, density = _dense_chi(pts, nrm, res, origin, spacing, cg_iters)
 
     # iso level: mean indicator value at the sample points
     ijk = np.clip(np.round(coords).astype(np.int64), 0, res - 1)
@@ -374,17 +418,231 @@ def poisson_reconstruct(points: np.ndarray, normals: np.ndarray, depth: int = 6,
     if len(verts) == 0:
         return TriangleMesh(verts, faces)
 
-    # density filter: drop vertices in the bottom quantile (reference
-    # behavior: remove_vertices_by_mask(densities < quantile(0.1)))
     vcoords = np.clip(np.round((verts - origin) / spacing).astype(np.int64), 0, res - 1)
     vdens = density[vcoords[:, 0], vcoords[:, 1], vcoords[:, 2]]
-    keep = vdens >= np.quantile(vdens, density_quantile)
-    keep_idx = np.nonzero(keep)[0]
-    remap = -np.ones(len(verts), dtype=np.int64)
-    remap[keep_idx] = np.arange(len(keep_idx))
-    face_ok = keep[faces].all(axis=1)
-    faces = remap[faces[face_ok]]
-    return TriangleMesh(verts[keep_idx], faces).cleanup()
+    return _density_filter(verts, faces, vdens, density_quantile)
+
+
+# ---------------------------------------------------------------------------
+# sparse narrow-band Poisson (depth >= 9)
+
+
+def _trilinear_sample(grid: np.ndarray, coords: np.ndarray) -> np.ndarray:
+    """Clamped trilinear sampling of a (n, n, n) grid at float coords (N, 3)."""
+    n = grid.shape[0]
+    c = np.clip(coords, 0.0, n - 1.0)
+    lo = np.minimum(np.floor(c).astype(np.int64), n - 2)
+    f = c - lo
+    out = np.zeros(len(c), dtype=np.float64)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                w = (
+                    (f[:, 0] if dx else 1 - f[:, 0])
+                    * (f[:, 1] if dy else 1 - f[:, 1])
+                    * (f[:, 2] if dz else 1 - f[:, 2])
+                )
+                out += w * grid[lo[:, 0] + dx, lo[:, 1] + dy, lo[:, 2] + dz]
+    return out
+
+
+def _decode(keys: np.ndarray, res: int):
+    iz = keys % res
+    iy = (keys // res) % res
+    ix = keys // (res * res)
+    return ix, iy, iz
+
+
+def _neighbor_keys(keys: np.ndarray, res: int):
+    """(M, 6) neighbor keys along ±x, ±y, ±z; -1 where out of grid."""
+    ix, iy, iz = _decode(keys, res)
+    out = np.empty((len(keys), 6), dtype=np.int64)
+    for col, (dx, dy, dz) in enumerate(
+        [(1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1)]
+    ):
+        nx, ny, nz = ix + dx, iy + dy, iz + dz
+        valid = (nx >= 0) & (nx < res) & (ny >= 0) & (ny < res) & (nz >= 0) & (nz < res)
+        out[:, col] = np.where(valid, (nx * res + ny) * res + nz, -1)
+    return out
+
+
+def _splat_sparse(keys: np.ndarray, res: int, coords: np.ndarray,
+                  values: np.ndarray) -> np.ndarray:
+    """Trilinear splat onto the compacted node set ``keys`` (sorted).
+    values: (N,) or (N, C). Contributions to nodes outside ``keys`` are
+    dropped (they are zero by construction when keys ⊇ splat support)."""
+    out_shape = (len(keys),) + values.shape[1:]
+    out = np.zeros(out_shape, dtype=np.float64)
+    lo = np.floor(coords).astype(np.int64)
+    frac = coords - lo
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                w = (
+                    (frac[:, 0] if dx else 1 - frac[:, 0])
+                    * (frac[:, 1] if dy else 1 - frac[:, 1])
+                    * (frac[:, 2] if dz else 1 - frac[:, 2])
+                )
+                ix = np.clip(lo[:, 0] + dx, 0, res - 1)
+                iy = np.clip(lo[:, 1] + dy, 0, res - 1)
+                iz = np.clip(lo[:, 2] + dz, 0, res - 1)
+                k = (ix * res + iy) * res + iz
+                pos = np.searchsorted(keys, k)
+                pos_c = np.minimum(pos, len(keys) - 1)
+                found = keys[pos_c] == k
+                if values.ndim == 2:
+                    np.add.at(out, pos_c[found], values[found] * w[found, None])
+                else:
+                    np.add.at(out, pos_c[found], values[found] * w[found])
+    return out
+
+
+def poisson_reconstruct_sparse(points: np.ndarray, normals: np.ndarray,
+                               depth: int = 9, density_quantile: float = 0.1,
+                               cg_iters: int = 300, band: int | None = None,
+                               coarse_depth: int = 8):
+    """Narrow-band Poisson reconstruction for depth >= 9 (512^3+).
+
+    Beyond-reference fidelity (the reference's Open3D call runs octree
+    depth 8, `pointcloud_to_mesh.py:356-366`): a dense solve at
+    ``coarse_depth`` (on the accelerator) provides global topology and
+    Dirichlet boundary values; the indicator is then re-solved at full
+    resolution only on a narrow band of grid nodes around the samples
+    (matrix-free CG over a compacted node set — the dense 512^3 grid
+    would be 0.5 GB per scalar field, but the band is ~1-3% of it).
+    Marching tetrahedra runs over band cells only.
+    """
+    pts = np.asarray(points, dtype=np.float64)
+    nrm = np.asarray(normals, dtype=np.float64)
+    res = 2**depth
+    origin, spacing = _grid_frame(pts, res)
+    coords = (pts - origin) / spacing
+
+    # --- band: splat-support nodes dilated until sample gaps bridge
+    lo = np.floor(coords).astype(np.int64)
+    corner = lo[:, None, :] + _CUBE_OFFSETS[None, :, :]
+    corner = np.clip(corner, 0, res - 1)
+    keys = np.unique((corner[..., 0] * res + corner[..., 1]) * res + corner[..., 2])
+    if band is None:
+        gap_cells = average_point_distance(pts) / spacing
+        band = max(3, int(np.ceil(gap_cells)) + 2)
+    for _ in range(band - 1):
+        nb = _neighbor_keys(keys, res)
+        keys = np.unique(np.concatenate([keys, nb[nb >= 0]]))
+    m = len(keys)
+
+    # --- sparse splat of the normal field + sample density
+    V = _splat_sparse(keys, res, coords, nrm)
+    density = _splat_sparse(keys, res, coords, np.ones(len(pts)))
+
+    # neighbor table into the compacted set; sentinel m = outside band
+    nb_keys = _neighbor_keys(keys, res)
+    pos = np.searchsorted(keys, np.where(nb_keys >= 0, nb_keys, 0))
+    pos_c = np.minimum(pos, m - 1)
+    in_band = (nb_keys >= 0) & (keys[pos_c] == nb_keys)
+    nb_idx = np.where(in_band, pos_c, m).astype(np.int64)  # (M, 6)
+
+    # divergence by central differences (V=0 outside the splat support,
+    # which lies strictly inside the band)
+    def read(col, arr):
+        pad = np.concatenate([arr, np.zeros((1,) + arr.shape[1:])])
+        return pad[nb_idx[:, col]]
+
+    div = (
+        (read(0, V)[:, 0] - read(1, V)[:, 0])
+        + (read(2, V)[:, 1] - read(3, V)[:, 1])
+        + (read(4, V)[:, 2] - read(5, V)[:, 2])
+    ) / 2.0
+
+    # --- coarse dense solve for boundary values / initial guess
+    cres = min(2**coarse_depth, 256)
+    cspacing = spacing * (res - 1) / (cres - 1)
+    chi_c, _ = _dense_chi(pts, nrm, cres, origin, cspacing, cg_iters)
+    ratio = (cres - 1) / (res - 1)
+
+    def coarse_at(node_keys: np.ndarray) -> np.ndarray:
+        ijk = np.stack(_decode(node_keys, res), axis=1).astype(np.float64)
+        return _trilinear_sample(chi_c, ijk * ratio)
+
+    # Lattice scaling: both paths splat RAW normals and use UNIT-spacing
+    # stencils, so for a grid of spacing h the node field is V ~ n·σ·h²
+    # (points within one cell of a node), the unit-lattice divergence
+    # adds another h, and the unit-lattice Laplacian absorbs h² — the
+    # discrete indicator therefore scales as chi_d ∝ h. Converting the
+    # coarse solution to the fine lattice: chi_f = (h_f/h_c)·chi_c =
+    # ratio·chi_c.
+    scale = ratio
+    chi_bc_all = coarse_at(keys) * scale
+
+    # Dirichlet contributions: for each missing neighbor, its coarse value
+    b = -div
+    x0 = chi_bc_all.copy()
+    for col in range(6):
+        missing = ~in_band[:, col] & (nb_keys[:, col] >= 0)
+        if missing.any():
+            b[missing] += coarse_at(nb_keys[missing, col]) * scale
+        # out-of-grid neighbors keep the zero (far-field) boundary
+
+    def apply_A(x):
+        pad = np.concatenate([x, [0.0]])
+        acc = 6.0 * x
+        for col in range(6):
+            acc -= pad[nb_idx[:, col]]
+        return acc
+
+    # CG with the coarse solution as the initial guess
+    r = b - apply_A(x0)
+    p = r.copy()
+    rs = float(r @ r)
+    b_norm = np.sqrt(float(b @ b)) + 1e-30
+    x = x0
+    for _ in range(cg_iters):
+        Ap = apply_A(p)
+        alpha = rs / (float(p @ Ap) + 1e-30)
+        x = x + alpha * p
+        r -= alpha * Ap
+        rs_new = float(r @ r)
+        if np.sqrt(rs_new) / b_norm < 1e-6:
+            break
+        p = r + (rs_new / rs) * p
+        rs = rs_new
+    chi = x
+
+    # iso level: mean indicator at the sample nodes
+    ijk = np.clip(np.round(coords).astype(np.int64), 0, res - 1)
+    skeys = (ijk[:, 0] * res + ijk[:, 1]) * res + ijk[:, 2]
+    spos = np.minimum(np.searchsorted(keys, skeys), m - 1)
+    iso = float(np.mean(chi[spos]))
+
+    # --- marching tetrahedra over band cells only
+    ix, iy, iz = _decode(keys, res)
+    cell_ok = (ix < res - 1) & (iy < res - 1) & (iz < res - 1)
+    base_keys = keys[cell_ok]
+    bx, by, bz = _decode(base_keys, res)
+    cbase = np.stack([bx, by, bz], axis=1)
+    corner_idx = cbase[:, None, :] + _CUBE_OFFSETS[None, :, :]  # (C, 8, 3)
+    ckeys = (corner_idx[..., 0] * res + corner_idx[..., 1]) * res + corner_idx[..., 2]
+    cpos = np.minimum(np.searchsorted(keys, ckeys.ravel()), m - 1)
+    cfound = keys[cpos] == ckeys.ravel()
+    cvals = np.where(cfound, chi[cpos], 0.0)
+    if not cfound.all():
+        cvals[~cfound] = coarse_at(ckeys.ravel()[~cfound]) * scale
+    cvals = cvals.reshape(-1, 8)
+    inside = cvals > iso
+    straddle = inside.any(axis=1) & ~inside.all(axis=1)
+    if not straddle.any():
+        return TriangleMesh(np.zeros((0, 3)), np.zeros((0, 3), np.int64))
+    corner_pos = origin + corner_idx[straddle] * spacing
+    verts, faces = _march_cells(cvals[straddle], corner_pos, iso, spacing)
+    if len(verts) == 0:
+        return TriangleMesh(verts, faces)
+
+    # density filter via the sparse density (0 outside the band)
+    vijk = np.clip(np.round((verts - origin) / spacing).astype(np.int64), 0, res - 1)
+    vkeys = (vijk[:, 0] * res + vijk[:, 1]) * res + vijk[:, 2]
+    vpos = np.minimum(np.searchsorted(keys, vkeys), m - 1)
+    vdens = np.where(keys[vpos] == vkeys, density[vpos], 0.0)
+    return _density_filter(verts, faces, vdens, density_quantile)
 
 
 # ---------------------------------------------------------------------------

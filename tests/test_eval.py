@@ -97,3 +97,29 @@ def test_depth_metrics_identity():
     assert m["abs_rel"] == 0 and m["rmse"] == 0 and m["delta1"] == 1.0
     worse = compute_all(d * 1.3, d)
     assert worse["abs_rel"] > 0.29 and worse["delta1"] < 1.0
+
+
+def test_eval_depth_cli(tmp_path, capsys):
+    """depth-pro-eval: directory pairing by stem, npz + npy formats,
+    mean JSON line with dense + boundary metrics."""
+    import json
+
+    from ml_depth_pro_video_tpu.cli.eval_depth import main
+
+    rng = np.random.default_rng(0)
+    pred_dir = tmp_path / "pred"
+    gt_dir = tmp_path / "gt"
+    pred_dir.mkdir()
+    gt_dir.mkdir()
+    for i in range(2):
+        gt = rng.uniform(1, 10, (24, 24))
+        np.savez_compressed(gt_dir / f"frame{i}.npz", depth=gt)
+        # predictions named like depth-pro-maps output (stem + _depth)
+        np.save(pred_dir / f"frame{i}_depth.npy", gt * (1.0 + 0.01 * i))
+    main(["--pred", str(pred_dir), "--gt", str(gt_dir), "--per-image"])
+    lines = [json.loads(line) for line in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 3  # 2 per-image + 1 mean
+    assert lines[-1]["n_images"] == 2
+    assert lines[0]["abs_rel"] == 0.0  # identical pair
+    assert 0.0 < lines[-1]["abs_rel"] < 0.01
+    assert "SI_boundary_F1" in lines[-1]

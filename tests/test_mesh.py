@@ -56,6 +56,49 @@ def test_poisson_reconstruct_sphere():
     assert abs(np.median(radii) - 1.0) < 0.15
 
 
+def test_poisson_sparse_matches_dense_and_refines():
+    """Narrow-band sparse Poisson: at the same depth it reproduces the
+    dense solve; at a higher depth (the point of the sparse path —
+    beyond-256^3 resolution without a dense grid) the surface error
+    shrinks."""
+    from ml_depth_pro_video_tpu.geom.mesh import poisson_reconstruct_sparse
+
+    pts = sphere_cloud(3000)
+    normals = estimate_normals(pts, radius=0.3, camera=(0, 0, 0))
+
+    def median_err(mesh):
+        r = np.linalg.norm(mesh.vertices, axis=1)
+        return np.median(np.abs(r - 1.0))
+
+    dense = poisson_reconstruct(pts, -normals, depth=5)
+    sparse_same = poisson_reconstruct_sparse(pts, -normals, depth=5, coarse_depth=4)
+    sparse_fine = poisson_reconstruct_sparse(pts, -normals, depth=6, coarse_depth=5)
+
+    e_dense, e_same, e_fine = median_err(dense), median_err(sparse_same), median_err(sparse_fine)
+    # same-depth parity (both resolve the sphere to grid accuracy)
+    assert abs(e_same - e_dense) < 0.02
+    assert len(sparse_same.faces) > 0.5 * len(dense.faces)
+    # higher depth refines the surface
+    assert e_fine < e_dense + 1e-4
+    assert len(sparse_fine.vertices) > 2 * len(dense.vertices)
+
+
+def test_poisson_depth9_dispatches_to_sparse(monkeypatch):
+    """poisson_reconstruct routes depth >= 9 (res > 256) to the sparse
+    narrow-band solver instead of allocating a dense 512^3 grid."""
+    import ml_depth_pro_video_tpu.geom.mesh as mesh_mod
+
+    called = {}
+
+    def fake_sparse(pts, nrm, depth, density_quantile, cg_iters):
+        called["depth"] = depth
+        return TriangleMesh(np.zeros((0, 3)), np.zeros((0, 3), np.int64))
+
+    monkeypatch.setattr(mesh_mod, "poisson_reconstruct_sparse", fake_sparse)
+    mesh_mod.poisson_reconstruct(sphere_cloud(100), sphere_cloud(100), depth=9)
+    assert called["depth"] == 9
+
+
 def test_voxel_downsample_counts():
     cloud = PointCloud(sphere_cloud(5000), np.full((5000, 3), 0.5))
     down = voxel_downsample(cloud, 0.2)
