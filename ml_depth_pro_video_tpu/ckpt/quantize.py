@@ -7,6 +7,12 @@ TFLOPs) while halving weight HBM — the dequant fuses and the smaller
 weight stream feeds the MXU better. So the quantized mode stores the
 stacked ViT matmul weights as int8 with per-output-channel scales.
 
+End-to-end at production batch the speedup vanishes (6.17 vs 6.16 fps
+at batch 16; the 35*B-patch activations dominate the weight stream), so
+this mode's value is the 4x smaller ViT weight footprint (int8 vs the
+fp32 master copy) — e.g. to fit more resident models per chip — not
+throughput.
+
 Opt-in (``quantize_vit_weights``); expected output deviation is small
 (weight-only, per-channel) but it is NOT the <=1e-3 parity mode.
 """

@@ -400,6 +400,8 @@ def poisson_reconstruct(points: np.ndarray, normals: np.ndarray, depth: int = 6,
     """
     pts = np.asarray(points, dtype=np.float64)
     nrm = np.asarray(normals, dtype=np.float64)
+    if len(pts) < 4:
+        return TriangleMesh(np.zeros((0, 3)), np.zeros((0, 3), np.int64))
     if 2**depth > 256:
         return poisson_reconstruct_sparse(
             pts, nrm, depth=depth, density_quantile=density_quantile,
@@ -514,6 +516,8 @@ def poisson_reconstruct_sparse(points: np.ndarray, normals: np.ndarray,
     """
     pts = np.asarray(points, dtype=np.float64)
     nrm = np.asarray(normals, dtype=np.float64)
+    if len(pts) < 4:
+        return TriangleMesh(np.zeros((0, 3)), np.zeros((0, 3), np.int64))
     res = 2**depth
     origin, spacing = _grid_frame(pts, res)
     coords = (pts - origin) / spacing

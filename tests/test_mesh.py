@@ -198,3 +198,13 @@ def test_ball_pivoting_sphere_watertight():
     fan = tangent_fan_triangulation(cloud)
     fan_boundary, _ = edge_stats(fan.faces)
     assert len(mesh.faces) > len(fan.faces) or boundary < fan_boundary
+
+
+def test_poisson_degenerate_inputs_return_empty():
+    from ml_depth_pro_video_tpu.geom.mesh import poisson_reconstruct_sparse
+
+    for n in (0, 1, 3):
+        m = poisson_reconstruct(np.zeros((n, 3)), np.zeros((n, 3)), depth=9)
+        assert len(m.faces) == 0
+        m = poisson_reconstruct_sparse(np.zeros((n, 3)), np.zeros((n, 3)), depth=5)
+        assert len(m.faces) == 0
