@@ -195,8 +195,12 @@ def attention_packed(qkv: jnp.ndarray, num_heads: int, impl: str | None = None) 
     impl = impl or _default_impl()
     # the kernel's VMEM budget (full score rows + packed qkv blocks per
     # program) is sized for bf16; fp32 at ViT-L scale exceeds the 16 MB
-    # scoped vmem (compile error) — fp32 parity runs take the XLA path
-    if impl == "pallas" and qkv.dtype == jnp.bfloat16:
+    # scoped vmem (compile error) — fp32 parity runs take the XLA path.
+    # Mosaic also requires the kernel's last block dim (the D-wide q/k/v
+    # column slice of the packed 3D tensor) to be a lane multiple —
+    # small-D models (tiny test config on a real TPU) fall back to XLA.
+    d = qkv.shape[-1] // 3
+    if impl == "pallas" and qkv.dtype == jnp.bfloat16 and d % 128 == 0:
         return _flash_packed_diff(qkv, num_heads)
     return xla_attention_packed(qkv, num_heads)
 

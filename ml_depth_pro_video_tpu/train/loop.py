@@ -1,0 +1,151 @@
+"""End-to-end fine-tuning loop: data -> sharded step -> checkpoints.
+
+Composes the training subsystem (a capability the reference lacks —
+SURVEY §1 notes "no training loop" — added TPU-first): `DepthDataset`
+host feed, the DP×TP `make_sharded_train_step`, orbax TrainState
+checkpointing with resume, and periodic validation on a held-out slice.
+
+Library entry: ``fit(...)``. CLI: ``depth-pro-train`` /
+``python -m ml_depth_pro_video_tpu.train.loop``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+
+import jax
+import numpy as np
+
+from ..ckpt.checkpointing import restore_train_state, save_train_state
+from ..core.precision import Precision
+from ..models.depth_pro import DEFAULT_MONODEPTH_CONFIG, DepthProConfig, init_depth_pro, load_checkpoint
+from ..parallel.mesh import batch_sharding, make_mesh
+from .data import DepthDataset
+from .step import make_sharded_train_step
+
+log = logging.getLogger(__name__)
+
+
+def fit(
+    data_root: str,
+    cfg: DepthProConfig = DEFAULT_MONODEPTH_CONFIG,
+    batch_size: int = 8,
+    epochs: int = 1,
+    lr: float = 1e-4,
+    warmup_steps: int = 100,
+    clip_norm: float = 1.0,
+    tp: int = 1,
+    precision: Precision | None = None,
+    checkpoint_dir: str | None = None,
+    save_every: int = 500,
+    holdout: int = 0,
+    log_every: int = 10,
+    seed: int = 0,
+    dp: int | None = None,
+):
+    """Fine-tune Depth Pro on a directory of (image, depth) pairs.
+
+    Returns the final TrainState. ``holdout`` reserves that many pairs
+    for validation (SILog on the canonical head, reported at every
+    checkpoint). Resumes from ``checkpoint_dir`` when it has a step.
+    """
+    precision = precision or Precision.bf16()
+    mesh = make_mesh(dp=dp, tp=tp)
+
+    dataset = DepthDataset(data_root, cfg.img_size, seed=seed)
+    val_pairs = dataset.pairs[:holdout]
+    dataset.pairs = dataset.pairs[holdout:]
+    steps_per_epoch = max(len(dataset) // batch_size, 1)
+    total_steps = steps_per_epoch * epochs
+
+    params = load_checkpoint(cfg)
+    if params is None:
+        log.warning("no model checkpoint (%s); training from random init", cfg.checkpoint_uri)
+        params = init_depth_pro(jax.random.PRNGKey(seed), cfg)
+    state, step_fn = make_sharded_train_step(
+        params, cfg, mesh, lr=lr, precision=precision, tensor_parallel=tp > 1,
+        warmup_steps=warmup_steps, total_steps=total_steps, clip_norm=clip_norm,
+    )
+    if checkpoint_dir:
+        restored = restore_train_state(checkpoint_dir, state)
+        if restored is not None:
+            state = restored
+            log.info("resumed from %s at step %d", checkpoint_dir, int(state.step))
+
+    data_sh = batch_sharding(mesh)
+    start = int(state.step)
+    losses: list[float] = []
+    t0 = time.perf_counter()
+    for i, (images, depth) in enumerate(
+        dataset.batches(batch_size, epochs=epochs, sharding=data_sh)
+    ):
+        if i < start:  # resume: replay the (deterministic) stream position
+            continue
+        state, loss = step_fn(state, images, depth)
+        losses.append(float(loss))
+        step = int(state.step)
+        if step % log_every == 0:
+            dt = (time.perf_counter() - t0) / max(len(losses), 1)
+            log.info("step %d/%d loss %.4f (%.2f s/step)", step, total_steps,
+                     float(np.mean(losses[-log_every:])), dt)
+        if checkpoint_dir and step % save_every == 0:
+            save_train_state(checkpoint_dir, state)
+            if val_pairs:
+                log.info("step %d val_silog %.4f", step,
+                         _validate(state.params, val_pairs, cfg, precision, batch_size))
+    if checkpoint_dir:
+        save_train_state(checkpoint_dir, state)
+    if val_pairs:
+        log.info("final val_silog %.4f",
+                 _validate(state.params, val_pairs, cfg, precision, batch_size))
+    return state
+
+
+def _validate(params, pairs, cfg, precision, batch_size) -> float:
+    # unsharded host batches: validation batches may not divide dp
+    from .step import loss_fn
+
+    ds = DepthDataset.__new__(DepthDataset)
+    ds.image_size = cfg.img_size
+    ds.pairs = pairs
+    ds.rng = np.random.default_rng(0)
+    vals = [
+        float(loss_fn(params, images, depth, cfg, precision))
+        for images, depth in ds.batches(batch_size, epochs=1, drop_remainder=False)
+    ]
+    return float(np.mean(vals)) if vals else float("nan")
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description="Fine-tune Depth Pro (TPU, DPxTP)")
+    ap.add_argument("--data_root", required=True,
+                    help="directory of image + <stem>_depth.npy pairs")
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--epochs", type=int, default=1)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--warmup_steps", type=int, default=100)
+    ap.add_argument("--tp", type=int, default=1, help="tensor-parallel degree")
+    ap.add_argument("--checkpoint_dir", default=None)
+    ap.add_argument("--save_every", type=int, default=500)
+    ap.add_argument("--holdout", type=int, default=0)
+    ap.add_argument("--tiny", action="store_true",
+                    help="miniature model config (smoke tests / CI)")
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    if args.tiny:
+        from ..models.depth_pro import tiny_config
+
+        cfg = tiny_config()
+    else:
+        cfg = DEFAULT_MONODEPTH_CONFIG
+    fit(args.data_root, cfg, batch_size=args.batch_size, epochs=args.epochs,
+        lr=args.lr, warmup_steps=args.warmup_steps, tp=args.tp,
+        checkpoint_dir=args.checkpoint_dir, save_every=args.save_every,
+        holdout=args.holdout)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -169,3 +169,21 @@ def test_fold_deconv_conv3x3_exact_with_borders():
     out = depth_to_space2x2(h)
 
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_attention_packed_small_d_falls_back_to_xla():
+    """Packed dims that are not lane multiples (tiny configs on a real
+    TPU) must take the XLA path — the Pallas block spec requires the
+    D-wide column slice to be 128-divisible. Regression: depth-pro-train
+    --tiny on the chip crashed in pallas_call with d=64."""
+    import jax
+    import jax.numpy as jnp
+
+    from ml_depth_pro_video_tpu.ops.attention import attention_packed, xla_attention_packed
+
+    qkv = (jax.random.normal(jax.random.PRNGKey(0), (3, 65, 3 * 64)) * 0.3).astype(jnp.bfloat16)
+    # impl="pallas" forced: the d%128 guard must reroute to XLA (no crash
+    # on any backend), and values must match the reference path
+    out = attention_packed(qkv, num_heads=2, impl="pallas")
+    ref = xla_attention_packed(qkv, num_heads=2)
+    assert jnp.allclose(out, ref).item()

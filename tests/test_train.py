@@ -76,3 +76,33 @@ def test_optimizer_schedule_and_clipping():
     for _ in range(6):
         updates, state = tx.update(big_grad, state, params)
     assert float(jnp.abs(updates["w"]).max()) <= 1.1e-2
+
+
+def test_fit_smoke_and_resume(tmp_path):
+    """End-to-end fit(): tiny model, synthetic pairs, checkpoint save,
+    resume continues from the saved step."""
+    from ml_depth_pro_video_tpu.ckpt.checkpointing import latest_step
+    from ml_depth_pro_video_tpu.models.depth_pro import tiny_config
+    from ml_depth_pro_video_tpu.train.loop import fit
+
+    rng = np.random.default_rng(0)
+    data = tmp_path / "data"
+    data.mkdir()
+    for i in range(3):
+        Image.fromarray((rng.random((64, 64, 3)) * 255).astype(np.uint8)).save(
+            data / f"s{i}.png"
+        )
+        np.save(data / f"s{i}_depth.npy", rng.uniform(1, 10, (64, 64)).astype(np.float32))
+
+    ckpt = str(tmp_path / "ckpt")
+    cfg = tiny_config()
+    state = fit(str(data), cfg, batch_size=2, epochs=1, lr=1e-4, warmup_steps=1,
+                checkpoint_dir=ckpt, save_every=1, holdout=1, dp=1)
+    assert int(state.step) == 1
+    assert latest_step(ckpt) == 1
+
+    # resume: epochs=2 -> 2 total steps; the first is replayed from ckpt
+    state = fit(str(data), cfg, batch_size=2, epochs=2, lr=1e-4, warmup_steps=1,
+                checkpoint_dir=ckpt, save_every=10, holdout=1, dp=1)
+    assert int(state.step) == 2
+    assert latest_step(ckpt) == 2
