@@ -10,10 +10,13 @@
 // Binding: ctypes (ml_depth_pro_video_tpu/native/__init__.py); Python
 // fallback remains geom/mesh.py::tangent_fan_triangulation.
 
+#include <atomic>
 #include <cstdint>
 #include <cmath>
+#include <cstdlib>
 #include <cstring>
 #include <deque>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 #include <algorithm>
@@ -209,8 +212,11 @@ struct BPA {
         return false;
     }
 
-    // pivot the ball around front edge e; returns true if a triangle was added
-    bool pivot(const Grid& g, const FrontEdge& e, double rho) {
+    struct PivotResult { int32_t found; int32_t x; V3 c; };
+
+    // read-only pivot search around front edge e (thread-safe: mutates
+    // nothing; ball_empty uses only static point positions)
+    PivotResult pivot_search(const Grid& g, const FrontEdge& e, double rho) const {
         const V3 pi = P(e.i), pj = P(e.j);
         const V3 m = (pi + pj) * 0.5;
         const V3 axis = (pj - pi).normalized();
@@ -218,7 +224,7 @@ struct BPA {
         V3 u0 = e.c - m;
         u0 = (u0 - axis * u0.dot(axis));
         const double u0n = u0.norm();
-        if (u0n < 1e-15) return false;
+        if (u0n < 1e-15) return {0, -1, V3{}};
         const V3 u = u0 * (1.0 / u0n);
         V3 w = axis.cross(u);  // completes the rotation frame
         // rotation sense: roll AWAY from the old triangle's third vertex
@@ -260,14 +266,16 @@ struct BPA {
                 best_c = c;
             }
         });
-        if (best_x < 0) return false;
+        return {best_x >= 0, (int32_t)best_x, best_c};
+    }
 
-        emit(e.i, best_x, e.j);
+    // apply a successful pivot (serial; mutates the front state)
+    void commit_pivot(const FrontEdge& e, const PivotResult& r) {
+        emit(e.i, r.x, e.j);
         estat[ekey(e.i, e.j)] = 2;
         --front_deg[e.i]; --front_deg[e.j];
-        add_edge(e.i, best_x, e.j, best_c);
-        add_edge(best_x, e.j, e.i, best_c);
-        return true;
+        add_edge(e.i, r.x, e.j, r.c);
+        add_edge(r.x, e.j, e.i, r.c);
     }
 
     void run(const double* radii, int64_t n_radii) {
@@ -294,18 +302,78 @@ struct BPA {
             }
             int64_t cursor = 0;
             int64_t ops = 0, ops_cap = 64 * n + 100000;
-            while ((int64_t)tris.size() / 3 < max_tris && ++ops < ops_cap) {
+            // Parallel front processing with EXACT sequential semantics:
+            // drain the next K front edges (the same K the serial loop
+            // would process — commits only append new edges at the back),
+            // run the read-only pivot searches across threads against the
+            // pre-batch state, then commit serially in deque order. A
+            // search is only reusable if no commit this batch touched its
+            // 2*rho neighborhood (every state mutation — used, front_deg,
+            // estat — lands on the 3 vertices of a committed triangle, and
+            // pivot candidates live within 2*rho of the edge midpoint);
+            // conflicting or failed searches re-run serially against the
+            // live state, which reproduces the serial algorithm exactly.
+            unsigned hw = std::thread::hardware_concurrency();
+            if (const char* env = std::getenv("BPA_THREADS")) hw = (unsigned)std::atoi(env);
+            hw = std::max(1u, std::min(hw, 64u));
+            const size_t batch_cap = hw > 1 ? (size_t)hw * 4 : 1;
+            std::vector<FrontEdge> batch;
+            std::vector<PivotResult> results;
+            std::vector<V3> touched;  // triangle vertices committed this batch
+            while ((int64_t)tris.size() / 3 < max_tris && ops < ops_cap) {
                 if (front.empty()) {
+                    ++ops;
                     if (!try_seed(g, rho, 0, cursor)) break;
                     continue;
                 }
-                FrontEdge e = front.front();
-                front.pop_front();
-                auto it = estat.find(ekey(e.i, e.j));
-                if (it == estat.end() || it->second != 1) continue;  // stale
-                if (!pivot(g, e, rho)) {
-                    it->second = 3;  // boundary at this radius
-                    boundary_records.push_back(e);
+                batch.clear();
+                while (!front.empty() && batch.size() < batch_cap) {
+                    FrontEdge e = front.front();
+                    front.pop_front();
+                    auto it = estat.find(ekey(e.i, e.j));
+                    if (it == estat.end() || it->second != 1) continue;  // stale
+                    batch.push_back(e);
+                }
+                ops += (int64_t)batch.size() + 1;
+                if (batch.empty()) continue;
+                results.assign(batch.size(), PivotResult{0, -1, V3{}});
+                if (hw > 1 && batch.size() > 1) {
+                    std::atomic<size_t> next{0};
+                    auto worker = [&]() {
+                        for (size_t i; (i = next.fetch_add(1)) < batch.size();)
+                            results[i] = pivot_search(g, batch[i], rho);
+                    };
+                    std::vector<std::thread> threads;
+                    const size_t nt = std::min((size_t)hw, batch.size());
+                    threads.reserve(nt - 1);
+                    for (size_t t = 1; t < nt; ++t) threads.emplace_back(worker);
+                    worker();
+                    for (auto& th : threads) th.join();
+                } else {
+                    for (size_t i = 0; i < batch.size(); ++i)
+                        results[i] = pivot_search(g, batch[i], rho);
+                }
+                touched.clear();
+                const double lim2 = 4 * rho * rho * (1.0 + 1e-9);
+                for (size_t i = 0; i < batch.size(); ++i) {
+                    if ((int64_t)tris.size() / 3 >= max_tris) break;
+                    const FrontEdge& e = batch[i];
+                    auto it = estat.find(ekey(e.i, e.j));
+                    if (it == estat.end() || it->second != 1) continue;  // glued by an earlier commit
+                    const V3 m = (P(e.i) + P(e.j)) * 0.5;
+                    bool conflict = false;
+                    for (const V3& v : touched)
+                        if ((v - m).norm2() < lim2) { conflict = true; break; }
+                    PivotResult r = conflict ? pivot_search(g, e, rho) : results[i];
+                    if (r.found) {
+                        commit_pivot(e, r);
+                        touched.push_back(P(e.i));
+                        touched.push_back(P(e.j));
+                        touched.push_back(P(r.x));
+                    } else {
+                        it->second = 3;  // boundary at this radius
+                        boundary_records.push_back(e);
+                    }
                 }
             }
         }

@@ -208,3 +208,37 @@ def test_poisson_degenerate_inputs_return_empty():
         assert len(m.faces) == 0
         m = poisson_reconstruct_sparse(np.zeros((n, 3)), np.zeros((n, 3)), depth=5)
         assert len(m.faces) == 0
+
+
+def test_bpa_threading_exact_determinism():
+    """Parallel BPA (batched read-only pivot searches + serial in-order
+    commits with conflict redo) must produce EXACTLY the sequential
+    triangulation for any thread count."""
+    import os
+
+    from ml_depth_pro_video_tpu.geom.mesh import ball_pivoting
+    from ml_depth_pro_video_tpu.native import neighbors as native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+
+    rng = np.random.default_rng(1)
+    n = 1500
+    v = rng.standard_normal((n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    cloud = PointCloud(v, None)
+    prev = os.environ.get("BPA_THREADS")
+    try:
+        os.environ["BPA_THREADS"] = "1"
+        m1 = ball_pivoting(cloud)
+        os.environ["BPA_THREADS"] = "5"
+        m5 = ball_pivoting(cloud)
+    finally:
+        if prev is None:
+            os.environ.pop("BPA_THREADS", None)
+        else:
+            os.environ["BPA_THREADS"] = prev
+    assert np.array_equal(m1.faces, m5.faces)
+    assert len(m1.faces) == 2 * n - 4
