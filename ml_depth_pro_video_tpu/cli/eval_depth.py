@@ -50,11 +50,22 @@ def _stem(path: str) -> str:
 
 
 def collect_pairs(pred: str, gt: str) -> list[tuple[str, str]]:
-    if os.path.isfile(pred):
-        return [(pred, gt)]
     exts = ("*.npz", "*.npy", "*.png", "*.tif", "*.tiff")
+    gts = (
+        {_stem(p): p for e in exts for p in glob.glob(os.path.join(gt, e))}
+        if os.path.isdir(gt)
+        else None
+    )
+    if os.path.isfile(pred):
+        if gts is None:
+            return [(pred, gt)]
+        stem = _stem(pred)
+        if stem not in gts:
+            raise SystemExit(f"no ground truth named like '{stem}' in {gt}")
+        return [(pred, gts[stem])]
     preds = sorted(p for e in exts for p in glob.glob(os.path.join(pred, e)))
-    gts = {_stem(p): p for e in exts for p in glob.glob(os.path.join(gt, e))}
+    if gts is None:
+        raise SystemExit("--pred is a directory; --gt must be one too")
     pairs = [(p, gts[_stem(p)]) for p in preds if _stem(p) in gts]
     if not pairs:
         raise SystemExit(f"no prediction/ground-truth basename matches between {pred} and {gt}")
@@ -69,8 +80,12 @@ def evaluate_pair(pred_path: str, gt_path: str, gt_scale: float,
         raise ValueError(f"shape mismatch: {pred_path} {pred.shape} vs {gt_path} {gt.shape}")
     mask = (gt > 0) & np.isfinite(gt) & np.isfinite(pred) & (pred > 0)
     metrics = compute_all(pred, gt, mask)
-    # SI_boundary_F1 takes metric depth and inverts internally
-    metrics["SI_boundary_F1"] = float(SI_boundary_F1(pred, gt, N=boundary_t))
+    # SI_boundary_F1 takes metric depth and inverts internally. It needs
+    # DENSE ground truth: holes (gt == 0) would register as huge inverse-
+    # depth edges at every valid/invalid border and swamp the metric, so
+    # it is only reported when the GT is (nearly) dense.
+    if mask.mean() > 0.99:
+        metrics["SI_boundary_F1"] = float(SI_boundary_F1(pred, gt, N=boundary_t))
     return metrics
 
 
@@ -92,7 +107,10 @@ def main(argv=None) -> None:
         rows.append(m)
         if args.per_image:
             print(json.dumps({"pred": os.path.basename(pred_path), **{k: round(v, 6) for k, v in m.items()}}))
-    mean = {k: round(float(np.mean([r[k] for r in rows])), 6) for k in rows[0]}
+    keys = [k for k in rows[0] if all(k in r for r in rows)] + sorted(
+        {k for r in rows for k in r} - set(rows[0])
+    )
+    mean = {k: round(float(np.mean([r[k] for r in rows if k in r])), 6) for k in keys}
     print(json.dumps({"n_images": len(rows), **mean}))
 
 

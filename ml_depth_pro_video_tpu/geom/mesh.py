@@ -309,11 +309,10 @@ def _poisson_cg_device(b: np.ndarray, iters: int = 300, tol: float = 1e-6) -> np
     return np.asarray(solve(jnp.asarray(b, jnp.float32), iters), dtype=np.float64)
 
 
-def _splat_trilinear(grid: np.ndarray, coords: np.ndarray, values: np.ndarray) -> None:
-    """Accumulate per-point vector/scalar values into grid (in place)."""
-    lo = np.floor(coords).astype(np.int64)
-    frac = coords - lo
-    shape = grid.shape[:3]
+def _corner_weights(frac: np.ndarray):
+    """Yield (dx, dy, dz, w) trilinear weights for the 8 cell corners —
+    the single home of the weight convention (splat dense/sparse and
+    sampling all share it)."""
     for dx in (0, 1):
         for dy in (0, 1):
             for dz in (0, 1):
@@ -322,13 +321,21 @@ def _splat_trilinear(grid: np.ndarray, coords: np.ndarray, values: np.ndarray) -
                     * (frac[:, 1] if dy else 1 - frac[:, 1])
                     * (frac[:, 2] if dz else 1 - frac[:, 2])
                 )
-                ix = np.clip(lo[:, 0] + dx, 0, shape[0] - 1)
-                iy = np.clip(lo[:, 1] + dy, 0, shape[1] - 1)
-                iz = np.clip(lo[:, 2] + dz, 0, shape[2] - 1)
-                if grid.ndim == 4:
-                    np.add.at(grid, (ix, iy, iz), values * w[:, None])
-                else:
-                    np.add.at(grid, (ix, iy, iz), values * w)
+                yield dx, dy, dz, w
+
+
+def _splat_trilinear(grid: np.ndarray, coords: np.ndarray, values: np.ndarray) -> None:
+    """Accumulate per-point vector/scalar values into grid (in place)."""
+    lo = np.floor(coords).astype(np.int64)
+    shape = grid.shape[:3]
+    for dx, dy, dz, w in _corner_weights(coords - lo):
+        ix = np.clip(lo[:, 0] + dx, 0, shape[0] - 1)
+        iy = np.clip(lo[:, 1] + dy, 0, shape[1] - 1)
+        iz = np.clip(lo[:, 2] + dz, 0, shape[2] - 1)
+        if grid.ndim == 4:
+            np.add.at(grid, (ix, iy, iz), values * w[:, None])
+        else:
+            np.add.at(grid, (ix, iy, iz), values * w)
 
 
 def _grid_frame(pts: np.ndarray, res: int):
@@ -434,17 +441,9 @@ def _trilinear_sample(grid: np.ndarray, coords: np.ndarray) -> np.ndarray:
     n = grid.shape[0]
     c = np.clip(coords, 0.0, n - 1.0)
     lo = np.minimum(np.floor(c).astype(np.int64), n - 2)
-    f = c - lo
     out = np.zeros(len(c), dtype=np.float64)
-    for dx in (0, 1):
-        for dy in (0, 1):
-            for dz in (0, 1):
-                w = (
-                    (f[:, 0] if dx else 1 - f[:, 0])
-                    * (f[:, 1] if dy else 1 - f[:, 1])
-                    * (f[:, 2] if dz else 1 - f[:, 2])
-                )
-                out += w * grid[lo[:, 0] + dx, lo[:, 1] + dy, lo[:, 2] + dz]
+    for dx, dy, dz, w in _corner_weights(c - lo):
+        out += w * grid[lo[:, 0] + dx, lo[:, 1] + dy, lo[:, 2] + dz]
     return out
 
 
@@ -476,26 +475,18 @@ def _splat_sparse(keys: np.ndarray, res: int, coords: np.ndarray,
     out_shape = (len(keys),) + values.shape[1:]
     out = np.zeros(out_shape, dtype=np.float64)
     lo = np.floor(coords).astype(np.int64)
-    frac = coords - lo
-    for dx in (0, 1):
-        for dy in (0, 1):
-            for dz in (0, 1):
-                w = (
-                    (frac[:, 0] if dx else 1 - frac[:, 0])
-                    * (frac[:, 1] if dy else 1 - frac[:, 1])
-                    * (frac[:, 2] if dz else 1 - frac[:, 2])
-                )
-                ix = np.clip(lo[:, 0] + dx, 0, res - 1)
-                iy = np.clip(lo[:, 1] + dy, 0, res - 1)
-                iz = np.clip(lo[:, 2] + dz, 0, res - 1)
-                k = (ix * res + iy) * res + iz
-                pos = np.searchsorted(keys, k)
-                pos_c = np.minimum(pos, len(keys) - 1)
-                found = keys[pos_c] == k
-                if values.ndim == 2:
-                    np.add.at(out, pos_c[found], values[found] * w[found, None])
-                else:
-                    np.add.at(out, pos_c[found], values[found] * w[found])
+    for dx, dy, dz, w in _corner_weights(coords - lo):
+        ix = np.clip(lo[:, 0] + dx, 0, res - 1)
+        iy = np.clip(lo[:, 1] + dy, 0, res - 1)
+        iz = np.clip(lo[:, 2] + dz, 0, res - 1)
+        k = (ix * res + iy) * res + iz
+        pos = np.searchsorted(keys, k)
+        pos_c = np.minimum(pos, len(keys) - 1)
+        found = keys[pos_c] == k
+        if values.ndim == 2:
+            np.add.at(out, pos_c[found], values[found] * w[found, None])
+        else:
+            np.add.at(out, pos_c[found], values[found] * w[found])
     return out
 
 
@@ -528,8 +519,19 @@ def poisson_reconstruct_sparse(points: np.ndarray, normals: np.ndarray,
     corner = np.clip(corner, 0, res - 1)
     keys = np.unique((corner[..., 0] * res + corner[..., 1]) * res + corner[..., 2])
     if band is None:
-        gap_cells = average_point_distance(pts) / spacing
-        band = max(3, int(np.ceil(gap_cells)) + 2)
+        # Size the band to bridge sample gaps so marching (which only
+        # visits band cells) doesn't skip iso-crossings between samples.
+        # Use a high quantile of per-sample neighbor distance, not the
+        # mean — locally sparse regions (depth-map clouds: dense
+        # foreground, sparse background) set the requirement. Extremely
+        # non-uniform clouds can still need an explicit ``band``.
+        from scipy.spatial import cKDTree
+
+        sel = np.random.default_rng(0).choice(len(pts), min(1000, len(pts)), replace=False)
+        k = min(9, len(pts))
+        dist, _ = cKDTree(pts).query(pts[sel], k=k, workers=-1)
+        gap = float(np.quantile(dist[:, 1:].mean(axis=1), 0.9)) if k > 1 else spacing
+        band = max(3, int(np.ceil(gap / spacing)) + 2)
     for _ in range(band - 1):
         nb = _neighbor_keys(keys, res)
         keys = np.unique(np.concatenate([keys, nb[nb >= 0]]))

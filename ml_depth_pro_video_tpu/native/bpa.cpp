@@ -327,17 +327,20 @@ struct BPA {
                     continue;
                 }
                 batch.clear();
-                while (!front.empty() && batch.size() < batch_cap) {
+                // ops counts POPS (like the serial loop) so the runaway
+                // cap fires at the same pop count for ANY thread count —
+                // the determinism contract includes the capped case
+                while (!front.empty() && batch.size() < batch_cap && ops < ops_cap) {
+                    ++ops;
                     FrontEdge e = front.front();
                     front.pop_front();
                     auto it = estat.find(ekey(e.i, e.j));
                     if (it == estat.end() || it->second != 1) continue;  // stale
                     batch.push_back(e);
                 }
-                ops += (int64_t)batch.size() + 1;
                 if (batch.empty()) continue;
                 results.assign(batch.size(), PivotResult{0, -1, V3{}});
-                if (hw > 1 && batch.size() > 1) {
+                if (hw > 1 && batch.size() >= 16) {
                     std::atomic<size_t> next{0};
                     auto worker = [&]() {
                         for (size_t i; (i = next.fetch_add(1)) < batch.size();)

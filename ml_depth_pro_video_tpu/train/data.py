@@ -56,18 +56,26 @@ class DepthDataset:
         return x, d
 
     def batches(self, batch_size: int, epochs: int = 1, sharding=None,
-                prefetch: int = 2, drop_remainder: bool = True):
-        """Yield (images (B,S,S,3), depth (B,S,S)) device arrays."""
+                prefetch: int = 2, drop_remainder: bool = True, skip: int = 0):
+        """Yield (images (B,S,S,3), depth (B,S,S)) device arrays.
+
+        ``skip`` advances past the first N batches WITHOUT loading them
+        (deterministic stream replay for checkpoint resume: the shuffle
+        permutations are consumed, the images are not decoded)."""
         q: queue.Queue = queue.Queue(maxsize=prefetch)
         stop = object()
 
         def producer():
+            n_out = 0
             try:
                 for _ in range(epochs):
                     order = self.rng.permutation(len(self.pairs))
                     for i in range(0, len(order), batch_size):
                         sel = order[i : i + batch_size]
                         if drop_remainder and len(sel) < batch_size:
+                            continue
+                        n_out += 1
+                        if n_out <= skip:
                             continue
                         data = [self._load(j) for j in sel]
                         xs = np.stack([d[0] for d in data])

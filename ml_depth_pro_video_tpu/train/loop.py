@@ -12,6 +12,7 @@ Library entry: ``fit(...)``. CLI: ``depth-pro-train`` /
 from __future__ import annotations
 
 import argparse
+import functools as _functools
 import logging
 import time
 
@@ -57,7 +58,12 @@ def fit(
     dataset = DepthDataset(data_root, cfg.img_size, seed=seed)
     val_pairs = dataset.pairs[:holdout]
     dataset.pairs = dataset.pairs[holdout:]
-    steps_per_epoch = max(len(dataset) // batch_size, 1)
+    steps_per_epoch = len(dataset) // batch_size
+    if steps_per_epoch == 0:
+        raise ValueError(
+            f"{len(dataset)} training pairs (after holdout={holdout}) is fewer "
+            f"than batch_size={batch_size}: no full batch to train on"
+        )
     total_steps = steps_per_epoch * epochs
 
     params = load_checkpoint(cfg)
@@ -78,11 +84,11 @@ def fit(
     start = int(state.step)
     losses: list[float] = []
     t0 = time.perf_counter()
-    for i, (images, depth) in enumerate(
-        dataset.batches(batch_size, epochs=epochs, sharding=data_sh)
-    ):
-        if i < start:  # resume: replay the (deterministic) stream position
-            continue
+    # resume: skip already-trained batches without decoding them — the
+    # shuffle permutations are still consumed, so the stream position
+    # matches the saved step deterministically
+    for images, depth in dataset.batches(batch_size, epochs=epochs,
+                                         sharding=data_sh, skip=start):
         state, loss = step_fn(state, images, depth)
         losses.append(float(loss))
         step = int(state.step)
@@ -103,16 +109,24 @@ def fit(
     return state
 
 
-def _validate(params, pairs, cfg, precision, batch_size) -> float:
-    # unsharded host batches: validation batches may not divide dp
+@_functools.lru_cache(maxsize=4)
+def _jitted_loss(cfg, precision):
     from .step import loss_fn
 
+    # cached so repeated validation rounds reuse one compiled program
+    # (Precision and DepthProConfig are frozen/hashable dataclasses)
+    return jax.jit(_functools.partial(loss_fn, cfg=cfg, precision=precision))
+
+
+def _validate(params, pairs, cfg, precision, batch_size) -> float:
+    # unsharded host batches: validation batches may not divide dp
+    jitted = _jitted_loss(cfg, precision)
     ds = DepthDataset.__new__(DepthDataset)
     ds.image_size = cfg.img_size
     ds.pairs = pairs
     ds.rng = np.random.default_rng(0)
     vals = [
-        float(loss_fn(params, images, depth, cfg, precision))
+        float(jitted(params, images, depth))
         for images, depth in ds.batches(batch_size, epochs=1, drop_remainder=False)
     ]
     return float(np.mean(vals)) if vals else float("nan")
