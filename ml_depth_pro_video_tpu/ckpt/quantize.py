@@ -13,8 +13,10 @@ this mode's value is the 4x smaller ViT weight footprint (int8 vs the
 fp32 master copy) — e.g. to fit more resident models per chip — not
 throughput.
 
-Opt-in (``quantize_vit_weights``); expected output deviation is small
-(weight-only, per-channel) but it is NOT the <=1e-3 parity mode.
+Opt-in (``quantize_vit_weights``); measured on the chip at full config
+(scripts/tpu_int8_fidelity.out), the quantization adds a median 0.0002%
+of scale on top of the bf16 mode's own deviation — negligible relative
+to bf16 rounding — but it is NOT the <=1e-3 fp32 parity mode.
 """
 
 from __future__ import annotations
