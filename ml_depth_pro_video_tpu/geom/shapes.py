@@ -228,14 +228,36 @@ def detect_and_split_l_shapes(rectangles, points_2d, grid_size: float = 0.2,
 # clustering + export
 
 
+def _dbscan_labels(points_2d: np.ndarray, eps: float, min_samples: int) -> np.ndarray:
+    """DBSCAN with a grid dedup front-end: points are aggregated to
+    (eps/4)-cell representatives (their mean) and the representatives are
+    clustered with ``sample_weight`` = cell population, which preserves
+    DBSCAN's core-point counting; labels propagate back through the cell
+    map. Bounds the O(n * neighbors) DBSCAN cost by the OCCUPIED AREA
+    instead of the point count — dense 100k-point blobs (every frame of
+    a video run) collapse to a few thousand cells, where the plain call
+    built multi-GB neighbor graphs and took tens of seconds."""
+    from sklearn.cluster import DBSCAN
+
+    cell = np.floor(points_2d / (eps / 4.0)).astype(np.int64)
+    cell -= cell.min(axis=0)
+    key = cell[:, 0] * (cell[:, 1].max() + 1) + cell[:, 1]  # 1-D unique >> axis=0
+    uniq, inv, counts = np.unique(key, return_inverse=True, return_counts=True)
+    reps = np.zeros((len(uniq), 2))
+    np.add.at(reps, inv, points_2d)
+    reps /= counts[:, None]
+    cell_labels = DBSCAN(eps=eps, min_samples=min_samples).fit(
+        reps, sample_weight=counts
+    ).labels_
+    return cell_labels[inv]
+
+
 def fit_shapes_to_clusters(points_2d: np.ndarray, eps: float = 0.2,
                            min_samples: int = 5,
                            circularity_threshold: float = 0.85):
     """DBSCAN clusters -> fitted rectangles + circles."""
-    from sklearn.cluster import DBSCAN
-
     points_2d = np.asarray(points_2d, dtype=np.float64)
-    labels = DBSCAN(eps=eps, min_samples=min_samples).fit(points_2d).labels_
+    labels = _dbscan_labels(points_2d, eps, min_samples)
 
     rectangles, circles = [], []
     for cid in range(labels.max() + 1):
