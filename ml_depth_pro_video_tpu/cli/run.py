@@ -2,9 +2,12 @@
 
 Behavior parity with `/root/reference/src/depth_pro/cli/run.py:23-154`:
 per-image loop over a file or directory, EXIF focal length when
-available, ``.npz`` inverse-depth output + turbo-colormapped JPEG,
-``-v`` logging. The torch device pick (cuda>mps>cpu, `:23-30`) becomes
-the JAX default device (TPU when present).
+available, ``.npz`` METRIC depth (key ``depth``, `:95`) + turbo
+JPEG colormapped on inverse depth with the reference's [1/250, 1/0.1]
+display clamps (`:80-84`), outputs mirroring the input's relative
+subdirectories (`:88-92`), ``-v`` logging. The torch device pick
+(cuda>mps>cpu, `:23-30`) becomes the JAX default device (TPU when
+present).
 """
 
 from __future__ import annotations
@@ -66,28 +69,29 @@ def run(args) -> None:
             LOGGER.warning("no interactive display (%s); continuing headless", exc)
             args.skip_display = True
 
+    # root against which directory outputs mirror the input tree
+    # (reference: image_path.relative_to(relative_path).parent, :88-92)
+    rel_root = image_path if image_path.is_dir() else image_path.parent
+
     # the runner extracts the EXIF focal length per image itself
     for result in runner.depth_stream(str(p) for p in paths):
-        rel = Path(result["key"])
+        src = Path(result["key"])
         depth = result["depth"]
-        LOGGER.info("%s: f_px=%.1f", rel.name, result["focallength_px"])
+        # reference display normalization clamps (:80-84)
+        inv = 1.0 / np.clip(depth, 1e-9, None)
+        hi = min(float(inv.max()), 1 / 0.1)
+        lo = max(1 / 250, float(inv.min()))
+        normed = np.clip((inv - lo) / max(hi - lo, 1e-9), 0.0, 1.0)
+        LOGGER.info("%s: f_px=%.1f", src.name, result["focallength_px"])
         if not args.skip_display:
-            inv = 1.0 / depth
-            normed = (inv - inv.min()) / max(inv.max() - inv.min(), 1e-9)
             ax_rgb.imshow(result["image"])
             ax_disp.imshow(normed, cmap="turbo")
             fig.canvas.draw()
             fig.canvas.flush_events()
         if args.output_path is not None:
-            out_dir = Path(args.output_path)
-            out_dir.mkdir(parents=True, exist_ok=True)
-            base = out_dir / rel.stem
-            np.savez_compressed(
-                str(base) + ".npz", depth=1.0 / np.clip(depth, 1e-4, 1e4)
-            )
-            inv = 1.0 / depth
-            lo, hi = inv.min(), inv.max()
-            normed = (inv - lo) / max(hi - lo, 1e-9)
+            base = Path(args.output_path) / src.relative_to(rel_root).parent / src.stem
+            base.parent.mkdir(parents=True, exist_ok=True)
+            np.savez_compressed(str(base) + ".npz", depth=depth)
             Image.fromarray(colorize(normed)).save(str(base) + ".jpg", quality=90)
             print(f"wrote {base}.npz / .jpg")
         else:

@@ -46,7 +46,15 @@ def rotation_between(from_vec: np.ndarray, to_vec: np.ndarray) -> np.ndarray:
     axis = np.cross(a, b)
     norm = np.linalg.norm(axis)
     if norm < 1e-12:
-        return np.eye(3) if cos > 0 else -np.eye(3)
+        if cos > 0:
+            return np.eye(3)
+        # antiparallel: -I is a REFLECTION (det=-1, mirrors the cloud);
+        # the proper map is a 180° rotation about any axis ⊥ a
+        perp = np.cross(a, [1.0, 0.0, 0.0])
+        if np.linalg.norm(perp) < 1e-6:
+            perp = np.cross(a, [0.0, 1.0, 0.0])
+        perp = perp / np.linalg.norm(perp)
+        return 2.0 * np.outer(perp, perp) - np.eye(3)
     axis = axis / norm
     angle = np.arccos(cos)
     K = np.array([[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]], [-axis[1], axis[0], 0]])

@@ -661,9 +661,15 @@ def simple_triangulation(cloud: PointCloud, k: int = 6) -> TriangleMesh:
     from scipy.spatial import cKDTree
 
     pts = cloud.points
+    if len(pts) < 3:
+        return TriangleMesh(pts.copy(), np.zeros((0, 3), np.int64),
+                            None if cloud.colors is None else cloud.colors.copy())
     tree = cKDTree(pts)
-    _, idx = tree.query(pts, k=k + 1, workers=-1)
+    # clamp k: cKDTree pads missing neighbors with index == n, which
+    # would put a nonexistent vertex into faces
+    _, idx = tree.query(pts, k=min(k + 1, len(pts)), workers=-1)
     nbrs = idx[:, 1:]
+    k = nbrs.shape[1]  # face construction below emits k-1 fan pairs
     i = np.repeat(np.arange(len(pts)), k - 1)
     a = nbrs[:, :-1].ravel()
     b = nbrs[:, 1:].ravel()

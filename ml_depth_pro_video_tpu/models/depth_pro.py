@@ -337,19 +337,30 @@ def forward(params: dict, x: jnp.ndarray, cfg: DepthProConfig,
             precision: Precision = Precision.fp32(),
             attn_impl: str | None = None,
             compute_fov: bool = True,
-            remat: bool = False) -> tuple[jnp.ndarray, jnp.ndarray | None]:
+            remat: bool = False,
+            patch_vit_fn=None,
+            constrain=None) -> tuple[jnp.ndarray, jnp.ndarray | None]:
     """(B, img, img, 3) -> (canonical inverse depth (B, img, img, 1),
     fov_deg (B,) or None). Mirrors `depth_pro.py:218-241`.
 
     ``compute_fov=False`` skips the third ViT pass — used when the
-    caller supplies f_px, where fov_deg would be discarded anyway."""
+    caller supplies f_px, where fov_deg would be discarded anyway.
+    ``patch_vit_fn`` / ``constrain`` are the latency-parallel hooks
+    (parallel/latency.py): the former replaces the 35-patch backbone
+    call, the latter applies sharding constraints to the conv-trunk
+    activations so GSPMD row-shards the decoder/head."""
     if x.shape[1] != cfg.img_size or x.shape[2] != cfg.img_size:
         raise ValueError(
             f"forward expects {cfg.img_size}x{cfg.img_size} input, got {x.shape}; "
             "use infer() for arbitrary sizes"
         )
-    encodings = encoder_apply(params["encoder"], x, cfg, precision, attn_impl, remat)
+    encodings = encoder_apply(params["encoder"], x, cfg, precision, attn_impl,
+                              remat, patch_vit_fn=patch_vit_fn)
+    if constrain is not None:
+        encodings = [constrain(e) for e in encodings]
     features, lowres = decoder_apply(params["decoder"], encodings)
+    if constrain is not None:
+        features = constrain(features)
     canonical = head_apply(params["head"], features, precision)
     fov_deg = None
     if cfg.use_fov_head and compute_fov:
@@ -361,7 +372,9 @@ def infer_fn(params: dict, x: jnp.ndarray, f_px: jnp.ndarray | None, cfg: DepthP
              precision: Precision = Precision.fp32(),
              attn_impl: str | None = None,
              interpolation_mode: str = "bilinear",
-             derive_missing: bool = False) -> dict:
+             derive_missing: bool = False,
+             patch_vit_fn=None,
+             constrain=None) -> dict:
     """The `infer()` contract (`depth_pro.py:243-298`), NHWC.
 
     x: (B, H, W, 3) normalized; f_px: (B,) or None.
@@ -377,8 +390,14 @@ def infer_fn(params: dict, x: jnp.ndarray, f_px: jnp.ndarray | None, cfg: DepthP
     xi = resize2d(x, (s, s), mode=interpolation_mode) if needs_resize else x
 
     need_fov = f_px is None or derive_missing
+    if need_fov and not cfg.use_fov_head:
+        raise ValueError(
+            "f_px is required for every frame when the model has no FOV head "
+            "(cfg.use_fov_head=False): there is nothing to derive it from"
+        )
     canonical, fov_deg = forward(params, xi, cfg, precision, attn_impl,
-                                 compute_fov=need_fov)
+                                 compute_fov=need_fov,
+                                 patch_vit_fn=patch_vit_fn, constrain=constrain)
     canonical = canonical[..., 0].astype(jnp.float32)  # (B, s, s)
 
     if need_fov:

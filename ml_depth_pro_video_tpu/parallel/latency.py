@@ -33,13 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from ..core.precision import Precision
-from ..models.depth_pro import (
-    DepthProConfig,
-    decoder_apply,
-    encoder_apply,
-    fov_apply,
-    head_apply,
-)
+from ..models.depth_pro import DepthProConfig, infer_fn
 from ..models.vit import vit_apply
 
 
@@ -86,55 +80,28 @@ def _sharded_patch_vit(mesh: Mesh, cfg: DepthProConfig, precision: Precision,
 def make_latency_infer(cfg: DepthProConfig, mesh: Mesh | None = None,
                        precision: Precision = Precision.fp32(),
                        attn_impl: str | None = None,
-                       derive_missing: bool = False):
+                       derive_missing: bool = False,
+                       interpolation_mode: str = "bilinear"):
     """Jitted forward with the model itself sharded over the mesh.
     Signature: ``fn(params, x, f_px) -> {"depth", "focallength_px"}``
-    with x (B, H, W, 3) and f_px (B,) or None — the full infer()
-    contract of models.depth_pro.infer_fn, including resize and
-    (with ``derive_missing``) NaN-marked mixed-EXIF batches."""
+    with x (B, H, W, 3) and f_px (B,) or None.
+
+    The contract IS ``models.depth_pro.infer_fn`` — this only injects
+    the two latency hooks (the shard_map patch ViT and the row-sharding
+    constraint), so any future infer() change applies here for free."""
     mesh = mesh if mesh is not None else make_sp_mesh()
     patch_vit_fn = _sharded_patch_vit(mesh, cfg, precision, attn_impl)
     row_sharded = NamedSharding(mesh, P(None, "sp"))
 
-    def fn(params, x, f_px=None):
-        b, h, w = x.shape[0], x.shape[1], x.shape[2]
-        s = cfg.img_size
-        needs_resize = (h != s) or (w != s)
-        if needs_resize:  # same infer() contract as models.depth_pro.infer_fn
-            from ..ops.resize import resize2d
-
-            xi = resize2d(x, (s, s))
-        else:
-            xi = x
-        encodings = encoder_apply(params["encoder"], xi, cfg, precision,
-                                  attn_impl, patch_vit_fn=patch_vit_fn)
+    def constrain(t):
         # spatially shard the conv trunk along image rows: GSPMD
         # partitions the 3x3 convs with automatic halo exchange
-        encodings = [jax.lax.with_sharding_constraint(e, row_sharded)
-                     for e in encodings]
-        features, lowres = decoder_apply(params["decoder"], encodings)
-        features = jax.lax.with_sharding_constraint(features, row_sharded)
-        canonical = head_apply(params["head"], features, precision)
-        canonical = canonical[..., 0].astype(jnp.float32)
+        return jax.lax.with_sharding_constraint(t, row_sharded)
 
-        if f_px is None or derive_missing:
-            fov_deg = fov_apply(params["fov"], xi, lowres, cfg, precision, attn_impl)
-            fov_rad = jnp.deg2rad(fov_deg.astype(jnp.float32))
-            derived = 0.5 * w / jnp.tan(0.5 * fov_rad)
-            if f_px is None:
-                f_px = derived
-            else:
-                given = jnp.asarray(f_px, jnp.float32).reshape(b)
-                f_px = jnp.where(jnp.isnan(given), derived, given)
-        else:
-            f_px = jnp.asarray(f_px, jnp.float32).reshape(b)
-
-        inverse_depth = canonical * (w / f_px)[:, None, None]
-        if needs_resize:
-            from ..ops.resize import resize2d
-
-            inverse_depth = resize2d(inverse_depth[..., None], (h, w))[..., 0]
-        depth = 1.0 / jnp.clip(inverse_depth, 1e-4, 1e4)
-        return {"depth": depth, "focallength_px": f_px}
+    def fn(params, x, f_px=None):
+        return infer_fn(params, x, f_px, cfg, precision, attn_impl,
+                        interpolation_mode=interpolation_mode,
+                        derive_missing=derive_missing,
+                        patch_vit_fn=patch_vit_fn, constrain=constrain)
 
     return jax.jit(fn)

@@ -47,12 +47,21 @@ class _Batcher:
         return slot
 
     def _loop(self):
+        holdover = None
         while True:
-            first = self.queue.get()
+            first = holdover if holdover is not None else self.queue.get()
+            holdover = None
             batch = [first]
+            shape = first[0].shape
             try:
                 while len(batch) < self.max_batch:
-                    batch.append(self.queue.get(timeout=self.max_wait))
+                    item = self.queue.get(timeout=self.max_wait)
+                    if item[0].shape != shape:
+                        # a device batch must be one resolution; serve the
+                        # odd-shaped request as the next batch's head
+                        holdover = item
+                        break
+                    batch.append(item)
             except queue.Empty:
                 pass
             images = [b[0] for b in batch]

@@ -218,12 +218,25 @@ def process_images_to_floor_plans(
 
     try:
         # ground plane: load cached or compute once from the first frame
+        first_result = None
         ground_model = load_ground_plane(frames_dir)
         if ground_model is None:
             print("Computing ground plane from first frame...")
-            first = runner.infer_one(image_paths[0])
-            ground_model = compute_ground_from_frame(first["depth"], first["focallength_px"])
+            first_result = runner.infer_one(image_paths[0])
+            ground_model = compute_ground_from_frame(
+                first_result["depth"], first_result["focallength_px"])
             save_ground_plane(ground_model, frames_dir)
+
+        def result_stream():
+            # reuse the ground-fit inference for frame 0 instead of
+            # running it through the model a second time (the reference
+            # double-infers EVERY frame, `pointcloud_cleaner.py:50-124`;
+            # don't re-grow even one copy of that)
+            rest = image_paths
+            if first_result is not None:
+                yield first_result
+                rest = image_paths[1:]
+            yield from runner.depth_stream(rest)
 
         import threading
 
@@ -268,7 +281,7 @@ def process_images_to_floor_plans(
             # device inference streams ahead; geometry overlaps on host threads
             with ThreadPoolExecutor(max_workers=num_workers) as pool:
                 futures = []
-                for result in runner.depth_stream(image_paths):
+                for result in result_stream():
                     if stop["flag"]:
                         print("Interrupted - finishing in-flight frames...")
                         break
@@ -276,7 +289,7 @@ def process_images_to_floor_plans(
                 for fut in futures:
                     fut.result()
         else:
-            for result in runner.depth_stream(image_paths):
+            for result in result_stream():
                 if stop["flag"]:
                     print("Interrupted.")
                     break

@@ -11,6 +11,7 @@ per frame, nothing else crosses the host/device boundary.
 
 from __future__ import annotations
 
+import logging
 import os
 import queue
 import threading
@@ -52,6 +53,15 @@ class DepthVideoRunner:
             raise ValueError(f"parallel must be 'dp' or 'latency', got {parallel!r}")
         self.cfg = cfg
         self.precision = resolve_precision(precision)
+        if mesh is not None and parallel == "dp":
+            # P("dp") sharding needs the batch dim divisible by dp; round
+            # up (dispatch pads partial batches to batch_size anyway)
+            dp = mesh.shape.get("dp", 1)
+            if batch_size % dp:
+                rounded = ((batch_size + dp - 1) // dp) * dp
+                logging.getLogger(__name__).info(
+                    "batch_size %d -> %d (multiple of dp=%d)", batch_size, rounded, dp)
+                batch_size = rounded
         self.batch_size = batch_size
         self.downscale_factor = downscale_factor
         self.mesh = mesh
@@ -165,6 +175,8 @@ class DepthVideoRunner:
                 f_px = f_px * self.downscale_factor
             img = np.asarray(Image.fromarray(img).resize((w, h), Image.BILINEAR))
         if img.dtype != np.uint8:
+            if np.issubdtype(img.dtype, np.floating) and img.size and img.max() <= 1.0:
+                img = img * 255.0  # [0,1] floats (plt.imread etc.)
             img = np.clip(img, 0, 255).astype(np.uint8)
         return key, img, f_px
 

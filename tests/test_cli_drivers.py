@@ -76,3 +76,38 @@ def test_depth_to_floorplan_driver(runner, image_path, tmp_path):
                                    height_threshold=None)
     assert os.path.exists(out)
     assert os.path.getsize(out) > 0
+
+
+def test_run_cli_npz_is_metric_depth_and_mirrors_subdirs(tmp_path, monkeypatch):
+    """depth-pro-run contract (reference cli/run.py:86-95): npz key
+    'depth' holds METRIC depth, and directory outputs mirror the input's
+    relative subdirectories (no flatten collisions)."""
+    import numpy as np
+    from PIL import Image
+
+    import ml_depth_pro_video_tpu.video.runner as runner_mod
+    from ml_depth_pro_video_tpu.cli import run as run_cli
+
+    frames = tmp_path / "frames"
+    (frames / "a").mkdir(parents=True)
+    (frames / "b").mkdir(parents=True)
+    img = (np.random.default_rng(0).random((16, 16, 3)) * 255).astype(np.uint8)
+    for sub in ("a", "b"):
+        Image.fromarray(img).save(frames / sub / "0001.png")
+
+    class StubRunner:
+        def __init__(self, **kw):
+            pass
+
+        def depth_stream(self, items):
+            for p in items:
+                yield {"key": str(p), "depth": np.full((16, 16), 7.5),
+                       "focallength_px": 300.0, "image": img}
+
+    monkeypatch.setattr(runner_mod, "DepthVideoRunner", StubRunner)
+    out = tmp_path / "out"
+    run_cli.main(["-i", str(frames), "-o", str(out), "--skip-display"])
+    for sub in ("a", "b"):
+        with np.load(out / sub / "0001.npz") as z:
+            np.testing.assert_allclose(z["depth"], 7.5)  # metric, not 1/7.5
+        assert (out / sub / "0001.jpg").exists()

@@ -180,3 +180,24 @@ def test_merge_patches_positions():
     assert out[1, -1, -1, 0] == 800 + 1
     # interior boundary: after patch 0's kept width (g - pad), patch 1 starts
     assert out[0, 0, g - pad, 0] == 100
+
+
+def test_infer_requires_fpx_without_fov_head():
+    """use_fov_head=False with no f_px must raise a clear error instead
+    of dereferencing fov_deg=None (regression)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from ml_depth_pro_video_tpu.core.precision import Precision
+    from ml_depth_pro_video_tpu.models.depth_pro import (
+        infer_fn, init_depth_pro, tiny_config,
+    )
+
+    cfg = tiny_config(use_fov_head=False)
+    params = init_depth_pro(jax.random.PRNGKey(0), cfg)
+    x = jnp.zeros((1, cfg.img_size, cfg.img_size, 3))
+    with pytest.raises(ValueError, match="f_px is required"):
+        infer_fn(params, x, None, cfg, Precision.fp32())
+    out = infer_fn(params, x, jnp.asarray([300.0]), cfg, Precision.fp32())
+    assert out["depth"].shape == (1, cfg.img_size, cfg.img_size)

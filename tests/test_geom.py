@@ -308,3 +308,16 @@ def test_native_unproject_matches_numpy():
     ref_cloud = depth_to_3d(depth32.astype(np.float64), 250.0, image=image)
     np.testing.assert_allclose(cloud.points, ref_cloud.points)
     np.testing.assert_allclose(cloud.colors, ref_cloud.colors)
+
+
+def test_rotation_between_antiparallel_is_proper_rotation():
+    """Antiparallel vectors: the result must be a 180-degree ROTATION
+    (det=+1), not the -I reflection that mirrors the cloud."""
+    from ml_depth_pro_video_tpu.geom.ground import rotation_between
+
+    for v in ([0.0, 1.0, 0.0], [1.0, 0.0, 0.0], [0.577, 0.577, 0.577]):
+        a = np.asarray(v)
+        r = rotation_between(a, -a)
+        np.testing.assert_allclose(np.linalg.det(r), 1.0, atol=1e-12)
+        np.testing.assert_allclose(r @ a, -a, atol=1e-12)
+        np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-12)

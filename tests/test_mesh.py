@@ -242,3 +242,13 @@ def test_bpa_threading_exact_determinism():
             os.environ["BPA_THREADS"] = prev
     assert np.array_equal(m1.faces, m5.faces)
     assert len(m1.faces) == 2 * n - 4
+
+
+def test_simple_triangulation_tiny_cloud():
+    """Fewer points than k+1 must not emit faces referencing the
+    cKDTree's missing-neighbor sentinel index n."""
+    for n in (3, 4, 5):
+        cloud = PointCloud(sphere_cloud(n))
+        mesh = simple_triangulation(cloud, k=6)
+        if len(mesh.faces):
+            assert mesh.faces.max() < len(mesh.vertices)

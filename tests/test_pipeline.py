@@ -194,3 +194,33 @@ def test_mixed_fpx_batch_keeps_given_focals(tiny_runner):
     assert mixed[1]["focallength_px"] == pytest.approx(
         solo_b["focallength_px"], rel=1e-5)
     np.testing.assert_allclose(mixed[1]["depth"], solo_b["depth"], rtol=1e-5)
+
+
+def test_runner_accepts_unit_float_images():
+    """[0,1] float frames (plt.imread-style) must be rescaled, not
+    clipped to an all-black uint8 image (regression)."""
+    from ml_depth_pro_video_tpu.models.depth_pro import tiny_config
+    from ml_depth_pro_video_tpu.video.runner import DepthVideoRunner
+
+    runner = DepthVideoRunner(cfg=tiny_config(), precision="fp32", batch_size=1)
+    rng = np.random.default_rng(0)
+    floats = rng.random((8, 8, 3)).astype(np.float32)
+    _, img, _ = runner._load_one(floats)
+    assert img.dtype == np.uint8
+    np.testing.assert_allclose(img, (floats * 255).clip(0, 255).astype(np.uint8))
+    # plain [0,255] floats still pass through unscaled
+    _, img2, _ = runner._load_one(floats * 255)
+    np.testing.assert_allclose(img2, (floats * 255).clip(0, 255).astype(np.uint8))
+
+
+def test_dp_batch_size_rounds_up_to_mesh():
+    """--parallel dp with batch_size not divisible by dp would crash the
+    P('dp') sharding; the runner rounds it up (regression)."""
+    from ml_depth_pro_video_tpu.models.depth_pro import tiny_config
+    from ml_depth_pro_video_tpu.parallel.mesh import make_mesh
+    from ml_depth_pro_video_tpu.video.runner import DepthVideoRunner
+
+    mesh = make_mesh(tp=1)  # 8 fake devices -> dp=8
+    runner = DepthVideoRunner(cfg=tiny_config(), precision="fp32",
+                              batch_size=3, mesh=mesh, parallel="dp")
+    assert runner.batch_size == 8

@@ -86,3 +86,30 @@ def test_bad_route_and_bad_payload(server_url):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req)
     assert e.value.code == 500
+
+
+def test_concurrent_mixed_resolution_requests(server_url):
+    """Requests with different image sizes must not be coalesced into one
+    np.stack'd batch (regression: a mixed batch failed BOTH requests)."""
+    import concurrent.futures
+
+    def png(shape, seed):
+        rng = np.random.default_rng(seed)
+        img = (rng.random(shape) * 255).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="PNG")
+        return buf.getvalue()
+
+    bodies = [png((80, 100, 3), 1), png((64, 48, 3), 2)]
+
+    def post(body):
+        req = urllib.request.Request(
+            server_url + "/v1/depth", data=body,
+            headers={"Content-Type": "image/png"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return json.loads(r.read())
+
+    with concurrent.futures.ThreadPoolExecutor(2) as pool:
+        res = list(pool.map(post, bodies))
+    assert res[0]["depth_shape"] == [80, 100]
+    assert res[1]["depth_shape"] == [64, 48]
