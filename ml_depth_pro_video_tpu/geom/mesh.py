@@ -109,8 +109,10 @@ def voxel_downsample(cloud: PointCloud, voxel: float) -> PointCloud:
     if len(cloud) == 0:
         return cloud.copy()
     if _native is not None and _native.available():
-        pts, cols = _native.voxel_downsample(cloud.points, cloud.colors, voxel)
-        return PointCloud(pts, cols)
+        fused = _native.voxel_downsample(cloud.points, cloud.colors, voxel)
+        if fused is not None:  # None: grid keys would wrap (tiny voxel)
+            pts, cols = fused
+            return PointCloud(pts, cols)
     keys = np.floor(cloud.points / voxel).astype(np.int64)
     _, inv, counts = np.unique(keys, axis=0, return_inverse=True, return_counts=True)
     pts = np.zeros((len(counts), 3))

@@ -11,6 +11,7 @@ import ctypes
 import logging
 import os
 import subprocess
+import threading
 
 import numpy as np
 
@@ -37,15 +38,30 @@ def _build() -> bool:
         return False
 
 
+_load_lock = threading.Lock()
+
+
 def _load():
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
-    _tried = True
-    if not os.path.exists(_SO) or os.path.getmtime(_SO) < max(
-            os.path.getmtime(s) for s in _SOURCES):
-        if not _build():
+    with _load_lock:  # one builder: concurrent first callers (pipeline
+        # worker threads) must not race two g++ -o geom-native.so writes
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        try:
+            stale = not os.path.exists(_SO) or os.path.getmtime(_SO) < max(
+                os.path.getmtime(s) for s in _SOURCES)
+        except OSError:  # sources absent (prebuilt .so only): use it as-is
+            stale = not os.path.exists(_SO)
+        if stale and not _build():
             return None
+        return _load_locked()
+
+
+def _load_locked():
+    global _lib
     try:
         lib = ctypes.CDLL(_SO)
     except OSError as exc:  # pragma: no cover
@@ -99,6 +115,21 @@ def _load():
     return _lib
 
 
+def _rgb_image(image, hw) -> np.ndarray | None:
+    """Contiguous (H, W, 3) uint8 view for the C++ kernels, or None when
+    the image can't be made to match the depth map's (H, W) — the C++
+    side indexes image[(r*w+c)*3+k] against the DEPTH dims, so a
+    grayscale (H, W) array or a size mismatch would read out of bounds."""
+    if image is None:
+        return None
+    img = np.asarray(image)
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, axis=2)
+    if img.ndim != 3 or img.shape[2] < 3 or img.shape[:2] != tuple(hw):
+        return None
+    return np.ascontiguousarray(img[..., :3], dtype=np.uint8)
+
+
 class neighbors:
     """Namespace used by geom.clean / geom.mesh."""
 
@@ -136,6 +167,8 @@ class neighbors:
     def voxel_downsample(points: np.ndarray, colors: np.ndarray | None, voxel: float):
         lib = _load()
         pts = np.ascontiguousarray(points, dtype=np.float64)
+        if len(pts) and float(np.abs(pts).max()) / max(float(voxel), 1e-300) >= 2**20:
+            return None  # 21-bit grid keys would wrap: numpy fallback
         cols = None if colors is None else np.ascontiguousarray(colors, dtype=np.float64)
         out_p = np.zeros_like(pts)
         out_c = np.zeros_like(pts) if cols is not None else None
@@ -194,9 +227,9 @@ class neighbors:
             use_rot, y_shift = 1, float(-d / rn[1])
         R = np.ascontiguousarray(R, dtype=np.float64)
 
-        img = None
-        if image is not None:
-            img = np.ascontiguousarray(image[..., :3], dtype=np.uint8)
+        img = _rgb_image(image, (h, w))
+        if image is not None and img is None:
+            return None  # unsupported image layout: numpy fallback handles it
         out_pts = np.empty((h * w, 3), dtype=np.float64)
         out_cols = np.empty((h * w, 3), dtype=np.float64) if img is not None else None
         n = lib.normalized_cloud(
@@ -223,6 +256,11 @@ class neighbors:
             return None
         pts = np.ascontiguousarray(points, dtype=np.float64)
         nrm = np.ascontiguousarray(normals, dtype=np.float64)
+        if pts.shape != nrm.shape or pts.ndim != 2 or pts.shape[1] != 3:
+            raise ValueError(
+                f"points {pts.shape} and normals {nrm.shape} must both be (N, 3)")
+        if len(pts) >= 2**31:
+            raise ValueError("BPA supports at most 2^31-1 points (int32 indices)")
         rad = np.ascontiguousarray(sorted(float(r) for r in radii), dtype=np.float64)
         cap = int(max_tris if max_tris is not None else max(4 * len(pts), 1024))
         out = np.empty((cap, 3), dtype=np.int64)
@@ -247,9 +285,9 @@ class neighbors:
             return None
         dep = np.ascontiguousarray(depth, dtype=np.float32)
         h, w = dep.shape
-        img = None
-        if image is not None:
-            img = np.ascontiguousarray(image[..., :3], dtype=np.uint8)
+        img = _rgb_image(image, (h, w))
+        if image is not None and img is None:
+            return None  # unsupported image layout: numpy fallback handles it
         out_pts = np.empty((h * w, 3), dtype=np.float64)
         out_valid = np.empty((h, w), dtype=np.uint8)
         out_cols = np.empty((h * w, 3), dtype=np.float64) if img is not None else None

@@ -171,8 +171,8 @@ struct BPA {
         }
     }
 
-    bool try_seed(const Grid& g, double rho, int64_t start, int64_t& cursor) {
-        for (int64_t i = std::max(start, cursor); i < n; ++i) {
+    bool try_seed(const Grid& g, double rho, int64_t& cursor) {
+        for (int64_t i = cursor; i < n; ++i) {
             cursor = i + 1;
             if (used[i]) continue;
             // nearest unused-ish candidates around i
@@ -323,7 +323,7 @@ struct BPA {
             while ((int64_t)tris.size() / 3 < max_tris && ops < ops_cap) {
                 if (front.empty()) {
                     ++ops;
-                    if (!try_seed(g, rho, 0, cursor)) break;
+                    if (!try_seed(g, rho, cursor)) break;
                     continue;
                 }
                 batch.clear();
@@ -396,7 +396,8 @@ int64_t bpa_reconstruct(const double* pts, const double* normals, int64_t n,
     BPA bpa(pts, normals, n, max_tris);
     bpa.run(radii, n_radii);
     const int64_t nt = std::min((int64_t)bpa.tris.size() / 3, max_tris);
-    std::memcpy(tris_out, bpa.tris.data(), (size_t)nt * 3 * sizeof(int64_t));
+    if (nt > 0)
+        std::memcpy(tris_out, bpa.tris.data(), (size_t)nt * 3 * sizeof(int64_t));
     return nt;
 }
 

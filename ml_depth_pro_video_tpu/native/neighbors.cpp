@@ -123,6 +123,12 @@ void radius_mask(const double* pts, int64_t n, double radius,
         ptr[q] = std::lower_bound(ukey.begin(), ukey.end(),
                                   ukey[c0] + offs[q] - 1) - ukey.begin();
 
+    // On small grids the 9 stream windows OVERLAP: distinct offsets
+    // differ by nz, 2nz, or nz*(ny-2)/nz*(ny-1), and each window spans
+    // +-1 — so whenever the smallest gap is <= 2 the same cell lands in
+    // several windows and would be counted repeatedly (inflating
+    // neighbor counts on thin/planar clouds). Dedup below in that case.
+    const bool windows_overlap = (nz <= 2) || (nz * (ny - 2) <= 2);
     for (int64_t c = c0; c < c1; ++c) {
         const int64_t k = ukey[c];
         int64_t nb_lo[27], nb_hi[27];
@@ -138,6 +144,22 @@ void radius_mask(const double* pts, int64_t n, double radius,
                 upper += nb_hi[n_nb] - nb_lo[n_nb];
                 ++n_nb;
             }
+        }
+        if (windows_overlap) {
+            int mkeep = 0;
+            upper = -1;
+            for (int b = 0; b < n_nb; ++b) {
+                bool dup = false;
+                for (int j = 0; j < mkeep; ++j)
+                    if (nb_lo[j] == nb_lo[b]) { dup = true; break; }
+                if (!dup) {
+                    nb_lo[mkeep] = nb_lo[b];
+                    nb_hi[mkeep] = nb_hi[b];
+                    upper += nb_hi[b] - nb_lo[b];
+                    ++mkeep;
+                }
+            }
+            n_nb = mkeep;
         }
         const int64_t cell_lo = starts[c], cell_hi = starts[c + 1];
         if (upper < min_count) {

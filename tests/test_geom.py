@@ -321,3 +321,25 @@ def test_rotation_between_antiparallel_is_proper_rotation():
         np.testing.assert_allclose(np.linalg.det(r), 1.0, atol=1e-12)
         np.testing.assert_allclose(r @ a, -a, atol=1e-12)
         np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-12)
+
+
+def test_radius_mask_flat_cloud_matches_exact_counts():
+    """Regression: on thin/planar clouds the grid dims collapse and the
+    9 stream windows of the native radius_mask overlapped, double-
+    counting neighbors (12654/20000 false keeps measured). The mask must
+    agree with the exact neighbor counts."""
+    from ml_depth_pro_video_tpu.native import neighbors as native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+
+    rng = np.random.default_rng(0)
+    radius, min_count = 0.1, 19
+    for extent in (0.05, 0.15, 10.0):  # nz=1, nz~2, and a 3-D control
+        pts = rng.uniform(0, [4.0, 4.0, extent], (20000, 3))
+        mask = native.radius_mask(pts, radius, min_count)
+        counts = native.radius_counts(pts, radius)
+        np.testing.assert_array_equal(mask, counts >= min_count,
+                                      err_msg=f"extent={extent}")
