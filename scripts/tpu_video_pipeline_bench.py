@@ -50,4 +50,16 @@ completed = process_images_to_floor_plans(
 )
 dt = time.time() - t0
 log(f"warm pass: {dt:.1f}s = {dt/8:.2f} s/frame sustained")
+
+# showcase mode: --fit_shapes with the full artifact set (scatter +
+# _shapes.txt/_shapes.png/_floor_plan.png per frame) — DBSCAN shape
+# fitting in the loop
+t0 = time.time()
+completed = process_images_to_floor_plans(
+    frames_dir, output_dir=out_dir, num_workers=2, fit_shapes=True,
+    output_all_files=True, runner=runner, force_reprocess=True,
+)
+dt = time.time() - t0
+ok = sum(1 for v in completed.values() if v["success"])
+log(f"fit_shapes pass: ok {ok}/8, {dt:.1f}s = {dt/8:.2f} s/frame sustained")
 log("done")
