@@ -104,8 +104,11 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int, scale: float,
     multiple of seq_len instead of the 128-lane multiple keys need) —
     7.5% less score/PV work at S=577."""
     hd = q_ref.shape[-1] // num_heads
-    kidx = jax.lax.broadcasted_iota(jnp.int32, (q_rows, q_ref.shape[1]), 1)
-    mask = kidx < seq_len
+    # additive pad bias instead of a (q_rows, S_pad) where-mask: one
+    # broadcast row + fused multiply-add beats the select on the VPU
+    # (measured 2.05 -> 1.98 ms/block-batch, scripts/tpu_attn_breakdown)
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (1, q_ref.shape[1]), 1)
+    bias = jnp.where(kidx < seq_len, 0.0, -jnp.inf)
     for h in range(num_heads):
         sl = slice(h * hd, (h + 1) * hd)
         q = q_ref[0, :q_rows, sl]
@@ -115,7 +118,7 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int, scale: float,
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        s = jnp.where(mask, s * scale, -jnp.inf)
+        s = s * scale + bias
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
