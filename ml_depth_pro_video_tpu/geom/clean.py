@@ -107,11 +107,12 @@ def clean_shadows(
 
     # median(angle) < t reduces to COUNTING pairs with angle < t:
     # angle < t  <=>  vy > cos(t)*|vec|  <=>  vy > 0 and vy^2 > cos^2(t)*|vec|^2
-    # (sqrt/arccos-free; zero-length pairs give angle 90 in the direct
-    # formula and vy=0 here — same verdict). For odd pair-count m the
-    # median is < t iff count >= (m+1)/2; for even m only the boundary
-    # case count == m/2 needs the two middle values, computed exactly
-    # for just those (few) cells.
+    # (sqrt/arccos-free). For odd pair-count m the median is < t iff
+    # count >= (m+1)/2; for even m only the boundary case count == m/2
+    # needs the two middle values, computed exactly for just those (few)
+    # cells. Zero-length pairs (duplicate points) make the reference's
+    # angle median NaN (0/0, `pointcloud_cleaner.py:290-293`) and
+    # NaN < t is False — such cells are ALWAYS kept; replicated below.
     cos_t = np.cos(np.radians(max_shadow_angle))
     below = (vy > 0) & (vy * vy > cos_t * cos_t * n2)
 
@@ -141,6 +142,11 @@ def clean_shadows(
         med = 0.5 * (a_sorted[b_starts + b_counts // 2 - 1]
                      + a_sorted[b_starts + b_counts // 2])
         drop_seg[s_sorted[b_starts]] = med < max_shadow_angle
+
+    # duplicate-point pairs poison the reference's median with NaN ->
+    # cell kept; match that verdict exactly
+    if (n2 == 0).any():
+        drop_seg[np.bincount(pseg[n2 == 0], minlength=n_seg) > 0] = False
 
     keep = np.ones(n, dtype=bool)
     keep[order] = ~drop_seg[seg_id]

@@ -80,7 +80,16 @@ def detect_floor_plane(cloud: PointCloud, distance_threshold: float = 0.02,
 
 
 def normalize_points_to_floor(points: np.ndarray, floor_model) -> np.ndarray:
-    """Rotate the detected floor normal to +Y and translate floor to y=0."""
+    """Rotate the detected floor normal to +Y and translate floor to y=0.
+
+    Deliberate fix of a reference bug (the third sanctioned one, see
+    CLAUDE.md): `cleaned_pointcloud_to_floorplan.py:108-114` subtracts
+    ``outer(distances, normal)`` — that PROJECTS every point onto the
+    floor plane, collapsing all above-floor structure, after which the
+    height slices select points by the tilted plane's own y-variation.
+    A rigid rotation + translation is the operation the docstring there
+    describes ("floor points have y=0 and everything else relative to
+    the floor")."""
     a, b, c, d = floor_model
     normal = np.array([a, b, c], dtype=np.float64)
     if normal[1] < 0:
@@ -104,10 +113,14 @@ def create_height_slices(points: np.ndarray, colors: np.ndarray | None,
     slices = []
     if height_threshold is not None:
         mask = points[:, 1] >= height_threshold
+        sel = points[mask]
+        # the slice is labeled with the MEAN height of its points, not
+        # the threshold (`cleaned_pointcloud_to_floorplan.py:143`)
+        label = float(np.mean(sel[:, 1])) if len(sel) else float(height_threshold)
         slices.append({
-            "points": points[mask],
+            "points": sel,
             "colors": colors[mask] if colors is not None else None,
-            "height": float(height_threshold),
+            "height": label,
         })
         return slices
     edges = np.linspace(height_min, height_max, num_slices + 1)
@@ -177,35 +190,58 @@ def process_height_slice(points_slice: np.ndarray, avg_height: float,
 
 def contour_to_polygon(contour, grid_origin, grid_resolution: float,
                        min_area: float = 0.05, simplify: bool = True,
-                       rect_snap_solidity: float = 0.9) -> Polygon2D | None:
+                       height_threshold: float | None = None) -> Polygon2D | None:
     """Simplify (Douglas-Peucker), convert to world meters, snap nearly
-    rectangular outlines to their min-area rectangle (`:314-430`)."""
+    rectangular outlines to their min-area rectangle (`:314-430`).
+
+    Threshold mode mirrors the reference's adaptations (`:336,:347`):
+    min_area/4 (on top of the orchestrator's /4 — effectively /16 of the
+    default) and half the simplification epsilon."""
     import cv2
 
+    alpha = 0.01
+    if height_threshold is not None:
+        min_area = min_area / 4
+        alpha = alpha / 2
     area_cells = cv2.contourArea(contour)
     if area_cells * grid_resolution**2 < min_area:
         return None
     pts = contour
     if simplify:
-        eps = 0.01 * cv2.arcLength(contour, True)
+        eps = alpha * cv2.arcLength(contour, True)
         pts = cv2.approxPolyDP(contour, eps, True)
     ring = pts.reshape(-1, 2).astype(np.float64)
     if len(ring) < 3:
         return None
-    # rectangle snap when the hull fills its min-area rect
-    hull = cv2.convexHull(contour)
-    rect = cv2.minAreaRect(hull.astype(np.float32))
-    rect_area = rect[1][0] * rect[1][1]
-    if rect_area > 0 and area_cells / rect_area > rect_snap_solidity:
-        ring = cv2.boxPoints(rect).astype(np.float64)
+    # rectangle snap only for 4-6-vertex simplified outlines whose area
+    # is within 20% of their min-area rect (`:372-385`)
+    if 4 <= len(ring) <= 6:
+        hull = cv2.convexHull(ring.astype(np.float32))
+        rect = cv2.minAreaRect(hull)
+        rect_area = rect[1][0] * rect[1][1]
+        poly_area = _ring_area(ring)
+        if poly_area > 0 and abs(rect_area - poly_area) / poly_area < 0.2:
+            ring = cv2.boxPoints(rect).astype(np.float64)
     world = ring * grid_resolution + np.asarray(grid_origin)
     return Polygon2D(world)
 
 
+def _ring_area(ring: np.ndarray) -> float:
+    x, z = ring[:, 0], ring[:, 1]
+    return 0.5 * abs(float(np.dot(x, np.roll(z, -1)) - np.dot(z, np.roll(x, -1))))
+
+
 def create_colored_height_map(slices, grid_resolution: float = 0.05,
-                              min_area: float = 0.05,
+                              min_area: float = 0.1,
                               height_threshold: float | None = None):
-    """All slices -> list of (Polygon2D, height) pairs (`:432-500`)."""
+    """All slices -> list of (Polygon2D, height) pairs (`:432-500`).
+
+    Threshold mode uses a 2x coarser grid (connects sparse elevated
+    points) and min_area/4, mirroring the orchestrator's adaptations
+    (`cleaned_pointcloud_to_floorplan.py:1008-1019`)."""
+    if height_threshold is not None:
+        grid_resolution = grid_resolution * 2
+        min_area = min_area / 4
     polygons = []
     for sl in slices:
         out = process_height_slice(sl["points"], sl["height"], grid_resolution,
@@ -214,7 +250,8 @@ def create_colored_height_map(slices, grid_resolution: float = 0.05,
             continue
         _, contours, origin, res = out
         for contour in contours:
-            poly = contour_to_polygon(contour, origin, res, min_area)
+            poly = contour_to_polygon(contour, origin, res, min_area,
+                                      height_threshold=height_threshold)
             if poly is not None:
                 polygons.append((poly, sl["height"]))
     return polygons
@@ -255,16 +292,21 @@ def plot_floorplan(polygons, output_path: str, height_min: float = 0.1,
 
 
 def save_floorplan_data(polygons, output_path: str) -> None:
-    """Polygon txt export (format parity with `:600-626`)."""
+    """Polygon txt export, byte-format parity with the reference writer
+    (`:600-626` and the checked-in `output_0243_clean_floorplan.txt`):
+    comma-separated ``height, num_points, x1, z1, x2, z2, ...`` lines
+    sorted by height."""
     with open(output_path, "w") as f:
-        f.write("# Floor Plan Polygon Data\n# Units: meters\n\n")
-        f.write(f"Total Polygons: {len(polygons)}\n")
-        total = sum(p.area for p, _ in polygons)
-        f.write(f"Total Area: {total:.2f} square meters\n\n")
-        f.write("# Format: ID, height_m, area_m2, num_vertices, vertices...\n")
-        for i, (poly, height) in enumerate(polygons):
-            verts = "; ".join(f"({x:.3f}, {z:.3f})" for x, z in poly.exterior)
-            f.write(f"{i+1}, {height:.2f}, {poly.area:.3f}, {len(poly.exterior)}, {verts}\n")
+        f.write("# Floor Plan Data\n")
+        f.write("# Units: meters\n\n")
+        f.write("# Shapes by height\n")
+        f.write("# Format: height, num_points, x1, z1, x2, z2, ...\n")
+        for poly, height in sorted(polygons, key=lambda x: x[1]):
+            coords = np.asarray(poly.exterior)
+            f.write(f"{height:.3f}, {len(coords)}")
+            for x, z in coords:
+                f.write(f", {x:.3f}, {z:.3f}")
+            f.write("\n")
 
 
 def create_simple_point_visualization(points: np.ndarray, output_path: str,
@@ -291,18 +333,32 @@ def create_simple_point_visualization(points: np.ndarray, output_path: str,
         plt.close(fig)
 
 
+def _height_ramp_bgr(h_norm: float) -> tuple[int, int, int]:
+    """The reference's blue->green->red height ramp (`:786-790`), BGR."""
+    r = int(255 * h_norm)
+    g = int(255 * (1 - abs(2 * h_norm - 1)))
+    b = int(255 * (1 - h_norm))
+    return (b, g, r)
+
+
 def create_direct_floorplan(points: np.ndarray, output_path: str,
                             height_threshold: float | None = None,
                             grid_resolution: float = 0.05, simplified: bool = True,
-                            fast_mode: bool = False, dpi: int = 150) -> np.ndarray:
-    """Occupancy floorplan with max-height coloring, contour fill and a
-    1 m scale bar (`:676-886`)."""
+                            fast_mode: bool = False, max_height: float = 2.5,
+                            dpi: int = 150) -> np.ndarray:
+    """Direct occupancy floorplan (`:676-886`): contours filled with the
+    per-contour MEAN height on the reference's absolute blue-green-red
+    ramp (max_height = 2.5 m — colors keep their meaning across frames),
+    black simplified outlines, bottom-right 1 m scale bar, title text.
+    The per-point projection/max-height pass is vectorized (the
+    reference loops over every point)."""
     import cv2
-    import matplotlib
 
     pts = points
+    title = "Floor Plan - All Objects"
     if height_threshold is not None:
         pts = pts[pts[:, 1] >= height_threshold]
+        title = f"Floor Plan - Objects Above {height_threshold:.2f}m"
     if fast_mode:
         grid_resolution *= 2
         if len(pts) > 200_000:
@@ -318,33 +374,52 @@ def create_direct_floorplan(points: np.ndarray, output_path: str,
     # max height per cell (vectorized)
     xi = np.clip(((pts2d[:, 0] - origin[0]) / res).astype(int), 0, nx - 1)
     zi = np.clip(((pts2d[:, 1] - origin[1]) / res).astype(int), 0, nz - 1)
-    hmax = np.zeros((nz, nx))
+    hmax = np.zeros((nz, nx), np.float32)
     np.maximum.at(hmax, (zi, xi), pts[:, 1])
 
     occupied = (grid > 0).astype(np.uint8)
-    if simplified:
-        occupied = cv2.morphologyEx(occupied, cv2.MORPH_CLOSE, np.ones((5, 5), np.uint8))
-        occupied = cv2.morphologyEx(occupied, cv2.MORPH_OPEN, np.ones((3, 3), np.uint8))
-
-    # color by max height (viridis), white background
-    cmap = matplotlib.colormaps["viridis"]
-    h_norm = hmax / max(hmax.max(), 1e-9)
-    rgb = (cmap(h_norm)[..., :3] * 255).astype(np.uint8)
     img = np.full((nz, nx, 3), 255, np.uint8)
-    img[occupied > 0] = rgb[occupied > 0]
+    if simplified:
+        cleaned = cv2.morphologyEx(occupied, cv2.MORPH_CLOSE, np.ones((3, 3), np.uint8))
+        if not fast_mode:
+            cleaned = cv2.morphologyEx(cleaned, cv2.MORPH_OPEN, np.ones((3, 3), np.uint8))
+        contours, _ = cv2.findContours(cleaned, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
+        for contour in contours:
+            if cv2.contourArea(contour) <= 5:  # reference noise filter
+                continue
+            eps = 0.01 * cv2.arcLength(contour, True)
+            approx = cv2.approxPolyDP(contour, eps, True)
+            mask = np.zeros((nz, nx), np.uint8)
+            cv2.drawContours(mask, [contour], 0, 1, -1)
+            inside = hmax[mask == 1]
+            if len(inside):
+                fill = _height_ramp_bgr(min(1.0, float(np.mean(inside)) / max_height))
+            else:
+                fill = (180, 180, 180)
+            cv2.drawContours(img, [approx], 0, fill, -1)
+            cv2.drawContours(img, [approx], 0, (0, 0, 0), 1)
+    else:
+        # per-cell height coloring with a dilation outline (`:846-855`)
+        h_norm = np.minimum(hmax / max_height, 1.0)
+        bgr = np.stack([
+            (255 * (1 - h_norm)), (255 * (1 - np.abs(2 * h_norm - 1))), (255 * h_norm)
+        ], axis=-1).astype(np.uint8)
+        img[occupied > 0] = bgr[occupied > 0]
+        edges = cv2.dilate(occupied, np.ones((3, 3), np.uint8)) & ~occupied
+        img[edges > 0] = 0
 
-    # contour outlines
-    contours, _ = cv2.findContours(occupied, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
-    cv2.drawContours(img, contours, -1, (0, 0, 0), 1)
+    # 1 m scale bar, bottom-right (`:856-875`)
+    bar = int(1.0 / res)
+    bar_h = 10 if fast_mode else 20
+    margin = 30 if fast_mode else 50
+    x0 = min(nx - margin - bar, nx - 10)
+    y0 = min(nz - margin, nz - 10)
+    if x0 > 0 and 0 < y0 < nz and x0 + bar < nx:
+        img[y0:y0 + bar_h, x0:x0 + bar] = 0
+        cv2.putText(img, "1m", (x0, y0 - 5), cv2.FONT_HERSHEY_SIMPLEX, 0.5, (0, 0, 0), 1)
+    cv2.putText(img, title, (10, 20), cv2.FONT_HERSHEY_SIMPLEX, 0.7, (0, 0, 0), 1)
 
-    # 1 m scale bar
-    bar = int(round(1.0 / res))
-    y = nz - 8
-    cv2.line(img, (8, y), (8 + bar, y), (0, 0, 0), 2)
-    cv2.putText(img, "1m", (8, y - 4), cv2.FONT_HERSHEY_SIMPLEX, 0.4, (0, 0, 0), 1)
-
-    img = np.flipud(img)  # world +z up in the image
-    cv2.imwrite(output_path, img[..., ::-1])
+    cv2.imwrite(output_path, img)  # BGR, z increasing downward like the reference
     return img
 
 
@@ -354,7 +429,8 @@ def create_direct_floorplan(points: np.ndarray, output_path: str,
 
 def pointcloud_to_floorplan(pointcloud_path: str, output_dir: str | None = None,
                             height_threshold: float | None = None,
-                            grid_resolution: float = 0.05, num_slices: int = 5,
+                            grid_resolution: float = 0.05, min_area: float = 0.1,
+                            num_slices: int = 5,
                             detect_floor: bool = True, fast_mode: bool = False,
                             seed: int = 0) -> dict:
     """PLY -> 4 outputs: colored height plan, polygon data txt, simple
@@ -374,7 +450,7 @@ def pointcloud_to_floorplan(pointcloud_path: str, output_dir: str | None = None,
     slices = create_height_slices(points, cloud.colors,
                                   height_threshold=height_threshold,
                                   num_slices=num_slices)
-    polygons = create_colored_height_map(slices, grid_resolution,
+    polygons = create_colored_height_map(slices, grid_resolution, min_area,
                                          height_threshold=height_threshold)
 
     outputs = {
@@ -399,6 +475,7 @@ def main(argv=None):  # pragma: no cover
     ap.add_argument("-o", "--output_dir", default=None)
     ap.add_argument("--height_threshold", type=float, default=None)
     ap.add_argument("--grid_resolution", type=float, default=0.05)
+    ap.add_argument("--min_area", type=float, default=0.1)
     ap.add_argument("--num_slices", type=int, default=5)
     ap.add_argument("--no_floor_detect", dest="detect_floor", action="store_false")
     ap.add_argument("--fast", dest="fast_mode", action="store_true")
@@ -406,6 +483,7 @@ def main(argv=None):  # pragma: no cover
     outs = pointcloud_to_floorplan(args.pointcloud, args.output_dir,
                                    height_threshold=args.height_threshold,
                                    grid_resolution=args.grid_resolution,
+                                   min_area=args.min_area,
                                    num_slices=args.num_slices,
                                    detect_floor=args.detect_floor,
                                    fast_mode=args.fast_mode)

@@ -189,7 +189,11 @@ def fit_ground_plane(points_3d: np.ndarray, initial_model: dict | None = None,
         k = max(10, int(0.05 * len(points)))
         trace = points[order[:k]]
 
-    # RANSAC fit y = a*x + c*z + d -> plane normal [-a, 1, -c]
+    # RANSAC fit y = a*x + c*z + d -> plane normal [-a, 1, -c].
+    # Deliberate deviation from `img_to_normalized_pointcloud.py:729-733`:
+    # the reference normalizes the normal but leaves d unscaled, which
+    # shifts the working plane by (1 - 1/||n||)·d for tilted fits; we
+    # scale d consistently so (normal, d) is the actual fitted plane.
     a, c, d0 = _ransac_plane_xz(trace, rng)
     normal = np.array([-a, 1.0, -c])
     d_plane = -d0
@@ -197,6 +201,10 @@ def fit_ground_plane(points_3d: np.ndarray, initial_model: dict | None = None,
     d_plane /= normal_norm
     normal = normal / normal_norm
 
+    # the steepness check below uses the RANSAC fit's angle even when
+    # the initial model is restored — reference ordering
+    # (`img_to_normalized_pointcloud.py:738-759`): a steep fresh fit
+    # signals an unreliable trace and forces the horizontal fallback
     angle_deg = np.degrees(np.arccos(np.clip(abs(normal @ HORIZONTAL), -1, 1)))
 
     if initial_model is not None:
@@ -204,7 +212,6 @@ def fit_ground_plane(points_3d: np.ndarray, initial_model: dict | None = None,
         dev = np.degrees(np.arccos(np.clip(normal @ init_n, -1, 1)))
         if dev > 20:
             normal, d_plane = init_n, float(initial_model["d"])
-            angle_deg = np.degrees(np.arccos(np.clip(abs(normal @ HORIZONTAL), -1, 1)))
 
     if angle_deg > 20:
         # too steep: horizontal fallback at the median trace height

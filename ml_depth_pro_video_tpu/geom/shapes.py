@@ -211,6 +211,11 @@ def detect_and_split_l_shapes(rectangles, points_2d, grid_size: float = 0.2,
             if len(rpts) < 4:
                 continue
             sub = min_area_rect(rpts)
+            # back to world coords with the TRUE inverse rotation —
+            # deliberate fix of a reference bug (the fourth sanctioned
+            # one, CLAUDE.md): `simple_pointcloud_viewer.py:253-256`
+            # applies the forward rotation R(-ang) a second time, which
+            # mirrors sub-rectangle placements for tilted rectangles
             scx, scy = np.array([sub[0], sub[1]]) @ R + np.array([cx, cy])
             sub_rect = (float(scx), float(scy), sub[2], sub[3], (sub[4] + ang) % 180)
             if sub[2] * sub[3] > 1.0:

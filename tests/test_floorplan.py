@@ -80,7 +80,18 @@ def test_full_floorplan_pipeline(tmp_path):
         assert os.path.exists(path), key
         assert os.path.getsize(path) > 0, key
     data = open(outs["data"]).read()
-    assert "Total Polygons:" in data
+    # reference txt format (output_0243_clean_floorplan.txt):
+    # "height, num_points, x1, z1, x2, z2, ..." lines sorted by height
+    assert "# Format: height, num_points, x1, z1, x2, z2, ...\n" in data
+    rows = [line for line in data.splitlines() if line and not line.startswith("#")]
+    assert rows
+    heights = []
+    for row in rows:
+        fields = [float(v) for v in row.split(", ")]
+        height, n = fields[0], int(fields[1])
+        assert len(fields) == 2 + 2 * n
+        heights.append(height)
+    assert heights == sorted(heights)
 
 
 def test_direct_floorplan_height_threshold(tmp_path):

@@ -343,3 +343,24 @@ def test_radius_mask_flat_cloud_matches_exact_counts():
         counts = native.radius_counts(pts, radius)
         np.testing.assert_array_equal(mask, counts >= min_count,
                                       err_msg=f"extent={extent}")
+
+
+def test_clean_shadows_duplicate_points_keep_cell():
+    """Reference semantics (`pointcloud_cleaner.py:290-293`): a duplicate
+    point pair makes the cell's angle median NaN, and NaN < threshold is
+    False — the cell is always KEPT."""
+    from ml_depth_pro_video_tpu.geom.clean import clean_shadows
+    from ml_depth_pro_video_tpu.geom.pointcloud import PointCloud
+
+    # a tall, perfectly vertical column (normally dropped as a shadow)
+    col = np.column_stack([np.zeros(30), np.linspace(0, 1.0, 30), np.zeros(30)])
+    spread = np.random.default_rng(0).uniform(0, 5, (200, 3)) * [1, 0.02, 1]
+    base = np.vstack([col, spread + [10, 0, 10]])
+
+    dropped = clean_shadows(PointCloud(base.copy()))
+    assert len(dropped) < len(base)  # the column goes
+
+    dup = base.copy()
+    dup[1] = dup[0]  # duplicate point inside the column's cell
+    kept = clean_shadows(PointCloud(dup))
+    assert len(kept) == len(dup)  # NaN-median verdict: cell kept
