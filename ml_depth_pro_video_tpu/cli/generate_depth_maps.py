@@ -19,14 +19,24 @@ import numpy as np
 
 
 def colorize_depth(depth: np.ndarray, colormap: str = "turbo",
-                   invert: bool = True) -> np.ndarray:
-    """Depth map -> normalized color or grayscale visualization."""
+                   invert: bool = False) -> np.ndarray:
+    """Depth map -> normalized color or grayscale visualization.
+
+    Reference semantics (`generate_depth_maps.py:29-44,136-139`): plain
+    min-max normalization of METRIC depth (near = low value), nan-robust
+    with clipping; no inversion. ``invert=True`` remains available for
+    inverse-depth-style display."""
     d = np.asarray(depth, dtype=np.float64)
     finite = np.isfinite(d)
-    lo, hi = d[finite].min(), d[finite].max()
-    normed = (d - lo) / max(hi - lo, 1e-9)
+    if not finite.any():
+        d = np.zeros_like(d)
+        lo, hi = 0.0, 1.0
+    else:
+        lo, hi = d[finite].min(), d[finite].max()
+        d = np.nan_to_num(d, nan=lo, posinf=hi, neginf=lo)
+    normed = np.clip((d - lo) / max(hi - lo, 1e-9), 0.0, 1.0)
     if invert:
-        normed = 1.0 - normed  # near = bright (reference convention)
+        normed = 1.0 - normed
     if colormap in ("gray16", "grayscale16"):
         return (normed * 65535).astype(np.uint16)
     if colormap in ("gray", "grayscale"):
@@ -76,17 +86,22 @@ def generate_depth_maps(
 
     written = []
     t0 = time.time()
+    # per-image fault isolation (reference `generate_depth_maps.py:147-151,
+    # 202-203`): one bad frame must not lose the rest of the batch
     for i, result in enumerate(runner.depth_stream(paths)):
         stem = os.path.splitext(os.path.basename(result["key"]))[0]
-        suffix = ".png"
-        out = os.path.join(output_dir, f"{stem}_depth{suffix}")
-        save_depth_image(out, colorize_depth(result["depth"], colormap))
-        written.append(out)
-        if save_npz:
-            np.savez_compressed(os.path.join(output_dir, f"{stem}_depth.npz"),
-                                depth=result["depth"],
-                                focallength_px=result["focallength_px"])
-        print(f"[{i+1}/{len(paths)}] {stem} ({(time.time()-t0)/(i+1):.2f}s/frame avg)")
+        try:
+            out = os.path.join(output_dir, f"{stem}_depth.png")
+            save_depth_image(out, colorize_depth(result["depth"], colormap))
+            written.append(out)
+            if save_npz:
+                np.savez_compressed(os.path.join(output_dir, f"{stem}_depth.npz"),
+                                    depth=result["depth"],
+                                    focallength_px=result["focallength_px"])
+            print(f"[{i+1}/{len(paths)}] {stem} ({(time.time()-t0)/(i+1):.2f}s/frame avg)")
+        except Exception as exc:  # noqa: BLE001
+            print(f"Error processing {stem}: {exc}")
+    print(f"Successfully wrote {len(written)}/{len(paths)} depth maps")
     return written
 
 
@@ -98,8 +113,11 @@ def main(argv=None) -> None:
                     choices=["turbo", "viridis", "magma", "plasma", "inferno",
                              "gray", "grayscale", "gray16", "grayscale16"])
     ap.add_argument("--downscale_factor", type=float, default=1.0)
-    ap.add_argument("--half_precision", action="store_true", default=True)
-    ap.add_argument("--full_precision", dest="half_precision", action="store_false")
+    ap.add_argument("--half_precision", action="store_true", default=True,
+                    help="bf16 compute (the DEFAULT here, unlike the fp32 "
+                         "reference — framework speed-mode convention)")
+    ap.add_argument("--full_precision", dest="half_precision", action="store_false",
+                    help="fp32 compute (the reference's default)")
     ap.add_argument("--batch_size", type=int, default=1)
     ap.add_argument("--save_npz", action="store_true")
     ap.add_argument("--pattern", default="*.png")

@@ -9,6 +9,12 @@ TPU-first redesign: the per-frame ``cv2.remap`` loop becomes ONE jitted
 program — a bilinear gather vmapped over all frames of the clip, so the
 entire effect renders in a single device launch; the host only encodes
 the video.
+
+Two reference bugs are deliberately FIXED, not replicated (documented
+per CLAUDE.md policy): `depth_video_effect.py:104,170-171` feed
+TRANSPOSED coordinate maps to ``cv2.remap`` (garbage for non-square
+frames), and `:107,180` write RGB arrays through BGR writers, swapping
+the red/blue channels of every output video and anaglyph.
 """
 
 from __future__ import annotations

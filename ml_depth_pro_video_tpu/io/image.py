@@ -83,5 +83,9 @@ def load_rgb(
         "FocalLengthIn35mmFilm",
         img_exif.get("FocalLenIn35mmFilm", img_exif.get("FocalLengthIn35mmFormat")),
     )
-    f_px = fpx_from_f35(img.shape[1], img.shape[0], f_35mm) if f_35mm else None
+    # positive-value gate like the reference (`utils.py:106`): corrupt
+    # EXIF (negative/zero f_35mm) must fall back to FOV estimation, not
+    # produce a negative focal length
+    valid_f35 = f_35mm is not None and isinstance(f_35mm, (int, float)) and f_35mm > 0
+    f_px = fpx_from_f35(img.shape[1], img.shape[0], f_35mm) if valid_f35 else None
     return img, icc_profile, f_px

@@ -193,7 +193,12 @@ class DepthVideoRunner:
         def loader():
             try:
                 for item in items:
-                    q.put(self._load_one(item))
+                    try:
+                        q.put(self._load_one(item))
+                    except Exception as exc:  # noqa: BLE001 - one corrupt
+                        # frame must not end the whole stream
+                        logging.getLogger(__name__).warning(
+                            "skipping unreadable frame %r: %s", item, exc)
             finally:
                 q.put(sentinel)
 

@@ -111,3 +111,24 @@ def test_run_cli_npz_is_metric_depth_and_mirrors_subdirs(tmp_path, monkeypatch):
         with np.load(out / sub / "0001.npz") as z:
             np.testing.assert_allclose(z["depth"], 7.5)  # metric, not 1/7.5
         assert (out / sub / "0001.jpg").exists()
+
+
+def test_colorize_depth_reference_orientation_and_nan_robust():
+    """Reference semantics (`generate_depth_maps.py:29-44`): NO
+    inversion (near = low normalized value) and nan-robust
+    normalization; all-non-finite maps degrade instead of crashing."""
+    import numpy as np
+
+    from ml_depth_pro_video_tpu.cli.generate_depth_maps import colorize_depth
+
+    d = np.array([[1.0, 10.0]])
+    g16 = colorize_depth(d, "gray16")
+    assert g16[0, 0] == 0 and g16[0, 1] == 65535  # near = 0, like the reference
+    inv = colorize_depth(d, "gray16", invert=True)
+    assert inv[0, 0] == 65535
+
+    weird = np.array([[np.nan, 1.0, np.inf]])
+    out = colorize_depth(weird, "gray16")
+    assert out.dtype == np.uint16  # no crash, values in range
+    allnan = colorize_depth(np.full((2, 2), np.nan), "gray16")
+    assert allnan.shape == (2, 2)

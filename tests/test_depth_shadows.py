@@ -68,3 +68,40 @@ def test_remove_depth_shadows_fills_with_ground():
     assert mask[61, 50]
     # filled value is the ground depth, not the streak depth
     assert out[61, 50] > 2.0
+
+
+def test_remove_depth_shadows_never_emits_nan_and_keeps_off_ground():
+    """Reference semantics (`mesh_from_depth.py:1866-1960`): no NaNs,
+    fills clamp to >= 0.1 m, above-horizon shadows keep original depth,
+    interpolate_ground=False returns the depth unchanged."""
+    depth = scene_depth()
+    shadowed = depth.copy()
+    shadowed[60:63, 40:70] = 1.0          # below-horizon streak
+    shadowed[5:8, 40:70] = 1.0            # above-horizon streak (sky-side)
+    model = {"normal": np.array([0.0, 1.0, 0.0]), "d": 1.0, "origin": np.zeros(3)}
+    out, mask, _ = remove_depth_shadows(
+        shadowed, f_px=100.0, ground_model=model,
+        threshold_factor=0.3, min_region_size=400,
+    )
+    assert np.isfinite(out).all()
+    assert (out >= 0.1).all()
+    if mask[6, 50]:  # above-horizon shadow: ray misses the plane -> untouched
+        assert out[6, 50] == shadowed[6, 50]
+
+    same, _, _ = remove_depth_shadows(
+        shadowed, f_px=100.0, ground_model=model, interpolate_ground=False,
+        threshold_factor=0.3, min_region_size=400,
+    )
+    np.testing.assert_array_equal(same, shadowed)
+
+
+def test_force_horizontal_ground_exact_angle():
+    """The clamp rotates the normal to EXACTLY max_angle from vertical
+    (a lerp-and-normalize undershoots)."""
+    from ml_depth_pro_video_tpu.geom.depth_shadows import force_horizontal_ground
+
+    n = np.array([np.sin(np.radians(30)), np.cos(np.radians(30)), 0.0])
+    model = {"normal": n, "d": -1.0, "origin": np.array([0.0, 1.0, 0.0])}
+    out = force_horizontal_ground(model, max_angle=5.0)
+    ang = np.degrees(np.arccos(np.clip(out["normal"] @ [0, 1, 0], -1, 1)))
+    np.testing.assert_allclose(ang, 5.0, atol=1e-9)

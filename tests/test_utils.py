@@ -61,3 +61,23 @@ def test_load_rgb_exif_rotation(tmp_path):
     img, _, _ = load_rgb(p)
     # rotated: 4x8 -> 8x4
     assert img.shape[:2] == (8, 4)
+
+
+def test_negative_exif_f35_yields_no_focal(tmp_path, monkeypatch):
+    """Corrupt EXIF (f_35mm <= 0) must fall back to f_px=None (FOV
+    estimation), not a negative focal length — reference `utils.py:106`."""
+    from PIL import Image
+
+    import ml_depth_pro_video_tpu.io.image as io_image
+
+    path = str(tmp_path / "img.png")
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(path)
+    for bad in (-50, 0, None):
+        monkeypatch.setattr(io_image, "extract_exif",
+                            lambda img, b=bad: {"FocalLengthIn35mmFilm": b})
+        _, _, f_px = io_image.load_rgb(path)
+        assert f_px is None, bad
+    monkeypatch.setattr(io_image, "extract_exif",
+                        lambda img: {"FocalLengthIn35mmFilm": 28})
+    _, _, f_px = io_image.load_rgb(path)
+    assert f_px is not None and f_px > 0
