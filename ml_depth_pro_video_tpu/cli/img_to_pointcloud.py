@@ -36,7 +36,7 @@ def create_normalized_pointcloud(
     ground_percentile: float = 5.0,
     downscale_factor: float = 1.0,
     half_precision: bool = True,
-    optimize_ground: bool = False,
+    optimize_ground: bool = True,
     render_view: str | None = None,
     return_pointcloud: bool = False,
     runner=None,
@@ -54,14 +54,29 @@ def create_normalized_pointcloud(
     cloud = depth_to_3d(result["depth"], result["focallength_px"], image=result["image"])
 
     ground_dir = ground_params_dir or os.path.dirname(os.path.abspath(image_path))
-    ground_model = load_ground_plane(ground_dir)
+    ground_model = load_ground_plane(ground_dir, image_path=image_path)
     if ground_model is None:
-        ground_model = fit_ground_plane(cloud.points, seed=seed)
+        # the reference's ALWAYS-on three-stage chain (`:1237-1258`):
+        # fit on a <=50k sample, L-BFGS-B optimize, then a guided refit
+        # over ALL points with the optimized model as the initial guide
+        pts_all = cloud.points
+        if len(pts_all) > 50_000:
+            import numpy as np
+
+            sel = np.random.default_rng(seed).choice(len(pts_all), 50_000, replace=False)
+            sample = pts_all[sel]
+        else:
+            sample = pts_all
+        initial = fit_ground_plane(sample, seed=seed)
         if optimize_ground:
-            ground_model = optimize_ground_plane(cloud.points, ground_model)
-        save_ground_plane(ground_model, ground_dir)
+            initial = optimize_ground_plane(sample, initial)
+        ground_model = fit_ground_plane(pts_all, initial_model=initial, seed=seed)
+    # rotation offset FIRST, then persist — the saved ground.json must
+    # carry the manual correction so later frames/runs inherit it; the
+    # reference also re-saves loaded models (`:1270-1279`)
     if rotation_offset is not None:
         ground_model = apply_rotation_to_plane(ground_model, rotation_offset)
+    save_ground_plane(ground_model, ground_dir)
 
     pts = normalize_to_ground(cloud.points, ground_model)
     pts = grid_ground_adjustment(pts, grid_size=grid_size, percentile=ground_percentile)
@@ -89,7 +104,9 @@ def main(argv=None) -> None:
     ap.add_argument("--downscale_factor", type=float, default=1.0)
     ap.add_argument("--half_precision", action="store_true", default=True)
     ap.add_argument("--full_precision", dest="half_precision", action="store_false")
-    ap.add_argument("--optimize_ground", action="store_true")
+    ap.add_argument("--optimize_ground", action="store_true", default=True,
+                    help="L-BFGS-B plane refinement (reference default: ON)")
+    ap.add_argument("--no_optimize_ground", dest="optimize_ground", action="store_false")
     ap.add_argument("--view", default=None, choices=[None, "front", "top", "side", "iso", "multi"])
     args = ap.parse_args(argv)
     create_normalized_pointcloud(

@@ -16,11 +16,13 @@ from ..geom.pointcloud import write_ply
 from ..geom.render import save_render
 from .img_to_pointcloud import create_normalized_pointcloud
 
-# quality presets (parity with demo_pointcloud_cleaner.py:11-86)
+# quality presets (parity with demo_pointcloud_cleaner.py:41-55: FAST is
+# the aggressive cleaner at reduced resolution, HIGH_QUALITY keeps more
+# points at full resolution)
 QUALITY_PRESETS = {
-    "fast": dict(nb_points=10, radius=0.15, downscale_factor=0.5),
+    "fast": dict(nb_points=25, radius=0.15, downscale_factor=0.3),
     "default": dict(nb_points=20, radius=0.1, downscale_factor=1.0),
-    "high_quality": dict(nb_points=25, radius=0.08, downscale_factor=1.0),
+    "high_quality": dict(nb_points=10, radius=0.05, downscale_factor=1.0),
 }
 
 
@@ -34,6 +36,7 @@ def process_image_to_clean_pointcloud(
     downscale_factor: float = 1.0,
     half_precision: bool = True,
     preview: bool = True,
+    view_preset: str = "front",
     runner=None,
 ):
     output_dir = output_dir or os.path.dirname(os.path.abspath(image_path))
@@ -52,8 +55,10 @@ def process_image_to_clean_pointcloud(
     ply_path = os.path.join(output_dir, f"{stem}_clean.ply")
     write_ply(ply_path, cloud)
     if preview:
+        # reference default: a single front view, selectable via
+        # --view_preset (`pointcloud_cleaner.py:434,460-463`)
         save_render(os.path.join(output_dir, f"{stem}_clean_preview.png"),
-                    cloud, view="multi")
+                    cloud, view=view_preset)
     return ply_path, cloud
 
 
@@ -67,6 +72,9 @@ def main(argv=None) -> None:
     ap.add_argument("--max_shadow_angle", type=float, default=75.0)
     ap.add_argument("--downscale_factor", type=float, default=1.0)
     ap.add_argument("--quality", choices=list(QUALITY_PRESETS), default=None)
+    ap.add_argument("--view_preset", default="front",
+                    choices=["front", "top", "side", "iso", "isometric", "multi"],
+                    help="preview view (reference default: front)")
     ap.add_argument("--no_preview", dest="preview", action="store_false")
     args = ap.parse_args(argv)
     kw = dict(nb_points=args.nb_points, radius=args.radius,
@@ -76,7 +84,8 @@ def main(argv=None) -> None:
     process_image_to_clean_pointcloud(
         args.image_path, args.output_dir,
         shadow_height_threshold=args.shadow_height_threshold,
-        max_shadow_angle=args.max_shadow_angle, preview=args.preview, **kw,
+        max_shadow_angle=args.max_shadow_angle, preview=args.preview,
+        view_preset=args.view_preset, **kw,
     )
 
 

@@ -104,8 +104,16 @@ def save_ground_plane(model: dict, directory: str, filename: str = "ground.json"
     return path
 
 
-def load_ground_plane(directory: str, filename: str = "ground.json") -> dict | None:
+def load_ground_plane(directory: str, filename: str = "ground.json",
+                      image_path: str | None = None) -> dict | None:
     path = os.path.join(directory, filename)
+    if not os.path.exists(path) and image_path is not None:
+        # legacy per-image filename fallback
+        # (`img_to_normalized_pointcloud.py:283-288`)
+        stem = os.path.splitext(os.path.basename(image_path))[0]
+        legacy = os.path.join(directory, f"{stem}_ground_plane.json")
+        if os.path.exists(legacy):
+            path = legacy
     if not os.path.exists(path):
         return None
     with open(path) as f:
@@ -162,6 +170,10 @@ def fit_ground_plane(points_3d: np.ndarray, initial_model: dict | None = None,
 
     z = points[:, 2]
     scene_scale = float(np.median(z))
+    # bin edges come from the FULL cloud even when the near-ground
+    # filter narrows the points below (reference ordering,
+    # `img_to_normalized_pointcloud.py:630` before `:639-667`)
+    z_min, z_max = z.min(), z.max()
 
     if initial_model is not None:
         dist = plane_distances(initial_model["normal"], initial_model["d"], points)
@@ -169,9 +181,6 @@ def fit_ground_plane(points_3d: np.ndarray, initial_model: dict | None = None,
         if near.sum() > 100:
             points = points[near]
             z = points[:, 2]
-
-    # Z-binning: lowest-5%-per-bin trace
-    z_min, z_max = z.min(), z.max()
     edges = np.linspace(z_min, z_max, n_bins + 1)
     bin_idx = np.clip(np.digitize(z, edges) - 1, 0, n_bins - 1)
     trace = []

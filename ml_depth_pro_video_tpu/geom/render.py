@@ -33,7 +33,10 @@ def view_rotation(view: str) -> np.ndarray:
     if view == "front":
         return np.eye(3)
     if view == "top":
-        return _rot_x(np.radians(-90))
+        # looking straight down with the reference's up=[0,0,-1]
+        # convention (`img_to_normalized_pointcloud.py:72-77`): +X to
+        # screen-right, +Z toward screen-bottom
+        return _rot_x(np.radians(90))
     if view == "side":
         return _rot_y(np.radians(90))
     if view in ("iso", "isometric"):
@@ -91,12 +94,19 @@ def render_pointcloud_image(
 
 def render_multi_view(cloud: PointCloud, width: int = 1280, height: int = 720,
                       point_size: int = 2) -> np.ndarray:
-    """2x2 grid of front / top / side / isometric views."""
+    """2x2 labeled grid in the reference's tile order
+    (`img_to_normalized_pointcloud.py:136-161`): TL=front, TR=top,
+    BL=isometric, BR=side."""
+    from PIL import Image, ImageDraw
+
     hw, hh = width // 2, height // 2
-    tiles = [
-        render_pointcloud_image(cloud, v, hw, hh, point_size)
-        for v in ("front", "top", "side", "iso")
-    ]
+    tiles = []
+    for v, label in (("front", "Front View"), ("top", "Top View"),
+                     ("iso", "Isometric View"), ("side", "Side View")):
+        tile = render_pointcloud_image(cloud, v, hw, hh, point_size)
+        im = Image.fromarray(tile)
+        ImageDraw.Draw(im).text((8, 6), label, fill=(0, 0, 0))
+        tiles.append(np.asarray(im))
     top = np.concatenate(tiles[:2], axis=1)
     bottom = np.concatenate(tiles[2:], axis=1)
     return np.concatenate([top, bottom], axis=0)

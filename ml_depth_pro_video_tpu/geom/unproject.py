@@ -75,6 +75,8 @@ def depth_to_3d(depth, focallength_px, image=None, max_depth=None):
         return points, valid
     img = np.asarray(image)
     colors = img[ys, xs].astype(np.float64)
-    if img.dtype == np.uint8 or colors.max() > 1.0:
+    # colors.max() on an EMPTY selection (no valid depth) would raise;
+    # empty clouds degrade gracefully like the reference
+    if img.dtype == np.uint8 or (len(colors) and colors.max() > 1.0):
         colors = colors / 255.0
     return PointCloud(points, colors)
