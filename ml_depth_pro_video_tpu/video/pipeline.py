@@ -78,12 +78,22 @@ def normalized_cloud_from_depth(
 
 
 def compute_ground_from_frame(depth: np.ndarray, f_px: float,
-                              optimize: bool = False, seed: int = 0) -> dict:
+                              optimize: bool = True, seed: int = 0) -> dict:
+    """Once-per-video ground fit, mirroring the reference's three-stage
+    chain (the reference pipeline routes its first frame through
+    `create_normalized_pointcloud`, `img_to_normalized_pointcloud.py:
+    1237-1258`): fit on a <=50k sample, L-BFGS-B optimize, then a
+    guided refit over all points."""
     points, _ = depth_to_3d(depth, f_px)
-    model = fit_ground_plane(points, seed=seed)
+    if len(points) > 50_000:
+        sel = np.random.default_rng(seed).choice(len(points), 50_000, replace=False)
+        sample = points[sel]
+    else:
+        sample = points
+    model = fit_ground_plane(sample, seed=seed)
     if optimize:
-        model = optimize_ground_plane(points, model)
-    return model
+        model = optimize_ground_plane(sample, model)
+    return fit_ground_plane(points, initial_model=model, seed=seed)
 
 
 def process_single_frame(
