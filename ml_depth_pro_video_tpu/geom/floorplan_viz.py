@@ -19,6 +19,15 @@ import numpy as np
 from .pointcloud import PointCloud
 from .shapes import export_shape_data, fit_shapes_to_clusters, rect_corners
 
+# pyplot's implicit current-figure state machine is NOT thread-safe and
+# the video pipeline renders floor plans from ThreadPoolExecutor workers
+# — all pyplot sections below serialize on this lock (RLock: the shape
+# artifacts are rendered from inside floorplan_visualization). The
+# heavy stages (height filter, DBSCAN) stay outside the lock.
+import threading
+
+_PLOT_LOCK = threading.RLock()
+
 _RECT_COLORS = ["#4285F4", "#34A853", "#FBBC05", "#EA4335",
                 "#8E44AD", "#16A085", "#D35400", "#7F8C8D"]
 _CIRC_COLORS = ["#3498DB", "#2ECC71", "#F1C40F", "#E74C3C",
@@ -133,6 +142,7 @@ def floorplan_visualization(
         # nothing above the threshold: emit a blank frame so video
         # sequences stay continuous (+ the empty shape artifacts, so a
         # fit_shapes run always produces the full file set)
+        _PLOT_LOCK.acquire()
         fig = plt.figure(figsize=(12, 12))
         try:
             plt.axis("off")
@@ -142,6 +152,7 @@ def floorplan_visualization(
             plt.savefig(output_path, dpi=dpi, bbox_inches="tight", pad_inches=0)
         finally:
             plt.close(fig)
+            _PLOT_LOCK.release()
         if fit_shapes and output_all_files:
             base = os.path.splitext(output_path)[0]
             export_shape_data([], [], base + "_shapes.txt")
@@ -173,6 +184,7 @@ def floorplan_visualization(
     else:
         heights = points[:, 1]
 
+    _PLOT_LOCK.acquire()
     fig = plt.figure(figsize=(12, 12))
     try:
         alpha = 0.5 if fit_shapes else 0.8
@@ -212,6 +224,7 @@ def floorplan_visualization(
         plt.savefig(output_path, dpi=dpi, bbox_inches="tight", pad_inches=0)
     finally:
         plt.close(fig)
+        _PLOT_LOCK.release()
 
     if fit_shapes and output_all_files:
         base = os.path.splitext(output_path)[0]
@@ -240,6 +253,7 @@ def shapes_only_plan(
     import matplotlib.patches as patches
     import matplotlib.pyplot as plt
 
+    _PLOT_LOCK.acquire()
     fig = plt.figure(figsize=(12, 12))
     try:
         ax = plt.gca()
@@ -291,6 +305,7 @@ def shapes_only_plan(
         plt.savefig(output_path, dpi=dpi)
     finally:
         plt.close(fig)
+        _PLOT_LOCK.release()
 
 
 def filled_floor_plan(
@@ -306,6 +321,7 @@ def filled_floor_plan(
     import matplotlib.patches as patches
     import matplotlib.pyplot as plt
 
+    _PLOT_LOCK.acquire()
     fig, ax = plt.subplots(figsize=(12, 12), facecolor="white")
     try:
         ax.set_facecolor("white")
@@ -329,3 +345,4 @@ def filled_floor_plan(
         plt.savefig(output_path, dpi=dpi, bbox_inches="tight", pad_inches=0.1)
     finally:
         plt.close(fig)
+        _PLOT_LOCK.release()

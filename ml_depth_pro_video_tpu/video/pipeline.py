@@ -109,8 +109,10 @@ def process_single_frame(
     x_limits=None,
     z_limits=None,
     renderer: str = "matplotlib",
+    dpi: int = 300,
 ) -> tuple[bool, float]:
-    """Geometry + visualization for one frame (depth already computed)."""
+    """Geometry + visualization for one frame (depth already computed).
+    ``dpi`` defaults to the reference's 300 (`pointcloud_pipeline.py:357`)."""
     t0 = time.time()
     try:
         frame_name = os.path.splitext(os.path.basename(result["key"]))[0]
@@ -136,6 +138,7 @@ def process_single_frame(
                 plan_path,
                 height_threshold=height_threshold,
                 point_size=point_size,
+                dpi=dpi,
                 fit_shapes=fit_shapes and not simple_output,
                 output_all_files=output_all_files,
                 x_limits=x_limits,
@@ -253,9 +256,14 @@ def process_images_to_floor_plans(
         progress_lock = threading.Lock()
 
         def save_progress(name: str, ok: bool):
-            # called from geometry worker threads; serialize the JSON write
+            # called from geometry worker threads; serialize the JSON write.
+            # Only SUCCESSFUL frames are recorded (reference schema,
+            # `pointcloud_pipeline.py:676,746`) so --resume retries
+            # failures instead of skipping them forever.
+            if not ok:
+                return
             with progress_lock:
-                completed[name] = {"success": ok, "timestamp": time.time()}
+                completed[name] = {"success": True, "timestamp": time.time()}
                 tmp = progress_file + ".tmp"
                 with open(tmp, "w") as f:
                     json.dump(completed, f, indent=2)
@@ -264,16 +272,25 @@ def process_images_to_floor_plans(
         t_start = time.time()
         n_done = 0
         total = len(image_paths)
+        # bound in-flight geometry: inference streams ~20x faster than
+        # the host stages, and each queued result holds the full frame +
+        # depth (~20 MB at 1536^2) — an unbounded backlog OOMs long runs
+        import threading as _threading
+
+        inflight = _threading.Semaphore(max(num_workers, 1) * 2)
 
         def handle(result):
             nonlocal n_done
-            ok, dt = process_single_frame(
-                result, output_dir, ground_model,
-                height_threshold=height_threshold, point_size=point_size,
-                fit_shapes=fit_shapes, visualize_3d=visualize_3d,
-                simple_output=simple_output, output_all_files=output_all_files,
-                x_limits=x_limits, z_limits=z_limits, renderer=renderer,
-            )
+            try:
+                ok, dt = process_single_frame(
+                    result, output_dir, ground_model,
+                    height_threshold=height_threshold, point_size=point_size,
+                    fit_shapes=fit_shapes, visualize_3d=visualize_3d,
+                    simple_output=simple_output, output_all_files=output_all_files,
+                    x_limits=x_limits, z_limits=z_limits, renderer=renderer,
+                )
+            finally:
+                inflight.release()
             with progress_lock:
                 n_done += 1
                 done = n_done
@@ -293,16 +310,23 @@ def process_images_to_floor_plans(
                 futures = []
                 for result in result_stream():
                     if stop["flag"]:
-                        print("Interrupted - finishing in-flight frames...")
                         break
+                    inflight.acquire()
                     futures.append(pool.submit(handle, result))
+                if stop["flag"]:
+                    # drop queued work; only already-running frames finish
+                    n_cancelled = sum(1 for fut in futures if fut.cancel())
+                    print(f"Interrupted — finishing in-flight frames "
+                          f"({n_cancelled} queued frames cancelled)...")
                 for fut in futures:
-                    fut.result()
+                    if not fut.cancelled():
+                        fut.result()
         else:
             for result in result_stream():
                 if stop["flag"]:
                     print("Interrupted.")
                     break
+                inflight.acquire()
                 handle(result)
         return completed
     finally:
@@ -321,16 +345,22 @@ def main(argv=None):  # pragma: no cover - CLI shim, exercised via cli tests
     ap.add_argument("--height_threshold", type=float, default=1.3)
     ap.add_argument("--point_size", type=float, default=10)
     ap.add_argument("--downscale_factor", type=float, default=1.0)
-    ap.add_argument("--half_precision", action="store_true", default=True)
+    ap.add_argument("--half_precision", action="store_true", default=True,
+                    help="bf16 compute (the DEFAULT here, unlike the fp32 "
+                         "reference — framework speed-mode convention)")
     ap.add_argument("--full_precision", dest="half_precision", action="store_false")
     ap.add_argument("--start_frame", type=int, default=None)
     ap.add_argument("--end_frame", type=int, default=None)
     ap.add_argument("--pattern", default="output_*.png")
-    ap.add_argument("--fit_shapes", action="store_true")
+    # reference defaults (`pointcloud_pipeline.py:795`): shape fitting
+    # and the full artifact set are ON; --output_main_only suppresses
+    ap.add_argument("--fit_shapes", action="store_true", default=True)
+    ap.add_argument("--no_fit_shapes", dest="fit_shapes", action="store_false")
     ap.add_argument("--visualize_3d", action="store_true")
-    ap.add_argument("--num_workers", type=int, default=2)
+    ap.add_argument("--num_workers", "--num_threads", type=int, default=2)
     ap.add_argument("--simple_output", action="store_true")
-    ap.add_argument("--output_all_files", action="store_true")
+    ap.add_argument("--output_all_files", action="store_true", default=True)
+    ap.add_argument("--output_main_only", dest="output_all_files", action="store_false")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--force_reprocess", action="store_true")
     ap.add_argument("--batch_size", type=int, default=1)
@@ -340,7 +370,16 @@ def main(argv=None):  # pragma: no cover - CLI shim, exercised via cli tests
                          "shards the MODEL for single-stream speed")
     ap.add_argument("--x_limits", type=float, nargs=2, default=None)
     ap.add_argument("--z_limits", type=float, nargs=2, default=None)
+    # reference-style individual bound flags (`pointcloud_pipeline.py`)
+    ap.add_argument("--x_min", type=float, default=None)
+    ap.add_argument("--x_max", type=float, default=None)
+    ap.add_argument("--z_min", type=float, default=None)
+    ap.add_argument("--z_max", type=float, default=None)
     args = ap.parse_args(argv)
+    if args.x_limits is None and args.x_min is not None and args.x_max is not None:
+        args.x_limits = [args.x_min, args.x_max]
+    if args.z_limits is None and args.z_min is not None and args.z_max is not None:
+        args.z_limits = [args.z_min, args.z_max]
     if not args.frames_dir and not args.video:
         ap.error("--frames_dir or --video is required")
     if args.video:

@@ -207,7 +207,8 @@ class DepthVideoRunner:
 
         pending = []
         raw_images = []
-        in_flight = None  # (keys, raw_images, device_out, n) — one-deep pipeline
+        # (keys, raw_images, device_out, n, inputs) — one-deep pipeline
+        in_flight = None
 
         def dispatch():
             """Launch the pending batch on the device (async)."""
@@ -228,16 +229,37 @@ class DepthVideoRunner:
                 f_arr = np.asarray(fs + [fs[-1]] * pad, np.float32)
             else:
                 f_arr = None
-            out = self._infer(jnp.asarray(xs), f_arr, mixed=any_f and not have_f)
+            mixed = any_f and not have_f
+            out = self._infer(jnp.asarray(xs), f_arr, mixed=mixed)
             imgs = raw_images
             pending, raw_images = [], []
-            return keys, imgs, out, n
+            return keys, imgs, out, n, (xs, f_arr, mixed)
 
         def collect(flight):
-            """Fetch a completed batch to the host."""
-            keys, imgs, out, n = flight
-            depth = np.asarray(out["depth"][:n])
-            fl = np.asarray(out["focallength_px"][:n])
+            """Fetch a completed batch to the host. JAX dispatch is
+            async, so device/transport failures surface HERE at the
+            blocking fetch, not inside _infer — the bounded retry
+            re-dispatches the saved inputs."""
+            keys, imgs, out, n, inputs = flight
+            delay = 5.0
+            for attempt in range(self.max_retries + 1):
+                try:
+                    depth = np.asarray(out["depth"][:n])
+                    fl = np.asarray(out["focallength_px"][:n])
+                    break
+                except jax.errors.JaxRuntimeError as e:
+                    if attempt == self.max_retries:
+                        raise
+                    logging.getLogger(__name__).warning(
+                        "device fetch failed (attempt %d/%d): %s — "
+                        "re-dispatching in %.0fs",
+                        attempt + 1, self.max_retries, e, delay)
+                    import time as _time
+
+                    _time.sleep(delay)
+                    delay = min(delay * 2, 60.0)
+                    xs, f_arr, mixed = inputs
+                    out = self._infer(jnp.asarray(xs), f_arr, mixed=mixed)
             return [
                 {"key": keys[i], "depth": depth[i], "focallength_px": float(fl[i]),
                  "image": imgs[i]}
@@ -249,6 +271,13 @@ class DepthVideoRunner:
             if got is sentinel:
                 break
             key, x, f = got
+            if pending and x.shape != pending[0][1].shape:
+                # resolution change mid-stream: flush the homogeneous
+                # batch first (np.stack needs one shape per batch)
+                flight = dispatch()
+                if in_flight is not None:
+                    yield from collect(in_flight)
+                in_flight = flight
             pending.append((key, x, f))
             raw_images.append(x)
             if len(pending) >= self.batch_size:
@@ -265,4 +294,6 @@ class DepthVideoRunner:
             yield from collect(in_flight)
 
     def infer_one(self, item) -> dict:
-        return next(iter(self.depth_stream([item])))
+        for result in self.depth_stream([item]):
+            return result
+        raise ValueError(f"could not read frame {item!r} (see log for the cause)")

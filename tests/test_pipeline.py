@@ -224,3 +224,63 @@ def test_dp_batch_size_rounds_up_to_mesh():
     runner = DepthVideoRunner(cfg=tiny_config(), precision="fp32",
                               batch_size=3, mesh=mesh, parallel="dp")
     assert runner.batch_size == 8
+
+
+def test_depth_stream_mixed_resolutions_batched():
+    """A resolution change mid-stream flushes the partial batch instead
+    of crashing np.stack (regression; docstring contract)."""
+    from ml_depth_pro_video_tpu.models.depth_pro import tiny_config
+    from ml_depth_pro_video_tpu.video.runner import DepthVideoRunner
+
+    runner = DepthVideoRunner(cfg=tiny_config(), precision="fp32", batch_size=2)
+    rng = np.random.default_rng(0)
+    frames = [
+        (rng.random((64, 48, 3)) * 255).astype(np.uint8),
+        (rng.random((64, 48, 3)) * 255).astype(np.uint8),
+        (rng.random((40, 32, 3)) * 255).astype(np.uint8),
+    ]
+    results = list(runner.depth_stream(frames))
+    assert len(results) == 3
+    assert results[0]["depth"].shape == (64, 48)
+    assert results[2]["depth"].shape == (40, 32)
+
+
+def test_resume_retries_failed_frames(tmp_path, monkeypatch, tiny_runner):
+    """Only SUCCESSFUL frames land in processing_progress.json
+    (reference schema) — a failed frame is retried on --resume instead
+    of being skipped forever (regression)."""
+    import json
+
+    import ml_depth_pro_video_tpu.video.pipeline as pl
+
+    frames_dir = tmp_path / "frames"
+    frames_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        from PIL import Image
+
+        Image.fromarray((rng.random((32, 32, 3)) * 255).astype(np.uint8)).save(
+            frames_dir / f"output_{i:04d}.png")
+
+    calls = {"n": 0}
+
+    def fake_process(result, *a, **k):
+        calls["n"] += 1
+        ok = "0001" not in result["key"]  # frame 1 fails
+        return ok, 0.0
+
+    monkeypatch.setattr(pl, "process_single_frame", fake_process)
+    out_dir = str(tmp_path / "plans")
+    pl.process_images_to_floor_plans(
+        str(frames_dir), output_dir=out_dir, num_workers=1,
+        runner=tiny_runner, fit_shapes=False, renderer="fast")
+    with open(f"{out_dir}/processing_progress.json") as f:
+        progress = json.load(f)
+    assert "output_0001.png" not in progress  # failure NOT recorded
+    assert len(progress) == 2 and all(v["success"] for v in progress.values())
+
+    calls["n"] = 0
+    pl.process_images_to_floor_plans(
+        str(frames_dir), output_dir=out_dir, num_workers=1,
+        runner=tiny_runner, fit_shapes=False, renderer="fast", resume=True)
+    assert calls["n"] == 1  # only the failed frame is reprocessed
