@@ -28,6 +28,8 @@ def save_train_state(directory: str, state, step: int | None = None,
 
     mgr = _manager(directory, max_to_keep)
     step = int(state.step) if step is None else step
+    if mgr.latest_step() == step:
+        return  # already saved (orbax raises StepAlreadyExistsError)
     mgr.save(step, args=ocp.args.StandardSave(state))
     mgr.wait_until_finished()
 

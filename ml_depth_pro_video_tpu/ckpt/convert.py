@@ -161,13 +161,37 @@ def _fusion(sd: dict, prefix: str, deconv: bool) -> dict:
     return out
 
 
+class _TrackedSD:
+    """State-dict view that records every consumed key so conversion can
+    fail on leftovers — the reference loads strict both ways
+    (`depth_pro.py:136-149`); silently dropping unconsumed tensors would
+    turn a mismatched checkpoint into a wrong-but-running model."""
+
+    def __init__(self, sd: dict):
+        self.sd = sd
+        self.used: set = set()
+
+    def __getitem__(self, key):
+        self.used.add(key)
+        return self.sd[key]
+
+    def __contains__(self, key):
+        return key in self.sd
+
+    def leftovers(self):
+        # the reference exempts timm's unused fc_norm keys (`:141-147`)
+        return sorted(k for k in set(self.sd) - self.used if "fc_norm" not in k)
+
+
 def convert_depth_pro(sd: dict, cfg) -> dict:
     """Convert the full reference DepthPro state dict.
 
     ``cfg`` is a ``DepthProConfig`` (models/depth_pro.py); key layout
     follows the reference module tree (`depth_pro.py:154-211`,
-    `encoder.py:95-130`, `decoder.py:42-72`, `fov.py:30-54`).
+    `encoder.py:95-130`, `decoder.py:42-72`, `fov.py:30-54`). Raises on
+    unconsumed keys (strict, like the reference load).
     """
+    sd = _TrackedSD(sd)
     vit_cfg = cfg.vit
     enc = {
         "patch_vit": convert_vit(sd, "encoder.patch_encoder.", vit_cfg),
@@ -209,6 +233,12 @@ def convert_depth_pro(sd: dict, cfg) -> dict:
             "down": _conv(sd, "fov.downsample.0"),
             "head": [_conv(sd, f"fov.head.{i}") for i in (0, 2, 4)],
         }
+    extra = sd.leftovers()
+    if extra:
+        raise ValueError(
+            f"{len(extra)} checkpoint keys were not consumed by the conversion "
+            f"(wrong or mismatched checkpoint?): {extra[:8]}{'...' if len(extra) > 8 else ''}"
+        )
     return params
 
 

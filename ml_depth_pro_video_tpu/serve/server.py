@@ -27,23 +27,48 @@ import numpy as np
 
 
 class _Batcher:
-    """Coalesce concurrent requests into device batches."""
+    """Coalesce concurrent requests into device batches.
 
-    def __init__(self, runner, max_batch: int, max_wait_ms: float):
+    With ``canonical=True`` (default) every request is resized host-side
+    to the model's square working resolution before batching, and the
+    depth map is resized back afterwards (focal length rescaled
+    linearly). The model resizes on-chip anyway — doing it host-side
+    means ONE compiled program serves every client resolution instead of
+    a fresh ~40 s XLA compile (and a permanently growing executable
+    cache) per distinct (H, W) posted."""
+
+    def __init__(self, runner, max_batch: int, max_wait_ms: float,
+                 canonical: bool = True, timeout_s: float = 600.0):
         self.runner = runner
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
+        self.canonical = canonical
+        self.size = int(runner.cfg.img_size)
+        self.timeout_s = timeout_s
         self.queue: queue.Queue = queue.Queue()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
     def infer(self, image: np.ndarray) -> dict:
+        from PIL import Image as PILImage
+
+        h, w = image.shape[:2]
+        rescaled = self.canonical and (h, w) != (self.size, self.size)
+        if rescaled:
+            image = np.asarray(PILImage.fromarray(image).resize(
+                (self.size, self.size), PILImage.BILINEAR))
         done = threading.Event()
         slot: dict = {}
         self.queue.put((image, slot, done))
-        done.wait()
+        if not done.wait(self.timeout_s):
+            raise RuntimeError(f"inference timed out after {self.timeout_s:.0f}s")
         if "error" in slot:
             raise RuntimeError(slot["error"])
+        if rescaled:
+            depth = PILImage.fromarray(np.asarray(slot["depth"], np.float32))
+            slot["depth"] = np.asarray(depth.resize((w, h), PILImage.BILINEAR))
+            # derived focal scales linearly with width (f = 0.5*w/tan(fov/2))
+            slot["focallength_px"] = slot["focallength_px"] * (w / self.size)
         return slot
 
     def _loop(self):
@@ -69,6 +94,11 @@ class _Batcher:
                 results = list(self.runner.depth_stream(images))
                 for (_, slot, done), res in zip(batch, results):
                     slot.update(res)
+                    done.set()
+                # a dropped frame would misalign the zip AND leave the
+                # tail clients waiting forever — fail them explicitly
+                for _, slot, done in batch[len(results):]:
+                    slot["error"] = "frame dropped by the inference stream"
                     done.set()
             except Exception as exc:  # noqa: BLE001
                 for _, slot, done in batch:
@@ -104,6 +134,13 @@ def make_handler(batcher: _Batcher):
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
+                if length <= 0:
+                    self._send(411, b'{"error": "Content-Length required '
+                                    b'(chunked bodies are not supported)"}')
+                    return
+                if length > 64 * 1024 * 1024:
+                    self._send(413, b'{"error": "body exceeds 64 MB"}')
+                    return
                 data = self.rfile.read(length)
                 from PIL import Image
 
@@ -116,7 +153,18 @@ def make_handler(batcher: _Batcher):
                     normed = ((depth - lo) / max(hi - lo, 1e-9) * 65535).astype(np.uint16)
                     buf = io.BytesIO()
                     Image.fromarray(normed, mode="I;16").save(buf, format="PNG")
-                    self._send(200, buf.getvalue(), "image/png")
+                    body = buf.getvalue()
+                    # metric scale travels in headers so the client can
+                    # map pixel values back to meters
+                    self.send_response(200)
+                    self.send_header("Content-Type", "image/png")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.send_header("X-Depth-Min", f"{lo:.6f}")
+                    self.send_header("X-Depth-Max", f"{hi:.6f}")
+                    self.send_header("X-Focallength-Px",
+                                     f"{result['focallength_px']:.3f}")
+                    self.end_headers()
+                    self.wfile.write(body)
                     return
                 payload = {
                     "depth_shape": list(depth.shape),
@@ -159,6 +207,9 @@ def create_server(host: str = "127.0.0.1", port: int = 8500, runner=None,
     runner = runner or DepthVideoRunner(
         precision="bf16", batch_size=max_batch, mesh=mesh,
         parallel=parallel if parallel in ("dp", "latency") else "dp")
+    # the runner may have rounded batch_size up to a dp multiple; the
+    # batcher must coalesce up to THAT size or every batch gets padded
+    max_batch = max(max_batch, runner.batch_size)
     if warmup_shape is not None:
         dummy = np.zeros((*warmup_shape, 3), np.uint8)
         list(runner.depth_stream([dummy] * max_batch))

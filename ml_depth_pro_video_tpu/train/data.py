@@ -66,6 +66,8 @@ class DepthDataset:
         stop = object()
 
         def producer():
+            import logging
+
             n_out = 0
             try:
                 for _ in range(epochs):
@@ -77,7 +79,21 @@ class DepthDataset:
                         n_out += 1
                         if n_out <= skip:
                             continue
-                        data = [self._load(j) for j in sel]
+                        data = []
+                        for j in sel:
+                            # one corrupt pair must not silently END the
+                            # whole stream (the finally-sentinel would
+                            # read as normal exhaustion to the consumer)
+                            try:
+                                data.append(self._load(j))
+                            except Exception as exc:  # noqa: BLE001
+                                logging.getLogger(__name__).warning(
+                                    "skipping unreadable pair %s: %s",
+                                    self.pairs[j][0], exc)
+                        if drop_remainder and len(data) < batch_size:
+                            continue
+                        if not data:
+                            continue
                         xs = np.stack([d[0] for d in data])
                         ds = np.stack([d[1] for d in data])
                         q.put((xs, ds))

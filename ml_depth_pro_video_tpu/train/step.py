@@ -31,10 +31,19 @@ class TrainState(NamedTuple):
 def silog_loss(pred_inv_depth: jnp.ndarray, target_depth: jnp.ndarray,
                eps: float = 1e-6, lam: float = 0.85) -> jnp.ndarray:
     """Scale-invariant log loss (Eigen et al.) on depth derived from the
-    predicted canonical inverse depth."""
+    predicted canonical inverse depth.
+
+    Invalid target pixels — holes stored as 0/negative or NaN, ubiquitous
+    in real depth maps — are masked out; without the mask a single hole
+    contributes log(eps)^2 ≈ 190 to the loss (or NaNs the gradients)."""
     pred_depth = 1.0 / jnp.clip(pred_inv_depth, eps, 1e4)
-    g = jnp.log(jnp.clip(pred_depth, eps)) - jnp.log(jnp.clip(target_depth, eps))
-    return jnp.mean(jnp.square(g)) - lam * jnp.square(jnp.mean(g))
+    valid = jnp.isfinite(target_depth) & (target_depth > 0)
+    target = jnp.where(valid, target_depth, 1.0)
+    g = jnp.where(valid, jnp.log(jnp.clip(pred_depth, eps)) - jnp.log(target), 0.0)
+    n = jnp.maximum(valid.sum(), 1)
+    mean_g2 = jnp.sum(jnp.square(g)) / n
+    mean_g = jnp.sum(g) / n
+    return mean_g2 - lam * jnp.square(mean_g)
 
 
 def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-2,
@@ -44,9 +53,13 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-2,
     cosine-decay schedule (``total_steps`` enables the schedule;
     without it the LR is constant)."""
     if total_steps is not None:
+        # clamp warmup to a fraction of the run: a short fine-tune with
+        # the default warmup_steps=100 would otherwise end mid-ramp at a
+        # small fraction of the requested LR
+        warmup_steps = min(max(warmup_steps, 1), max(total_steps // 10, 1))
         lr = optax.warmup_cosine_decay_schedule(
             init_value=0.0, peak_value=lr,
-            warmup_steps=max(warmup_steps, 1),
+            warmup_steps=warmup_steps,
             decay_steps=max(total_steps, warmup_steps + 1),
         )
     tx = optax.adamw(lr, weight_decay=weight_decay)

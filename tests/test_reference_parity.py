@@ -121,3 +121,19 @@ def test_real_tree_convert_npz_roundtrip(ref_pair, tmp_path):
     assert len(flat_a) == len(flat_b)
     for k, v in flat_a:
         np.testing.assert_array_equal(np.asarray(v), flat_b[jax.tree_util.keystr(k)])
+
+
+def test_convert_rejects_unconsumed_keys(ref_pair):
+    """Strict conversion (reference loads strict both ways,
+    `depth_pro.py:136-149`): an extra tensor in the checkpoint raises
+    instead of being silently dropped."""
+    import pytest
+    import torch
+
+    from ml_depth_pro_video_tpu.ckpt.convert import convert_depth_pro
+
+    model, _ = ref_pair
+    sd = dict(model.state_dict())
+    sd["encoder.some_future_module.weight"] = torch.zeros(3)
+    with pytest.raises(ValueError, match="not consumed"):
+        convert_depth_pro(sd, CFG)

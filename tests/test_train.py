@@ -106,3 +106,14 @@ def test_fit_smoke_and_resume(tmp_path):
                 checkpoint_dir=ckpt, save_every=10, holdout=1, dp=1)
     assert int(state.step) == 2
     assert latest_step(ckpt) == 2
+
+
+def test_silog_loss_masks_invalid_targets():
+    """Holes stored as 0 or NaN (ubiquitous in real depth maps) must not
+    poison the loss: masked pixels contribute nothing."""
+    inv = jnp.full((1, 8, 8), 0.5)
+    target = (1.0 / inv).at[0, 0, 0].set(0.0).at[0, 1, 1].set(jnp.nan)
+    loss = float(silog_loss(inv, target))
+    assert np.isfinite(loss) and loss < 1e-10  # valid pixels are perfect
+    all_bad = jnp.zeros((1, 4, 4))
+    assert np.isfinite(float(silog_loss(inv[:, :4, :4], all_bad)))
