@@ -2,7 +2,11 @@
 
 The reference runs torch fp32 (or fp16 via ``precision=torch.half``,
 ``/root/reference/src/depth_pro/depth_pro.py:122-123``). On TPU the fast
-path is bfloat16 matmuls with fp32 accumulation on the MXU; the depth
+path is bfloat16 matmuls ACCUMULATING IN BF16 — the v5e runs
+fp32-accumulation matmuls at half the MXU rate (measured,
+scripts/tpu_conv_acc.out; this was the single biggest perf lever) and
+the measured bf16-mode deviation stays at ~0.04% median of scale; the
+depth
 head, FOV trigonometry and all resize matrices stay fp32 so the
 ``1/clamp(inverse_depth)`` output keeps <=1e-3 relative error.
 """

@@ -249,9 +249,9 @@ def decoder_apply(params: dict, encodings: list[jnp.ndarray]) -> tuple[jnp.ndarr
 
 def head_apply(params: dict, x: jnp.ndarray,
                precision: Precision = Precision.fp32()) -> jnp.ndarray:
-    """Depth head (`depth_pro.py:182-204`). Convs run in the compute
-    dtype with fp32 accumulation; the final 1x1 conv producing the
-    canonical inverse depth is always fp32.
+    """Depth head (`depth_pro.py:182-204`). Convs run (and accumulate)
+    in the compute dtype; the final 1x1 conv producing the canonical
+    inverse depth is always fp32.
 
     The deconv and the following 3x3 conv are both linear, so they are
     folded into ONE 3x3 conv at HALF resolution over subpixel-packed
@@ -554,6 +554,14 @@ class DepthPro:
         """
         x = jnp.asarray(x)
         chw = x.shape[-1] != 3 and x.shape[-3] == 3
+        if not chw and x.shape[-3] == 3 and x.shape[-2] != 3:
+            # (3, H, 3)-shaped input is genuinely ambiguous between CHW
+            # with W=3 and HWC with H=3; we assume HWC — say so
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "ambiguous input shape %s: assuming HWC (channels-last); "
+                "pass channels-last explicitly to silence", x.shape)
         if chw:
             x = jnp.moveaxis(x, -3, -1)
         squeeze = x.ndim == 3
@@ -579,7 +587,9 @@ class DepthPro:
 
 def _make_transform(precision: Precision):
     """Equivalent of the reference transform stack (`depth_pro.py:125-132`):
-    uint8 HWC -> fp32 [0,1] -> Normalize(0.5, 0.5) -> compute dtype."""
+    uint8 HWC -> fp32 [0,1] -> Normalize(0.5, 0.5) -> compute dtype
+    (the reference's ConvertImageDtype stage; also halves the transfer
+    in bf16 mode)."""
 
     def transform(img: np.ndarray) -> jnp.ndarray:
         arr = np.asarray(img)
@@ -587,7 +597,7 @@ def _make_transform(precision: Precision):
         if arr.dtype == np.uint8:
             x = x / 255.0
         x = (x - 0.5) / 0.5
-        return jnp.asarray(x)
+        return jnp.asarray(x, dtype=precision.compute_dtype)
 
     return transform
 

@@ -203,7 +203,8 @@ def attention_packed(qkv: jnp.ndarray, num_heads: int, impl: str | None = None) 
     # column slice of the packed 3D tensor) to be a lane multiple —
     # small-D models (tiny test config on a real TPU) fall back to XLA.
     d = qkv.shape[-1] // 3
-    if impl == "pallas" and qkv.dtype == jnp.bfloat16 and d % 128 == 0:
+    if (impl == "pallas" and pltpu is not None and qkv.dtype == jnp.bfloat16
+            and d % 128 == 0):
         return _flash_packed_diff(qkv, num_heads)
     return xla_attention_packed(qkv, num_heads)
 
@@ -216,15 +217,39 @@ def _default_impl() -> str:
     return "pallas" if platform == "tpu" and pltpu is not None else "xla"
 
 
+# differentiable wrapper for the (B, H, S, D) kernel — same pattern as
+# _flash_packed_diff: fused forward, XLA-math backward
+@jax.custom_vjp
+def _flash_diff(q, k, v):
+    return _flash_attention(q, k, v)
+
+
+def _flash_diff_fwd(q, k, v):
+    return _flash_attention(q, k, v), (q, k, v)
+
+
+def _flash_diff_bwd(res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(_xla_attention, q, k, v)
+    return vjp(g)
+
+
+_flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
+
+
 def multi_head_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     impl: str | None = None,
 ) -> jnp.ndarray:
-    """Self-attention over (B, H, S, D) tensors with 1/sqrt(D) scaling."""
+    """Self-attention over (B, H, S, D) tensors with 1/sqrt(D) scaling.
+
+    Same guard set as ``attention_packed``: the Pallas path needs the
+    TPU backend, bf16 inputs, and a differentiable wrapper (the raw
+    kernel has no VJP)."""
     impl = impl or _default_impl()
-    if impl == "pallas" and q.dtype == jnp.bfloat16:
-        return _flash_attention(q, k, v)
+    if impl == "pallas" and pltpu is not None and q.dtype == jnp.bfloat16:
+        return _flash_diff(q, k, v)
     return _xla_attention(q, k, v)
 

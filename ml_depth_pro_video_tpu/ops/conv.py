@@ -82,7 +82,9 @@ def linear(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None) -> jnp.
     """Dense layer, w: (Cin, Cout). Accumulates in the compute dtype,
     matching the ViT matmuls: fp32-accumulate matmuls run at half the
     v5e MXU rate (scripts/tpu_conv_acc.out), and parity mode computes
-    in fp32 end-to-end anyway. Convolutions keep fp32 accumulation
+    in fp32 end-to-end anyway. Convolutions also accumulate in the
+    compute dtype (rate-neutral there, but a float32-preferred conv has
+    a broken bf16 VJP)
     (free on the conv lowering)."""
     y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=x.dtype)
     if b is not None:

@@ -22,8 +22,8 @@ def make_mesh(dp: int | None = None, tp: int = 1, devices=None) -> Mesh:
     n = len(devices)
     if dp is None:
         dp = n // tp
-    if dp * tp > n:
-        raise ValueError(f"mesh {dp}x{tp} needs {dp*tp} devices, have {n}")
+    if dp * tp > n or dp == 0 or tp == 0:
+        raise ValueError(f"mesh {dp}x{tp} needs {max(dp, 1) * max(tp, 1)} devices, have {n}")
     grid = np.asarray(devices[: dp * tp]).reshape(dp, tp)
     return Mesh(grid, ("dp", "tp"))
 

@@ -68,18 +68,21 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-2,
     return tx
 
 
-def loss_fn(params, images, target_depth, cfg: DepthProConfig, precision: Precision):
+def loss_fn(params, images, target_depth, cfg: DepthProConfig, precision: Precision,
+            attn_impl: str | None = None):
     # rematerialize ViT blocks in the backward pass (1536px activations
     # don't fit otherwise); FOV head isn't part of the depth loss
     canonical, _ = forward(params, images, cfg, precision,
-                           compute_fov=False, remat=True)
+                           attn_impl=attn_impl, compute_fov=False, remat=True)
     return silog_loss(canonical[..., 0].astype(jnp.float32), target_depth)
 
 
 def train_step(state: TrainState, images, target_depth, cfg: DepthProConfig,
-               optimizer, precision: Precision = Precision.bf16()):
+               optimizer, precision: Precision = Precision.bf16(),
+               attn_impl: str | None = None):
     """One SGD step. Donate ``state`` when jitting for in-place updates."""
-    loss, grads = jax.value_and_grad(loss_fn)(state.params, images, target_depth, cfg, precision)
+    loss, grads = jax.value_and_grad(loss_fn)(state.params, images, target_depth,
+                                              cfg, precision, attn_impl)
     updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     return TrainState(params, opt_state, state.step + 1), loss
@@ -102,8 +105,14 @@ def make_sharded_train_step(params, cfg: DepthProConfig, mesh, lr: float = 1e-4,
 
     data_sh = batch_sharding(mesh)
 
+    # a Mosaic pallas_call is not GSPMD-auto-partitionable (the same
+    # reason parallel/spmd.py wraps inference in shard_map) — force the
+    # XLA attention path whenever this plain-jit step actually spans
+    # multiple devices
+    attn_impl = "xla" if mesh.devices.size > 1 else None
     step = jax.jit(
-        functools.partial(train_step, cfg=cfg, optimizer=optimizer, precision=precision),
+        functools.partial(train_step, cfg=cfg, optimizer=optimizer,
+                          precision=precision, attn_impl=attn_impl),
         in_shardings=(None, data_sh, data_sh),
         donate_argnums=(0,),
     )

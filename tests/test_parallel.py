@@ -26,15 +26,17 @@ def test_mesh_and_tp_shardings():
     assert dict(mesh.shape) == {"dp": 4, "tp": 2}
     params = init_depth_pro(jax.random.PRNGKey(0), DRY_CFG)
     sh = param_shardings(params, mesh)
-    qkv = sh["encoder"]["patch_vit"]["blocks"]["qkv_w"]
-    assert qkv.spec == P(None, None, "tp")
+    # MLP weights are TP-sharded; the PACKED qkv stays replicated by
+    # design (a column shard cuts across the q|k|v sections and GSPMD
+    # would all-gather it anyway — see parallel/sharding.py)
+    assert sh["encoder"]["patch_vit"]["blocks"]["fc1_w"].spec == P(None, None, "tp")
+    assert sh["encoder"]["patch_vit"]["blocks"]["fc2_w"].spec == P(None, "tp", None)
+    assert sh["encoder"]["patch_vit"]["blocks"]["qkv_w"].spec == P()
     assert sh["decoder"]["convs"][1].spec == P()
     sharded = shard_params(params, mesh)
-    # qkv columns split across tp=2
-    shard_shape = sharded["encoder"]["patch_vit"]["blocks"]["qkv_w"].sharding.shard_shape(
-        sharded["encoder"]["patch_vit"]["blocks"]["qkv_w"].shape
-    )
-    assert shard_shape[-1] == 3 * DRY_CFG.vit.embed_dim // 2
+    # fc1 columns split across tp=2
+    fc1 = sharded["encoder"]["patch_vit"]["blocks"]["fc1_w"]
+    assert fc1.sharding.shard_shape(fc1.shape)[-1] == fc1.shape[-1] // 2
 
 
 def test_sharded_train_step_runs_and_loss_decreases():
@@ -135,3 +137,40 @@ def test_latency_parallel_infer_matches_single_device():
     ref2 = infer_fn(params, x, jnp.array([321.0]), cfg, Precision.fp32())
     np.testing.assert_allclose(np.asarray(out2["depth"]), np.asarray(ref2["depth"]),
                                rtol=2e-3, atol=1e-5)
+
+
+def test_make_mesh_rejects_oversubscription():
+    """tp > n_devices used to silently build a 0-device mesh."""
+    import pytest
+
+    from ml_depth_pro_video_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError):
+        make_mesh(tp=16)  # 8 fake devices
+
+
+def test_tp_rules_cover_quantized_mlp_weights():
+    """int8-quantized fc1 ({'q','s'} leaves) shards like its parent; the
+    packed qkv stays replicated by design (the column shard would cut
+    across the q|k|v sections and be all-gathered anyway)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from ml_depth_pro_video_tpu.parallel.mesh import make_mesh
+    from ml_depth_pro_video_tpu.parallel.sharding import param_shardings
+
+    mesh = make_mesh(tp=2)
+    params = {"blocks": {
+        "fc1_w": jax.numpy.zeros((2, 8, 16)),
+        "fc2_w": jax.numpy.zeros((2, 16, 8)),
+        "qkv_w": jax.numpy.zeros((2, 8, 24)),
+        "fc1_w_quant": None,  # placeholder, replaced below
+    }}
+    params["blocks"]["fc1_w"] = {"q": jax.numpy.zeros((2, 8, 16), "int8"),
+                                 "s": jax.numpy.zeros((2, 1, 16))}
+    del params["blocks"]["fc1_w_quant"]
+    sh = param_shardings(params, mesh)
+    assert sh["blocks"]["fc1_w"]["q"].spec == P(None, None, "tp")
+    assert sh["blocks"]["fc1_w"]["s"].spec == P(None, None, "tp")
+    assert sh["blocks"]["fc2_w"].spec == P(None, "tp", None)
+    assert sh["blocks"]["qkv_w"].spec == P()  # replicated by design
