@@ -62,6 +62,18 @@ def convert_vit(sd: dict, prefix: str, cfg: ViTConfig) -> dict:
         return _np(sd[prefix + key])
 
     d = cfg.embed_dim
+    nh = cfg.num_heads
+    hd = d // nh
+
+    def pack_per_head(w_t):
+        """torch [q|k|v] packing -> HEAD-CONTIGUOUS packing
+        [h0:(q,k,v) | h1:(q,k,v) | ...]: each tensor-parallel shard then
+        owns whole heads, so the (b,s,nh,3,hd) unpack inherits a column
+        sharding instead of forcing a qkv all-gather (parallel/sharding)."""
+        lead = w_t.shape[:-1]
+        w = w_t.reshape(*lead, 3, nh, hd)
+        return np.moveaxis(w, -3, -2).reshape(*lead, 3 * d)
+
     blocks = {k: [] for k in (
         "ln1_g", "ln1_b", "qkv_w", "qkv_b", "proj_w", "proj_b", "ls1",
         "ln2_g", "ln2_b", "fc1_w", "fc1_b", "fc2_w", "fc2_b", "ls2",
@@ -70,8 +82,8 @@ def convert_vit(sd: dict, prefix: str, cfg: ViTConfig) -> dict:
         p = f"blocks.{i}."
         blocks["ln1_g"].append(g(p + "norm1.weight"))
         blocks["ln1_b"].append(g(p + "norm1.bias"))
-        blocks["qkv_w"].append(g(p + "attn.qkv.weight").T)
-        blocks["qkv_b"].append(g(p + "attn.qkv.bias"))
+        blocks["qkv_w"].append(pack_per_head(g(p + "attn.qkv.weight").T))
+        blocks["qkv_b"].append(pack_per_head(g(p + "attn.qkv.bias")))
         blocks["proj_w"].append(g(p + "attn.proj.weight").T)
         blocks["proj_b"].append(g(p + "attn.proj.bias"))
         blocks["ls1"].append(g(p + "ls1.gamma"))

@@ -95,25 +95,29 @@ def _flash_attention(q, k, v, heads_per_program: int = 2):
     return out.reshape(b, h, s_pad, d)[:, :, :s, :]
 
 
-def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int, scale: float,
+def _packed_kernel(x_ref, o_ref, *, seq_len: int, scale: float,
                    num_heads: int, q_rows: int):
-    """One program = one batch item, all heads. q/k/v refs are the
-    (s_pad, D) column slices of the packed qkv tensor; heads are static
-    lane slices, so per-head matmuls stay MXU-shaped and the whole score
-    row lives in VMEM. Queries are trimmed to ``q_rows`` (next sublane
-    multiple of seq_len instead of the 128-lane multiple keys need) —
-    7.5% less score/PV work at S=577."""
-    hd = q_ref.shape[-1] // num_heads
+    """One program = one batch item, all heads. ``x_ref`` is the whole
+    (s_pad, 3D) HEAD-CONTIGUOUS packed qkv block — head h owns columns
+    [h*3hd, (h+1)*3hd) as (q, k, v) — so per-head q/k/v are static lane
+    slices, per-head matmuls stay MXU-shaped, and the whole score row
+    lives in VMEM. (The head-contiguous packing is what lets tensor
+    parallelism shard the qkv projection by whole heads.) Queries are
+    trimmed to ``q_rows`` (next sublane multiple of seq_len instead of
+    the 128-lane multiple keys need) — 7.5% less score/PV work at
+    S=577. Output keeps the standard head-major [h0|h1|...] layout the
+    proj matmul expects."""
+    hd = (x_ref.shape[-1] // 3) // num_heads
     # additive pad bias instead of a (q_rows, S_pad) where-mask: one
     # broadcast row + fused multiply-add beats the select on the VPU
     # (measured 2.05 -> 1.98 ms/block-batch, scripts/tpu_attn_breakdown)
-    kidx = jax.lax.broadcasted_iota(jnp.int32, (1, q_ref.shape[1]), 1)
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (1, x_ref.shape[1]), 1)
     bias = jnp.where(kidx < seq_len, 0.0, -jnp.inf)
     for h in range(num_heads):
-        sl = slice(h * hd, (h + 1) * hd)
-        q = q_ref[0, :q_rows, sl]
-        k = k_ref[0, :, sl]
-        v = v_ref[0, :, sl]
+        base = h * 3 * hd
+        q = x_ref[0, :q_rows, base:base + hd]
+        k = x_ref[0, :, base + hd:base + 2 * hd]
+        v = x_ref[0, :, base + 2 * hd:base + 3 * hd]
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -123,7 +127,7 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int, scale: float,
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
         out = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-        o_ref[0, :q_rows, sl] = out.astype(o_ref.dtype)
+        o_ref[0, :q_rows, h * hd:(h + 1) * hd] = out.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
@@ -131,11 +135,11 @@ def flash_attention_packed(qkv: jnp.ndarray, num_heads: int,
                            interpret: bool = False) -> jnp.ndarray:
     """Fused attention straight from the packed qkv projection.
 
-    qkv: (B, S, 3*D) as produced by the qkv matmul. q/k/v are addressed
-    as D-wide column blocks of the packed tensor via BlockSpec index
-    maps — no (B,S,3,H,d) -> (3,B,H,S,d) transpose is ever materialized.
-    Grid is (B,): few large programs (all heads inside) amortize
-    per-program overhead. Returns (B, S, D).
+    qkv: (B, S, 3*D) as produced by the qkv matmul, HEAD-CONTIGUOUS:
+    columns ordered [h0:(q,k,v) | h1:(q,k,v) | ...] (ckpt conversion
+    packs the torch [q|k|v] layout this way). No transpose is ever
+    materialized. Grid is (B,): few large programs (all heads inside)
+    amortize per-program overhead. Returns (B, S, D) head-major.
     """
     b, s, d3 = qkv.shape
     d = d3 // 3
@@ -145,30 +149,32 @@ def flash_attention_packed(qkv: jnp.ndarray, num_heads: int,
     q_rows = _round_up(s, 8)
     x = jnp.pad(qkv, ((0, 0), (0, s_pad - s), (0, 0)))
 
-    def spec(which):
-        return pl.BlockSpec((1, s_pad, d), lambda i: (i, 0, which),
-                            memory_space=pltpu.VMEM)
-
     out = pl.pallas_call(
         functools.partial(_packed_kernel, seq_len=s, scale=scale,
                           num_heads=num_heads, q_rows=q_rows),
         grid=(b,),
-        in_specs=[spec(0), spec(1), spec(2)],
+        in_specs=[pl.BlockSpec((1, s_pad, d3), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, s_pad, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, s_pad, d), qkv.dtype),
         interpret=interpret,
-    )(x, x, x)
+    )(x)
     return out[:, :s]
 
 
 def xla_attention_packed(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
-    """Reference path for the packed layout (used on CPU/tests)."""
+    """Reference path for the HEAD-CONTIGUOUS packed layout (CPU/tests,
+    fp32 parity, and GSPMD-partitioned programs — the (b, s, nh, 3, hd)
+    reshape inherits a whole-head column sharding of the qkv matmul)."""
     b, s, d3 = qkv.shape
     d = d3 // 3
     hd = d // num_heads
-    x = qkv.reshape(b, s, 3, num_heads, hd).transpose(2, 0, 3, 1, 4)
-    out = _xla_attention(x[0], x[1], x[2])
+    x = qkv.reshape(b, s, num_heads, 3, hd)
+    q = x[:, :, :, 0].transpose(0, 2, 1, 3)
+    k = x[:, :, :, 1].transpose(0, 2, 1, 3)
+    v = x[:, :, :, 2].transpose(0, 2, 1, 3)
+    out = _xla_attention(q, k, v)
     return out.transpose(0, 2, 1, 3).reshape(b, s, d)
 
 

@@ -1,21 +1,20 @@
 """Parameter sharding rules (tensor parallelism for the ViT trunk).
 
-Megatron-style TP expressed as GSPMD annotations — for the MLP: fc1
-columns shard over ``tp``, fc2 rows shard (contracting dim), so XLA
-inserts exactly one all-reduce per MLP. The MLP is ~2/3 of each block's
-matmul FLOPs.
+Megatron-style TP expressed as GSPMD annotations: qkv / fc1 columns
+shard over ``tp``, proj / fc2 rows shard (contracting dim), so XLA
+inserts exactly one all-reduce per attention and one per MLP.
 
-The ATTENTION weights stay replicated on purpose. The qkv projection is
-stored PACKED as (L, d, 3d) with columns ordered [q | k | v]; a plain
-column shard P(None, None, 'tp') cuts across the q/k/v sections and the
-head boundaries, so the (b, s, 3, nh, hd) unpack cannot inherit the
-sharding — GSPMD stays correct but inserts an all-gather of qkv and
-runs attention replicated anyway (verified on a fake 8-device mesh: 5
-all-gathers, 0 all-reduces). Until the packing is made head-contiguous,
-honestly replicating qkv/proj costs nothing in compute and avoids the
-per-block qkv all-gather. Everything not matched (convs, norms,
-embeddings, decoder/head/fov) is replicated — the conv trunk is <10% of
-FLOPs and DP-parallel over frames anyway.
+This works because the qkv projection is packed HEAD-CONTIGUOUSLY —
+columns ordered [h0:(q,k,v) | h1:(q,k,v) | ...] (ckpt/convert.py) — so
+a column shard hands each tp chip WHOLE heads and the attention-side
+(b, s, nh, 3, hd) unpack inherits the sharding. (With the torch
+[q|k|v] section packing, the same annotation cut across sections and
+GSPMD all-gathered qkv and replicated attention: 5 all-gathers, 0
+all-reduces measured.) Requires num_heads % tp == 0 (ViT-L: 16 heads).
+ViT block params are stacked (L, ...) so the rules apply to the
+trailing dims. Everything not matched (convs, norms, embeddings,
+decoder/head/fov) is replicated — the conv trunk is <10% of FLOPs and
+DP-parallel over frames anyway.
 """
 
 from __future__ import annotations
@@ -25,15 +24,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 # stacked ViT block param name -> PartitionSpec (leading axis = depth L)
 _TP_RULES = {
+    "qkv_w": P(None, None, "tp"),
+    "qkv_b": P(None, "tp"),
     "fc1_w": P(None, None, "tp"),
     "fc1_b": P(None, "tp"),
+    "proj_w": P(None, "tp", None),
     "fc2_w": P(None, "tp", None),
 }
-# quantized weights {'q': int8 (L, din, dout), 's': (L, 1, dout)} shard
-# like their parent when the parent has a column rule (last dim); row
-# rules don't apply cleanly to the per-output-channel scale, and the
-# only row-ruled weight (fc2_w) must then stay replicated when quantized
+# int8-quantized weights {'q': (L, din, dout) int8, 's': (L, 1, dout)}:
+# column-ruled weights shard with their per-output-channel scale; the
+# row-ruled ones (proj/fc2) stay replicated when quantized (the scale
+# is per OUTPUT channel and cannot follow a contracting-dim shard)
 _TP_QUANT_RULES = {
+    "qkv_w": {"q": P(None, None, "tp"), "s": P(None, None, "tp")},
     "fc1_w": {"q": P(None, None, "tp"), "s": P(None, None, "tp")},
 }
 

@@ -26,12 +26,11 @@ def test_mesh_and_tp_shardings():
     assert dict(mesh.shape) == {"dp": 4, "tp": 2}
     params = init_depth_pro(jax.random.PRNGKey(0), DRY_CFG)
     sh = param_shardings(params, mesh)
-    # MLP weights are TP-sharded; the PACKED qkv stays replicated by
-    # design (a column shard cuts across the q|k|v sections and GSPMD
-    # would all-gather it anyway — see parallel/sharding.py)
+    # attention + MLP weights are TP-sharded (the HEAD-CONTIGUOUS qkv
+    # packing makes the column shard land on whole heads)
     assert sh["encoder"]["patch_vit"]["blocks"]["fc1_w"].spec == P(None, None, "tp")
     assert sh["encoder"]["patch_vit"]["blocks"]["fc2_w"].spec == P(None, "tp", None)
-    assert sh["encoder"]["patch_vit"]["blocks"]["qkv_w"].spec == P()
+    assert sh["encoder"]["patch_vit"]["blocks"]["qkv_w"].spec == P(None, None, "tp")
     assert sh["decoder"]["convs"][1].spec == P()
     sharded = shard_params(params, mesh)
     # fc1 columns split across tp=2
@@ -150,9 +149,8 @@ def test_make_mesh_rejects_oversubscription():
 
 
 def test_tp_rules_cover_quantized_mlp_weights():
-    """int8-quantized fc1 ({'q','s'} leaves) shards like its parent; the
-    packed qkv stays replicated by design (the column shard would cut
-    across the q|k|v sections and be all-gathered anyway)."""
+    """int8-quantized column-ruled weights ({'q','s'} leaves) shard like
+    their parents."""
     import jax
     from jax.sharding import PartitionSpec as P
 
@@ -173,4 +171,33 @@ def test_tp_rules_cover_quantized_mlp_weights():
     assert sh["blocks"]["fc1_w"]["q"].spec == P(None, None, "tp")
     assert sh["blocks"]["fc1_w"]["s"].spec == P(None, None, "tp")
     assert sh["blocks"]["fc2_w"].spec == P(None, "tp", None)
-    assert sh["blocks"]["qkv_w"].spec == P()  # replicated by design
+    assert sh["blocks"]["qkv_w"].spec == P(None, None, "tp")
+
+
+def test_tp_attention_shards_without_allgather():
+    """The HEAD-CONTIGUOUS qkv packing makes the column shard land on
+    whole heads, so GSPMD runs attention tensor-parallel: the compiled
+    program contains NO all-gather of qkv (the old [q|k|v] packing
+    forced one and replicated attention) and at least one all-reduce
+    (the row-sharded proj contraction)."""
+    from ml_depth_pro_video_tpu.ops.attention import xla_attention_packed
+
+    mesh = make_mesh(dp=2, tp=4)  # heads must divide tp: nh=4, tp=4
+    d, nh = 64, 4
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 16, d)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((d, 3 * d)).astype(np.float32) * 0.05)
+    pw = jnp.asarray(rng.standard_normal((d, d)).astype(np.float32) * 0.05)
+
+    def f(x, w, pw):
+        return xla_attention_packed(x @ w, nh) @ pw
+
+    ref = f(x, w, pw)
+    ws = jax.device_put(w, NamedSharding(mesh, P(None, "tp")))
+    pws = jax.device_put(pw, NamedSharding(mesh, P("tp", None)))
+    xs = jax.device_put(x, NamedSharding(mesh, P()))
+    hlo = jax.jit(f).lower(xs, ws, pws).compile().as_text()
+    assert hlo.count("all-gather") == 0
+    assert hlo.count("all-reduce") >= 1
+    got = jax.jit(f)(xs, ws, pws)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
