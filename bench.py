@@ -8,7 +8,6 @@ depth map on a "standard GPU" (`/root/reference/README.md:9`), i.e.
 
 import json
 import os
-import sys
 import time
 
 import jax

@@ -21,7 +21,13 @@ class PointCloud:
     def __post_init__(self):
         self.points = np.asarray(self.points, dtype=np.float64).reshape(-1, 3)
         if self.colors is not None:
+            raw_shape = np.shape(self.colors)
             self.colors = np.asarray(self.colors, dtype=np.float64).reshape(-1, 3)
+            if len(self.colors) != len(self.points):
+                raise ValueError(
+                    f"colors shape {raw_shape} does not provide one RGB "
+                    f"triplet per point ({len(self.points)} points)"
+                )
 
     def __len__(self) -> int:
         return len(self.points)
@@ -71,39 +77,82 @@ def write_ply(path: str, cloud: PointCloud, binary: bool = True) -> None:
                 f.write((row + "\n").encode())
 
 
+_PLY_TYPES = {
+    "char": "i1", "int8": "i1", "uchar": "u1", "uint8": "u1",
+    "short": "i2", "int16": "i2", "ushort": "u2", "uint16": "u2",
+    "int": "i4", "int32": "i4", "uint": "u4", "uint32": "u4",
+    "float": "f4", "float32": "f4", "double": "f8", "float64": "f8",
+}
+
+
 def read_ply(path: str) -> PointCloud:
-    """Read PLY files written by :func:`write_ply` (and common variants
-    with float xyz + uchar rgb vertex properties)."""
+    """Read the vertex element of a PLY file: written by
+    :func:`write_ply` or common tool output (Open3D etc.) — any scalar
+    property types, ascii or binary either-endian, trailing non-vertex
+    elements (e.g. a mesh's face list) ignored. The vertex element must
+    come first in a binary file (it does in practice — PLY convention)."""
     with open(path, "rb") as f:
         header = []
         while True:
-            line = f.readline().decode("ascii").strip()
+            line = f.readline().decode("ascii", errors="replace").strip()
             header.append(line)
             if line == "end_header":
                 break
         fmt = next(l.split()[1] for l in header if l.startswith("format"))
-        n = int(next(l.split()[2] for l in header if l.startswith("element vertex")))
-        props = []
+        # collect only the VERTEX element's scalar properties; elements
+        # after it (faces etc.) are ignored, elements before it are not
+        # supported for binary reads (no fixed offset without parsing them)
+        n = None
+        props: list[tuple[str, str]] = []
+        current = None
+        vertex_first = True
         for l in header:
-            if l.startswith("property"):
-                _, typ, name = l.split()
-                props.append((typ, name))
-        np_types = {
-            "float": np.float32, "float32": np.float32, "double": np.float64,
-            "uchar": np.uint8, "uint8": np.uint8, "int": np.int32, "uint": np.uint32,
-        }
+            parts = l.split()
+            if not parts:
+                continue
+            if parts[0] == "element":
+                if parts[1] == "vertex":
+                    current = "vertex"
+                    n = int(parts[2])
+                else:
+                    if n is None:
+                        vertex_first = False
+                    current = parts[1]
+            elif parts[0] == "property" and current == "vertex":
+                if parts[1] == "list":
+                    raise ValueError(
+                        f"{path}: list-typed vertex properties are not supported")
+                props.append((parts[1], parts[2]))
+        if n is None:
+            raise ValueError(f"{path}: no vertex element in PLY header")
+
+        uchar_colors = any(
+            name in ("red", "green", "blue") and _PLY_TYPES.get(typ) == "u1"
+            for typ, name in props
+        )
         if fmt == "ascii":
-            data = np.loadtxt(f, max_rows=n, ndmin=2)
+            data = np.loadtxt(f, max_rows=n, ndmin=2) if n else np.zeros((0, len(props)))
             cols = {name: data[:, i] for i, (_, name) in enumerate(props)}
         else:
-            dtype = np.dtype([(name, np_types[typ]) for typ, name in props])
+            if not vertex_first:
+                raise ValueError(
+                    f"{path}: binary PLY with elements before 'vertex' is not supported")
+            endian = ">" if fmt == "binary_big_endian" else "<"
+            try:
+                dtype = np.dtype([(name, endian + _PLY_TYPES[typ]) for typ, name in props])
+            except KeyError as exc:
+                raise ValueError(f"{path}: unsupported PLY property type {exc}") from None
             rec = np.frombuffer(f.read(n * dtype.itemsize), dtype=dtype, count=n)
             cols = {name: rec[name] for _, name in props}
     points = np.column_stack([cols["x"], cols["y"], cols["z"]]).astype(np.float64)
     colors = None
     if "red" in cols:
         colors = np.column_stack([cols["red"], cols["green"], cols["blue"]]).astype(np.float64)
-        if colors.max() > 1.0:
+        # integer-typed colors are ALWAYS byte-scaled — a values-based
+        # guess would read a near-black uchar cloud as full-bright
+        if uchar_colors:
+            colors = colors / 255.0
+        elif len(colors) and colors.max() > 1.0:
             colors = colors / 255.0
     return PointCloud(points, colors)
 

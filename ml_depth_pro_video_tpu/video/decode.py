@@ -26,10 +26,12 @@ def video_frames(path: str, start: int = 0, end: int | None = None,
     idx = 0
     try:
         while True:
+            if end is not None and idx > end:
+                break  # don't decode the rest of the video for nothing
             ok, frame = cap.read()
             if not ok:
                 break
-            if idx >= start and (end is None or idx <= end) and (idx - start) % stride == 0:
+            if idx >= start and (idx - start) % stride == 0:
                 yield f"{stem}_{idx:06d}", frame[..., ::-1].copy()  # BGR -> RGB
             idx += 1
     finally:
@@ -53,7 +55,9 @@ def video_info(path: str) -> dict:
         cap.release()
 
 
-def extract_frames(path: str, output_dir: str, pattern: str = "output_{:04d}.png",
+# 6 digits keep lexicographic == numeric order past 10k frames (the
+# pipeline sorts frame files lexicographically)
+def extract_frames(path: str, output_dir: str, pattern: str = "output_{:06d}.png",
                    start: int = 0, end: int | None = None, stride: int = 1) -> list[str]:
     """Decode a video to a frame directory (for the directory-based
     pipeline / resume compatibility)."""

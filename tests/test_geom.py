@@ -364,3 +364,39 @@ def test_clean_shadows_duplicate_points_keep_cell():
     dup[1] = dup[0]  # duplicate point inside the column's cell
     kept = clean_shadows(PointCloud(dup))
     assert len(kept) == len(dup)  # NaN-median verdict: cell kept
+
+
+def test_ply_reader_hardening(tmp_path):
+    """read_ply: empty colored clouds, near-black uchar colors (always
+    byte-scaled, not value-guessed), mesh-style headers with face
+    elements/property lists, and big-endian binaries."""
+    from ml_depth_pro_video_tpu.geom.pointcloud import PointCloud, read_ply, write_ply
+
+    p = str(tmp_path / "t.ply")
+    for binary in (True, False):
+        write_ply(p, PointCloud(np.zeros((0, 3)), np.zeros((0, 3))), binary=binary)
+        assert len(read_ply(p)) == 0
+
+    write_ply(p, PointCloud(np.ones((3, 3)), np.full((3, 3), 1 / 255.0)))
+    np.testing.assert_allclose(read_ply(p).colors, 1 / 255.0)
+
+    with open(p, "wb") as f:
+        f.write(b"ply\nformat binary_little_endian 1.0\nelement vertex 2\n"
+                b"property float x\nproperty float y\nproperty float z\n"
+                b"element face 1\nproperty list uchar int vertex_indices\n"
+                b"end_header\n")
+        f.write(np.arange(6, dtype=np.float32).tobytes())
+        f.write(b"\x03" + np.zeros(3, np.int32).tobytes())
+    cloud = read_ply(p)
+    assert cloud.points.shape == (2, 3) and cloud.points[1, 0] == 3.0
+
+    with open(p, "wb") as f:
+        f.write(b"ply\nformat binary_big_endian 1.0\nelement vertex 1\n"
+                b"property float x\nproperty float y\nproperty float z\nend_header\n")
+        f.write(np.array([1.0, 2.0, 3.0], ">f4").tobytes())
+    np.testing.assert_allclose(read_ply(p).points[0], [1.0, 2.0, 3.0])
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        PointCloud(np.zeros((4, 3)), np.zeros((4, 4)))  # RGBA misalignment
