@@ -20,16 +20,21 @@ def main(argv=None) -> None:
     ap.add_argument("--width", type=int, default=1280)
     ap.add_argument("--height", type=int, default=720)
     ap.add_argument("--point_size", type=int, default=2)
-    ap.add_argument("--height_threshold", type=float, default=None)
+    ap.add_argument("--height_threshold", type=float, default=None,
+                    help="drop points below this height (any view)")
     ap.add_argument("--fit_shapes", action="store_true")
+    ap.add_argument("--dpi", type=int, default=150, help="floorplan view only")
     args = ap.parse_args(argv)
 
     cloud = read_ply(args.pointcloud)
     if args.view == "floorplan":
         floorplan_visualization(cloud, args.output,
                                 height_threshold=args.height_threshold,
+                                point_size=args.point_size, dpi=args.dpi,
                                 fit_shapes=args.fit_shapes)
     else:
+        if args.height_threshold is not None:
+            cloud = cloud.select(cloud.points[:, 1] >= args.height_threshold)
         save_render(args.output, cloud, view=args.view,
                     width=args.width, height=args.height,
                     point_size=args.point_size)
