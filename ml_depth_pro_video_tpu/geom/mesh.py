@@ -28,10 +28,13 @@ mesh cleanup) without Open3D:
 from __future__ import annotations
 
 import dataclasses
+import logging
 
 import numpy as np
 
 from .pointcloud import PointCloud, write_obj
+
+logger = logging.getLogger(__name__)
 
 try:
     from ..native import neighbors as _native
@@ -706,8 +709,12 @@ def ball_pivoting(cloud: PointCloud, radii: list | None = None) -> TriangleMesh:
                 pts.copy(), faces,
                 None if cloud.colors is None else cloud.colors.copy(),
             ).cleanup()
-    except Exception:  # pragma: no cover - fall through to the stand-in
-        pass
+        reason = "native geometry library unavailable"
+    except Exception as exc:  # pragma: no cover - fall through to the stand-in
+        reason = f"native BPA failed: {exc!r}"
+    logger.warning(
+        "ball_pivoting: %s; falling back to the tangent-fan approximation "
+        "(structurally different mesh)", reason)
     return tangent_fan_triangulation(cloud, radius=float(radii[1]) if radii else None)
 
 
