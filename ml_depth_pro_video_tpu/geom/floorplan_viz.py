@@ -34,6 +34,107 @@ _CIRC_COLORS = ["#3498DB", "#2ECC71", "#F1C40F", "#E74C3C",
                 "#9B59B6", "#1ABC9C", "#E67E22", "#95A5A6"]
 
 
+def _hex_to_rgb(h: str) -> np.ndarray:
+    return np.array([int(h[i:i + 2], 16) / 255.0 for i in (1, 3, 5)], np.float32)
+
+
+# 5x7 bitmap glyphs for the numpy rasterizer's shape labels / scale bar
+_GLYPHS = {
+    "0": ("01110", "10001", "10011", "10101", "11001", "10001", "01110"),
+    "1": ("00100", "01100", "00100", "00100", "00100", "00100", "01110"),
+    "2": ("01110", "10001", "00001", "00010", "00100", "01000", "11111"),
+    "3": ("11110", "00001", "00001", "01110", "00001", "00001", "11110"),
+    "4": ("00010", "00110", "01010", "10010", "11111", "00010", "00010"),
+    "5": ("11111", "10000", "11110", "00001", "00001", "10001", "01110"),
+    "6": ("00110", "01000", "10000", "11110", "10001", "10001", "01110"),
+    "7": ("11111", "00001", "00010", "00100", "01000", "01000", "01000"),
+    "8": ("01110", "10001", "10001", "01110", "10001", "10001", "01110"),
+    "9": ("01110", "10001", "10001", "01111", "00001", "00010", "01100"),
+    "m": ("00000", "00000", "11010", "10101", "10101", "10101", "10101"),
+    " ": ("00000",) * 7,
+}
+
+
+def _draw_text(img: np.ndarray, row: int, col: int, text: str, color,
+               scale: int = 2) -> None:
+    """Stamp 5x7 bitmap text (digits + 'm') centered at (row, col)."""
+    h, w = img.shape[:2]
+    tw = len(text) * 6 * scale
+    c0 = col - tw // 2
+    r0 = row - 7 * scale // 2
+    for ch in text:
+        glyph = _GLYPHS.get(ch)
+        if glyph is not None:
+            for gr, bits in enumerate(glyph):
+                for gc, bit in enumerate(bits):
+                    if bit == "1":
+                        rr = r0 + gr * scale
+                        cc = c0 + gc * scale
+                        img[max(rr, 0):max(min(rr + scale, h), 0),
+                            max(cc, 0):max(min(cc + scale, w), 0)] = color
+        c0 += 6 * scale
+
+
+def _draw_polyline(img: np.ndarray, pts_px: np.ndarray, color,
+                   thickness: int = 2, closed: bool = True) -> None:
+    """Rasterize a polyline by dense sampling (a handful of shapes per
+    frame — cost is negligible next to the point splat)."""
+    h, w = img.shape[:2]
+    pts_px = np.asarray(pts_px, np.float64)
+    if closed:
+        pts_px = np.concatenate([pts_px, pts_px[:1]])
+    samples = []
+    for a, b in zip(pts_px[:-1], pts_px[1:]):
+        n = max(int(np.hypot(*(b - a)) * 2), 2)
+        t = np.linspace(0.0, 1.0, n)[:, None]
+        samples.append(a + t * (b - a))
+    s = np.concatenate(samples).round().astype(np.int64)
+    for dy in range(-(thickness // 2), (thickness + 1) // 2):
+        for dx in range(-(thickness // 2), (thickness + 1) // 2):
+            r = s[:, 1] + dy
+            c = s[:, 0] + dx
+            ok = (r >= 0) & (r < h) & (c >= 0) & (c < w)
+            img[r[ok], c[ok]] = color
+
+
+def _draw_shape_overlays(img: np.ndarray, rectangles, circles,
+                         x0: float, x1: float, z0: float, z1: float) -> None:
+    """Rectangle/circle outlines, numeric labels, and the 1 m scale bar
+    on the numpy raster — the fast-renderer equivalent of the matplotlib
+    overlay section (`simple_pointcloud_viewer.py:681-786` scale bar,
+    shape patches + labels)."""
+    h, w = img.shape[:2]
+    sx = (w - 1) / max(x1 - x0, 1e-9)
+    sz = (h - 1) / max(z1 - z0, 1e-9)
+
+    def to_px(xw, zw):
+        return np.column_stack([(np.asarray(xw) - x0) * sx,
+                                (z1 - np.asarray(zw)) * sz])
+
+    for i, rect in enumerate(rectangles):
+        color = _hex_to_rgb(_RECT_COLORS[i % len(_RECT_COLORS)])
+        corners = np.asarray(rect_corners(rect))
+        _draw_polyline(img, to_px(corners[:, 0], corners[:, 1]), color)
+        ctr = to_px([rect[0]], [rect[1]])[0]
+        _draw_text(img, int(ctr[1]), int(ctr[0]), str(i + 1), color)
+    for i, (cx, cz, r) in enumerate(circles):
+        color = _hex_to_rgb(_CIRC_COLORS[i % len(_CIRC_COLORS)])
+        th = np.linspace(0, 2 * np.pi, max(int(r * sx * 4), 16))
+        _draw_polyline(img, to_px(cx + r * np.cos(th), cz + r * np.sin(th)),
+                       color, closed=False)
+        ctr = to_px([cx], [cz])[0]
+        _draw_text(img, int(ctr[1]), int(ctr[0]),
+                   str(len(rectangles) + i + 1), color)
+
+    # 1 m scale bar near the lower-left corner, labeled "1m"
+    bar_px = max(int(round(sx)), 2)  # pixels per meter
+    r0 = int(h * 0.95)
+    c0 = int(w * 0.05)
+    black = np.zeros(3, np.float32)
+    img[max(r0 - 1, 0):min(r0 + 2, h), c0:min(c0 + bar_px, w)] = black
+    _draw_text(img, max(r0 - 12, 0), c0 + bar_px // 2, "1m", black)
+
+
 def fast_floorplan_image(
     cloud: PointCloud,
     output_path: str | None = None,
@@ -43,11 +144,16 @@ def fast_floorplan_image(
     x_limits: tuple | None = None,
     z_limits: tuple | None = None,
     background=(0.94, 0.94, 0.94),
+    shapes: tuple | None = None,
 ) -> np.ndarray:
     """Pure-numpy top-down rasterization (~50x faster than the
     matplotlib path on this host) for video-rate floor plans. Points are
     splatted far-to-near by height so tall structure stays visible; the
-    X axis is flipped to match the source image orientation."""
+    X axis is flipped to match the source image orientation.
+
+    ``shapes=(rectangles, circles)`` additionally draws fitted-shape
+    outlines, numeric labels, and the 1 m scale bar on the raster (the
+    showcase-mode overlay, previously matplotlib-only)."""
     points = cloud.points
     colors = cloud.colors
     if height_threshold is not None and len(points):
@@ -99,12 +205,74 @@ def fast_floorplan_image(
                     if win.any():
                         img[win] = np.roll(np.roll(src_img, dy, 0), dx, 1)[win]
                         hbuf[win] = sh[win]
+    if shapes is not None:
+        _draw_shape_overlays(img, shapes[0], shapes[1], x0, x1, z0, z1)
     out = (np.clip(img, 0, 1) * 255).astype(np.uint8)
     if output_path:
         from PIL import Image
 
         Image.fromarray(out).save(output_path)
     return out
+
+
+def fast_floorplan_visualization(
+    cloud: PointCloud,
+    output_path: str,
+    height_threshold: float | None = None,
+    width: int = 1024,
+    fit_shapes: bool = False,
+    cluster_eps: float = 0.2,
+    min_cluster_size: int = 5,
+    circularity_threshold: float = 0.85,
+    output_all_files: bool = True,
+    x_limits: tuple | None = None,
+    z_limits: tuple | None = None,
+    dpi: int = 150,
+    seed: int = 0,
+):
+    """Showcase-mode floor plan at video rate: DBSCAN shape fitting +
+    the numpy rasterizer with shape overlays for the main scatter frame;
+    matplotlib is used ONLY for the two golden-format artifacts
+    (_shapes.png / _floor_plan.png) and only when ``output_all_files``
+    demands them. Returns (rectangles, circles) like
+    ``floorplan_visualization``."""
+    points = cloud.points
+    rectangles, circles = [], []
+    if fit_shapes and len(points):
+        mask = (points[:, 1] >= height_threshold) if height_threshold is not None \
+            else np.ones(len(points), bool)
+        pts = points[mask]
+        shape_points = np.column_stack([-pts[:, 0], pts[:, 2]])
+        if len(shape_points) > 100_000:
+            rng = np.random.default_rng(seed)
+            shape_points = shape_points[
+                rng.choice(len(shape_points), 100_000, replace=False)]
+        if len(shape_points) >= min_cluster_size:
+            rectangles, circles = fit_shapes_to_clusters(
+                shape_points, eps=cluster_eps, min_samples=min_cluster_size,
+                circularity_threshold=circularity_threshold,
+            )
+    fast_floorplan_image(
+        cloud, output_path, height_threshold=height_threshold, width=width,
+        x_limits=x_limits, z_limits=z_limits,
+        shapes=(rectangles, circles) if fit_shapes else None,
+    )
+    if fit_shapes and output_all_files:
+        base = os.path.splitext(output_path)[0]
+        export_shape_data(rectangles, circles, base + "_shapes.txt")
+        if x_limits is None or z_limits is None:
+            pts = points
+            if height_threshold is not None and len(pts):
+                pts = pts[pts[:, 1] >= height_threshold]
+            if len(pts):
+                x_limits = x_limits or (float(-pts[:, 0].max()), float(-pts[:, 0].min()))
+                z_limits = z_limits or (float(pts[:, 2].min()), float(pts[:, 2].max()))
+            else:
+                x_limits, z_limits = x_limits or (0, 1), z_limits or (0, 1)
+        lim = dict(x_limits=x_limits, z_limits=z_limits, dpi=dpi)
+        shapes_only_plan(rectangles, circles, base + "_shapes.png", **lim)
+        filled_floor_plan(rectangles, circles, base + "_floor_plan.png", **lim)
+    return rectangles, circles
 
 
 def floorplan_visualization(

@@ -26,7 +26,11 @@ from concurrent.futures import ThreadPoolExecutor
 import numpy as np
 
 from ..geom.clean import clean_shadows, remove_stray_points
-from ..geom.floorplan_viz import fast_floorplan_image, floorplan_visualization
+from ..geom.floorplan_viz import (
+    fast_floorplan_image,
+    fast_floorplan_visualization,
+    floorplan_visualization,
+)
 from ..geom.ground import (
     fit_ground_plane,
     grid_ground_adjustment,
@@ -129,9 +133,19 @@ def process_single_frame(
             )
 
         plan_path = os.path.join(output_dir, f"{frame_name}_clean_simple_view.png")
-        if renderer == "fast" and not (fit_shapes and not simple_output):
-            fast_floorplan_image(cloud, plan_path, height_threshold=height_threshold,
-                                 x_limits=x_limits, z_limits=z_limits)
+        if renderer == "fast":
+            # the numpy rasterizer draws shape overlays itself now;
+            # matplotlib only produces the golden _shapes/_floor_plan
+            # artifacts when output_all_files asks for them
+            if fit_shapes and not simple_output:
+                fast_floorplan_visualization(
+                    cloud, plan_path, height_threshold=height_threshold,
+                    fit_shapes=True, output_all_files=output_all_files,
+                    x_limits=x_limits, z_limits=z_limits, dpi=dpi,
+                )
+            else:
+                fast_floorplan_image(cloud, plan_path, height_threshold=height_threshold,
+                                     x_limits=x_limits, z_limits=z_limits)
         else:
             floorplan_visualization(
                 cloud,

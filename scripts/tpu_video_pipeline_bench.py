@@ -62,4 +62,26 @@ completed = process_images_to_floor_plans(
 dt = time.time() - t0
 ok = sum(1 for v in completed.values() if v["success"])
 log(f"fit_shapes pass: ok {ok}/8, {dt:.1f}s = {dt/8:.2f} s/frame sustained")
+
+# showcase mode on the FAST renderer: shape overlays drawn by the numpy
+# rasterizer; matplotlib only for the two golden artifacts
+t0 = time.time()
+completed = process_images_to_floor_plans(
+    frames_dir, output_dir=out_dir, num_workers=2, fit_shapes=True,
+    output_all_files=True, renderer="fast", runner=runner, force_reprocess=True,
+)
+dt = time.time() - t0
+ok = sum(1 for v in completed.values() if v["success"])
+log(f"fit_shapes FAST pass: ok {ok}/8, {dt:.1f}s = {dt/8:.2f} s/frame sustained")
+
+# fast showcase without the matplotlib golden artifacts (scatter+overlays
+# + _shapes.txt only)
+t0 = time.time()
+completed = process_images_to_floor_plans(
+    frames_dir, output_dir=out_dir, num_workers=2, fit_shapes=True,
+    output_all_files=False, renderer="fast", runner=runner, force_reprocess=True,
+)
+dt = time.time() - t0
+ok = sum(1 for v in completed.values() if v["success"])
+log(f"fit_shapes FAST (no golden artifacts): ok {ok}/8, {dt:.1f}s = {dt/8:.2f} s/frame")
 log("done")

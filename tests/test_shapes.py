@@ -138,3 +138,73 @@ def test_shape_export_golden_format(tmp_path):
     fields = [f.strip() for f in rect_line.split(",")]
     assert len(fields) == 7
     assert float(fields[3]) == 5.821 and float(fields[6]) == round(5.821 * 9.540, 3)
+
+
+def test_fast_floorplan_with_shapes(tmp_path):
+    """Showcase mode at video rate (VERDICT r2 next #3): the numpy
+    rasterizer draws the fitted rectangle/circle overlays, numeric
+    labels, and the 1 m scale bar itself, and still produces the golden
+    artifacts via matplotlib only when output_all_files demands them.
+    The fitted shapes must match the matplotlib path exactly (same
+    deterministic DBSCAN + fits)."""
+    from ml_depth_pro_video_tpu.geom.floorplan_viz import (
+        fast_floorplan_visualization,
+        floorplan_visualization,
+    )
+    from ml_depth_pro_video_tpu.geom.pointcloud import PointCloud
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+
+    def box(cx, cz, w, d, n):
+        p = rng.random((n, 2)) * [w, d] + [cx - w / 2, cz - d / 2]
+        return np.column_stack([p[:, 0], np.full(n, 1.5), p[:, 1]])
+
+    th = rng.random(400) * 2 * np.pi
+    rr = np.sqrt(rng.random(400)) * 0.8
+    disc = np.column_stack([4 + rr * np.cos(th), np.full(400, 1.5), 2 + rr * np.sin(th)])
+    pts = np.concatenate([box(0, 0, 2, 1, 600), box(-3, 3, 1, 1, 400), disc])
+    cloud = PointCloud(pts, None)
+
+    out = str(tmp_path / "fastview.png")
+    rects, circles = fast_floorplan_visualization(
+        cloud, out, height_threshold=1.0, fit_shapes=True, output_all_files=True,
+    )
+    assert len(rects) + len(circles) >= 2
+    assert os.path.exists(out)
+    assert os.path.exists(str(tmp_path / "fastview_shapes.txt"))
+    assert os.path.exists(str(tmp_path / "fastview_shapes.png"))
+    assert os.path.exists(str(tmp_path / "fastview_floor_plan.png"))
+
+    img = np.asarray(Image.open(out)).astype(np.float32) / 255.0
+    # the first rectangle's outline color must appear in the raster
+    blue = np.array([0x42, 0x85, 0xF4], np.float32) / 255.0
+    assert (np.abs(img - blue).sum(axis=-1) < 0.1).any()
+    # the scale bar: a run of black pixels near the bottom-left
+    h, w = img.shape[:2]
+    band = img[int(h * 0.93):, : w // 2]
+    assert (band.sum(axis=-1) < 0.2).any()
+
+    # same shapes as the matplotlib path (shared deterministic fitting)
+    out_m = str(tmp_path / "mview.png")
+    rects_m, circles_m = floorplan_visualization(
+        cloud, out_m, height_threshold=1.0, fit_shapes=True, output_all_files=False,
+    )
+    np.testing.assert_allclose(np.asarray(rects, float), np.asarray(rects_m, float))
+    np.testing.assert_allclose(np.asarray(circles, float), np.asarray(circles_m, float))
+
+
+def test_fast_floorplan_shapes_empty_cloud(tmp_path):
+    """Empty/below-threshold clouds still emit the full artifact set."""
+    from ml_depth_pro_video_tpu.geom.floorplan_viz import fast_floorplan_visualization
+    from ml_depth_pro_video_tpu.geom.pointcloud import PointCloud
+
+    out = str(tmp_path / "empty.png")
+    rects, circles = fast_floorplan_visualization(
+        PointCloud(np.zeros((0, 3)), None), out,
+        height_threshold=1.0, fit_shapes=True, output_all_files=True,
+    )
+    assert rects == [] and circles == []
+    for name in ("empty.png", "empty_shapes.txt", "empty_shapes.png",
+                 "empty_floor_plan.png"):
+        assert os.path.exists(str(tmp_path / name)), name
