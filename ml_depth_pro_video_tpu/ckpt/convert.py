@@ -16,6 +16,39 @@ The timm-checkpoint resampling the reference performs at model build
 time (patch-embed kernel 14->16 with magnitude rescale and pos-embed
 518->384, `network/vit.py:51-123`) is baked in here at conversion time
 via the same torch-exact resize matrices used by the model.
+
+Expected real-checkpoint backbone key schema (weights-day audit)
+----------------------------------------------------------------
+``depth_pro.pt`` stores the state dict of the ALREADY-RESAMPLED module
+tree (the reference loads it strict=True after `resize_patch_embed` /
+`resize_vit` run, `depth_pro.py:134-140`), so each of the three ViT
+subtrees (``encoder.patch_encoder.``, ``encoder.image_encoder.``,
+``fov.encoder.0.``) carries timm ``vit_large_patch14_dinov2`` keys at
+patch 16 / img 384 (`network/vit_factory.py:53-65,94-99`):
+
+- ``cls_token``                     (1, 1, 1024)
+- ``pos_embed``                     (1, 577, 1024)   # 24*24 + cls; timm
+  ``no_embed_class=False`` so the cls position IS in pos_embed
+- ``patch_embed.proj.weight``       (1024, 3, 16, 16) ``.bias`` (1024,)
+- per block i in 0..23 (``blocks.{i}.``):
+  ``norm1.weight/.bias`` (1024,), ``attn.qkv.weight`` (3072, 1024),
+  ``attn.qkv.bias`` (3072,), ``attn.proj.weight`` (1024, 1024),
+  ``attn.proj.bias`` (1024,), ``ls1.gamma`` (1024,) — timm>=0.9
+  LayerScale naming, NOT the DeiT-III ``gamma_1`` — ``norm2.weight/
+  .bias``, ``mlp.fc1.weight`` (4096, 1024), ``mlp.fc1.bias``,
+  ``mlp.fc2.weight`` (1024, 4096), ``mlp.fc2.bias``, ``ls2.gamma``
+- ``norm.weight/.bias``             (1024,)
+
+Keys that must NOT appear (and would correctly fail the strict check):
+``reg_token`` (that is the ``_reg4_`` DINOv2 variant, not this preset),
+``attn.q_norm/k_norm`` (Identity by default), ``head.*`` (DINOv2
+pretrained_cfg has num_classes=0 so the classifier is Identity), and
+``fc_norm.*`` — the reference exempts *model-side* fc_norm keys missing
+from the checkpoint (`depth_pro.py:141-147`); the checkpoint itself has
+none, and `_TrackedSD.leftovers` mirrors the same exemption should a
+future timm save them. ``tests/test_reference_parity.py::
+test_stub_backbone_matches_timm_dinov2_layout`` pins the test stub to
+exactly this schema.
 """
 
 from __future__ import annotations
