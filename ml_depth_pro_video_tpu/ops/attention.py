@@ -130,9 +130,10 @@ def _packed_kernel(x_ref, o_ref, *, seq_len: int, scale: float,
         o_ref[0, :q_rows, h * hd:(h + 1) * hd] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret", "block_heads"))
 def flash_attention_packed(qkv: jnp.ndarray, num_heads: int,
-                           interpret: bool = False) -> jnp.ndarray:
+                           interpret: bool = False,
+                           block_heads: int | None = None) -> jnp.ndarray:
     """Fused attention straight from the packed qkv projection.
 
     qkv: (B, S, 3*D) as produced by the qkv matmul, HEAD-CONTIGUOUS:
@@ -140,6 +141,13 @@ def flash_attention_packed(qkv: jnp.ndarray, num_heads: int,
     packs the torch [q|k|v] layout this way). No transpose is ever
     materialized. Grid is (B,): few large programs (all heads inside)
     amortize per-program overhead. Returns (B, S, D) head-major.
+
+    ``block_heads`` splits the heads across a second grid axis — each
+    program then holds only ``block_heads`` heads' qkv columns in VMEM
+    (the head-contiguous packing makes the head group a contiguous
+    column block of both input and output). This is what lets the fp32
+    parity mode run the SAME kernel: full-width fp32 blocks blow the
+    ~16 MB VMEM budget, head-grouped ones fit.
     """
     b, s, d3 = qkv.shape
     d = d3 // 3
@@ -149,13 +157,16 @@ def flash_attention_packed(qkv: jnp.ndarray, num_heads: int,
     q_rows = _round_up(s, 8)
     x = jnp.pad(qkv, ((0, 0), (0, s_pad - s), (0, 0)))
 
+    bh = block_heads or num_heads
+    assert num_heads % bh == 0
+    groups = num_heads // bh
     out = pl.pallas_call(
         functools.partial(_packed_kernel, seq_len=s, scale=scale,
-                          num_heads=num_heads, q_rows=q_rows),
-        grid=(b,),
-        in_specs=[pl.BlockSpec((1, s_pad, d3), lambda i: (i, 0, 0),
+                          num_heads=bh, q_rows=q_rows),
+        grid=(b, groups),
+        in_specs=[pl.BlockSpec((1, s_pad, 3 * hd * bh), lambda i, j: (i, 0, j),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, s_pad, d), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, s_pad, hd * bh), lambda i, j: (i, 0, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, s_pad, d), qkv.dtype),
         interpret=interpret,
@@ -183,16 +194,16 @@ def xla_attention_packed(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
 # runs the fused kernel; backward recomputes through the XLA attention
 # math — exact same function up to bf16 rounding, and the ViT blocks
 # are rematerialized during training anyway.
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def _flash_packed_diff(qkv, num_heads):
-    return flash_attention_packed(qkv, num_heads)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _flash_packed_diff(qkv, num_heads, block_heads=None):
+    return flash_attention_packed(qkv, num_heads, block_heads=block_heads)
 
 
-def _flash_packed_fwd(qkv, num_heads):
-    return flash_attention_packed(qkv, num_heads), qkv
+def _flash_packed_fwd(qkv, num_heads, block_heads=None):
+    return flash_attention_packed(qkv, num_heads, block_heads=block_heads), qkv
 
 
-def _flash_packed_bwd(num_heads, qkv, g):
+def _flash_packed_bwd(num_heads, block_heads, qkv, g):
     _, vjp = jax.vjp(lambda q: xla_attention_packed(q, num_heads), qkv)
     return vjp(g)
 
@@ -200,18 +211,42 @@ def _flash_packed_bwd(num_heads, qkv, g):
 _flash_packed_diff.defvjp(_flash_packed_fwd, _flash_packed_bwd)
 
 
+def _fp32_block_heads(num_heads: int, hd: int, s: int) -> int | None:
+    """Largest head-group size whose fp32 working set fits comfortably
+    in VMEM (double-buffered in/out blocks + score/exp temps <= ~12 MB
+    of the 16 MB scope), with the group's column blocks lane-aligned.
+    None if no group works (odd head counts with tiny hd)."""
+    s_pad = _round_up(s, 128)
+    q_rows = _round_up(s, 8)
+    best = None
+    for bh in range(1, num_heads + 1):
+        if num_heads % bh or (hd * bh) % 128:
+            continue
+        in_out = 2 * (s_pad * 3 * hd * bh + s_pad * hd * bh) * 4
+        temps = 3 * q_rows * s_pad * 4
+        if in_out + temps <= 12 * 1024 * 1024:
+            best = bh
+    return best
+
+
 def attention_packed(qkv: jnp.ndarray, num_heads: int, impl: str | None = None) -> jnp.ndarray:
     impl = impl or _default_impl()
-    # the kernel's VMEM budget (full score rows + packed qkv blocks per
-    # program) is sized for bf16; fp32 at ViT-L scale exceeds the 16 MB
-    # scoped vmem (compile error) — fp32 parity runs take the XLA path.
-    # Mosaic also requires the kernel's last block dim (the D-wide q/k/v
-    # column slice of the packed 3D tensor) to be a lane multiple —
-    # small-D models (tiny test config on a real TPU) fall back to XLA.
+    # Mosaic requires the kernel's last block dim (the head group's
+    # packed qkv column slice) to be a lane multiple — small-D models
+    # (tiny test config on a real TPU) fall back to XLA. bf16 runs all
+    # heads in one program (measured fastest); fp32's bigger working set
+    # blows the 16 MB VMEM scope full-width, so it runs the SAME kernel
+    # head-grouped (grid over head groups) — parity mode and production
+    # share one kernel path.
     d = qkv.shape[-1] // 3
-    if (impl == "pallas" and pltpu is not None and qkv.dtype == jnp.bfloat16
-            and d % 128 == 0):
-        return _flash_packed_diff(qkv, num_heads)
+    hd = d // num_heads
+    if impl == "pallas" and pltpu is not None:
+        if qkv.dtype == jnp.bfloat16 and d % 128 == 0:
+            return _flash_packed_diff(qkv, num_heads)
+        if qkv.dtype == jnp.float32:
+            bh = _fp32_block_heads(num_heads, hd, qkv.shape[1])
+            if bh is not None:
+                return _flash_packed_diff(qkv, num_heads, bh)
     return xla_attention_packed(qkv, num_heads)
 
 

@@ -187,3 +187,35 @@ def test_attention_packed_small_d_falls_back_to_xla():
     out = attention_packed(qkv, num_heads=2, impl="pallas")
     ref = xla_attention_packed(qkv, num_heads=2)
     assert jnp.allclose(out, ref).item()
+
+
+def test_flash_attention_packed_head_grouped_interpret():
+    """The head-grouped grid (fp32 parity path) computes the identical
+    result: each program sees only its head group's contiguous qkv
+    columns."""
+    from ml_depth_pro_video_tpu.ops.attention import (
+        flash_attention_packed,
+        xla_attention_packed,
+    )
+
+    qkv = RNG.standard_normal((2, 33, 3 * 4 * 64)).astype(np.float32)
+    ref = xla_attention_packed(jnp.asarray(qkv), 4)
+    for bh in (1, 2, 4):
+        got = flash_attention_packed(jnp.asarray(qkv), 4, interpret=True,
+                                     block_heads=bh)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4, err_msg=f"bh={bh}")
+
+
+def test_fp32_block_heads_budget():
+    """fp32 head-group picker: ViT-L (16 heads, hd 64, S 577) must find
+    a lane-aligned group that fits the VMEM budget; full-width must NOT
+    be chosen (that is the configuration that OOMs the 16 MB scope)."""
+    from ml_depth_pro_video_tpu.ops.attention import _fp32_block_heads
+
+    bh = _fp32_block_heads(16, 64, 577)
+    assert bh is not None and 16 % bh == 0
+    assert (64 * bh) % 128 == 0
+    assert bh < 16  # full-width fp32 would exceed the budget
+    # tiny configs (hd too small for lane alignment) -> None -> XLA path
+    assert _fp32_block_heads(2, 32, 65) is None
