@@ -66,6 +66,7 @@ def generate_depth_maps(
     save_npz: bool = False,
     pattern: str = "*.png",
     runner=None,
+    speed: str = "exact",
 ) -> list[str]:
     """Run depth over a file or directory; returns written paths."""
     from ..video.runner import DepthVideoRunner
@@ -82,6 +83,7 @@ def generate_depth_maps(
         precision="bf16" if half_precision else "fp32",
         batch_size=batch_size,
         downscale_factor=downscale_factor,
+        speed=speed,
     )
 
     written = []
@@ -119,10 +121,12 @@ def main(argv=None) -> None:
     ap.add_argument("--full_precision", dest="half_precision", action="store_false",
                     help="fp32 compute (the reference's default)")
     ap.add_argument("--batch_size", type=int, default=1)
+    ap.add_argument("--speed", choices=["exact", "fast"], default="exact",
+                    help="fast = ToMe token-merge approximation tier")
     ap.add_argument("--save_npz", action="store_true")
     ap.add_argument("--pattern", default="*.png")
     args = ap.parse_args(argv)
-    generate_depth_maps(args.input, args.output_dir, colormap=args.colormap,
+    generate_depth_maps(args.input, args.output_dir, colormap=args.colormap, speed=args.speed,
                         downscale_factor=args.downscale_factor,
                         half_precision=args.half_precision,
                         batch_size=args.batch_size, save_npz=args.save_npz,

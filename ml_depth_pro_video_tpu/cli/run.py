@@ -53,6 +53,7 @@ def run(args) -> None:
         cfg=DEFAULT_MONODEPTH_CONFIG,
         precision="bf16" if args.half else "fp32",
         batch_size=args.batch_size,
+        speed=args.speed,
     )
 
     # live side-by-side display (reference cli/run.py:99-113); requires
@@ -113,6 +114,8 @@ def main(argv=None) -> None:
                     help="bfloat16 compute (default)")
     ap.add_argument("--fp32", dest="half", action="store_false")
     ap.add_argument("--batch-size", type=int, default=1)
+    ap.add_argument("--speed", choices=["exact", "fast"], default="exact",
+                    help="fast = ToMe token-merge approximation tier")
     ap.add_argument("-v", "--verbose", action="store_true")
     ap.add_argument("--skip-display", action="store_true", default=False,
                     help="do not open the live matplotlib view")

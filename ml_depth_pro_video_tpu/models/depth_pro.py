@@ -55,6 +55,11 @@ class DepthProConfig:
     hook_block_ids: tuple = (5, 11)
     use_fov_head: bool = True
     checkpoint_uri: Optional[str] = "./checkpoints/depth_pro_tpu.npz"
+    # approximation speed tier (0.0 = exact): ToMe token merging in the
+    # 35-patch hot loop — after `token_merge_block` exact blocks,
+    # int(ratio * 576) patch tokens are merged away (models/vit.py)
+    token_merge_ratio: float = 0.0
+    token_merge_block: int = 2
 
     @property
     def img_size(self) -> int:
@@ -67,6 +72,19 @@ class DepthProConfig:
 
 
 DEFAULT_MONODEPTH_CONFIG = DepthProConfig()
+
+# --speed presets (runner / CLIs / serve): "fast" trades a bounded
+# output deviation for throughput via token merging (measured on-chip,
+# docs/PERFORMANCE.md; quality sign-off vs real weights deferred to
+# weights day)
+SPEED_PRESETS = {"exact": 0.0, "fast": 0.5}
+
+
+def apply_speed(cfg: "DepthProConfig", speed: str) -> "DepthProConfig":
+    """Return ``cfg`` with the named speed preset's merge ratio set."""
+    if speed not in SPEED_PRESETS:
+        raise ValueError(f"speed must be one of {sorted(SPEED_PRESETS)}, got {speed!r}")
+    return dataclasses.replace(cfg, token_merge_ratio=SPEED_PRESETS[speed])
 
 
 def tiny_config(use_fov_head: bool = True) -> DepthProConfig:
@@ -165,6 +183,7 @@ def encoder_apply(params: dict, x: jnp.ndarray, cfg: DepthProConfig,
         tokens, (h0, h1) = vit_apply(
             params["patch_vit"], pyramid, vit_cfg, precision,
             capture_blocks=cfg.hook_block_ids, attn_impl=attn_impl, remat=remat,
+            merge_ratio=cfg.token_merge_ratio, merge_block=cfg.token_merge_block,
         )
     else:
         tokens, (h0, h1) = patch_vit_fn(params["patch_vit"], pyramid)

@@ -145,6 +145,72 @@ def _scan_blocks(x, stacked, lo, hi, cfg, attn_impl, remat=False):
     return x
 
 
+# ---------------------------------------------------------------------------
+# token merging (ToMe-style approximation speed tier)
+
+
+def compute_token_merge(tokens: jnp.ndarray, ratio: float):
+    """Bipartite soft matching over the patch tokens (ToMe, Bolya et al.
+    ICLR 2023 — see PAPERS.md; cls token protected).
+
+    Patch tokens alternate into sets A/B; each A token's best cosine
+    match in B is found, and the ``r = int(ratio * n_patch)`` most
+    similar A tokens are merged (averaged) into their matches. Returns
+    ``(merged_tokens (B, S-r, D), gather_map (B, S))`` where the gather
+    map reconstructs a full-length sequence by duplicating each merged
+    token back to its source positions — or ``None`` when r < 1.
+
+    Deviations from the paper, both deliberate: similarity is measured
+    on the tokens themselves (ToMeSD's choice; attention keys live
+    inside the scanned block body), and proportional attention is
+    skipped (merged "size" weighting would need a score bias the fused
+    kernel does not take; the deviation is measured on-chip instead —
+    docs/PERFORMANCE.md).
+    """
+    b, s, d = tokens.shape
+    n = s - 1
+    na = (n + 1) // 2
+    nb = n - na
+    r = min(int(ratio * n), na)
+    if r < 1 or nb < 1:
+        return None
+
+    xs = tokens[:, 1:]
+    a, bb = xs[:, 0::2], xs[:, 1::2]
+    an = a / (jnp.linalg.norm(a.astype(jnp.float32), axis=-1, keepdims=True) + 1e-6)
+    bn = bb / (jnp.linalg.norm(bb.astype(jnp.float32), axis=-1, keepdims=True) + 1e-6)
+    sim = jnp.einsum("bad,bcd->bac", an, bn, preferred_element_type=jnp.float32)
+    best_val = jnp.max(sim, axis=-1)
+    best_idx = jnp.argmax(sim, axis=-1)                      # (B, na)
+    order = jnp.argsort(-best_val, axis=-1)                  # (B, na)
+    merged_rank, kept_rank = order[:, :r], order[:, r:]
+
+    dst = jnp.take_along_axis(best_idx, merged_rank, axis=1)  # (B, r)
+    a_sel = jnp.take_along_axis(a, merged_rank[..., None], axis=1)
+    batch = jnp.arange(b)[:, None]
+    sum_b = bb.astype(jnp.float32).at[batch, dst].add(a_sel.astype(jnp.float32))
+    cnt = jnp.ones((b, nb), jnp.float32).at[batch, dst].add(1.0)
+    b_merged = (sum_b / cnt[..., None]).astype(tokens.dtype)
+    a_kept = jnp.take_along_axis(a, kept_rank[..., None], axis=1)
+
+    merged = jnp.concatenate([tokens[:, :1], a_kept, b_merged], axis=1)
+
+    # inverse gather map: original position -> merged-sequence index
+    a_pos = 1 + 2 * jnp.arange(na)
+    b_pos = 2 + 2 * jnp.arange(nb)
+    gmap = jnp.zeros((b, s), jnp.int32)
+    gmap = gmap.at[batch, a_pos[kept_rank]].set(1 + jnp.arange(na - r, dtype=jnp.int32))
+    gmap = gmap.at[batch, a_pos[merged_rank]].set((1 + (na - r) + dst).astype(jnp.int32))
+    gmap = gmap.at[:, b_pos].set(1 + (na - r) + jnp.arange(nb, dtype=jnp.int32))
+    return merged, gmap
+
+
+def unmerge_tokens(tokens: jnp.ndarray, gmap: jnp.ndarray) -> jnp.ndarray:
+    """(B, S-r, D) + gather map -> (B, S, D), duplicating merged tokens
+    back to every source position."""
+    return jnp.take_along_axis(tokens, gmap[..., None], axis=1)
+
+
 def vit_apply(
     params: dict,
     x: jnp.ndarray,
@@ -153,6 +219,8 @@ def vit_apply(
     capture_blocks: Sequence[int] = (),
     attn_impl: str | None = None,
     remat: bool = False,
+    merge_ratio: float = 0.0,
+    merge_block: int = 2,
 ) -> tuple[jnp.ndarray, list[jnp.ndarray]]:
     """Forward pass.
 
@@ -161,6 +229,11 @@ def vit_apply(
       capture_blocks: 0-based block indices whose *outputs* to return
         (reference hooks capture after blocks 5 and 11,
         `encoder.py:133-138`).
+      merge_ratio: > 0 enables the ToMe speed tier — after
+        ``merge_block`` exact blocks, ``int(ratio * n_patch)`` tokens
+        are merged away and the remaining blocks run on the shorter
+        sequence; captures and the final tokens are unmerged back to
+        full length (duplicated features in merged regions).
 
     Returns:
       (final tokens after the last LayerNorm, [captured token maps]),
@@ -177,14 +250,32 @@ def vit_apply(
     tokens = tokens + params["pos_embed"].astype(cdt)
 
     captures = []
+    gmap = None
     lo = 0
+
+    def merge_now(t):
+        m = compute_token_merge(t, merge_ratio)
+        return (t, None) if m is None else (m[0], m[1])
+
+    mb = min(max(merge_block, 0), cfg.depth) if merge_ratio > 0.0 else None
     for idx in sorted(capture_blocks):
+        if mb is not None and gmap is None and mb <= idx:
+            tokens = _scan_blocks(tokens, params["blocks"], lo, mb, cfg, attn_impl, remat)
+            lo = mb
+            tokens, gmap = merge_now(tokens)
         tokens = _scan_blocks(tokens, params["blocks"], lo, idx + 1, cfg, attn_impl, remat)
-        captures.append(tokens)
+        captures.append(unmerge_tokens(tokens, gmap) if gmap is not None else tokens)
         lo = idx + 1
+    if mb is not None and gmap is None:
+        mb = max(mb, lo)
+        tokens = _scan_blocks(tokens, params["blocks"], lo, mb, cfg, attn_impl, remat)
+        lo = mb
+        tokens, gmap = merge_now(tokens)
     tokens = _scan_blocks(tokens, params["blocks"], lo, cfg.depth, cfg, attn_impl, remat)
 
     tokens = layer_norm(tokens, params["norm"]["g"], params["norm"]["b"], cfg.layer_norm_eps)
+    if gmap is not None:
+        tokens = unmerge_tokens(tokens, gmap)
     return tokens, captures
 
 

@@ -186,7 +186,8 @@ def make_handler(batcher: _Batcher):
 def create_server(host: str = "127.0.0.1", port: int = 8500, runner=None,
                   max_batch: int = 4, max_wait_ms: float = 30.0,
                   warmup_shape: tuple | None = None,
-                  parallel: str = "none") -> ThreadingHTTPServer:
+                  parallel: str = "none",
+                  speed: str = "exact") -> ThreadingHTTPServer:
     """``warmup_shape=(H, W)`` compiles the full-batch program before the
     server accepts traffic — the first real request then runs at steady-
     state latency instead of paying the ~40 s XLA compile. ``parallel``:
@@ -206,7 +207,8 @@ def create_server(host: str = "127.0.0.1", port: int = 8500, runner=None,
             parallel = "none"
     runner = runner or DepthVideoRunner(
         precision="bf16", batch_size=max_batch, mesh=mesh,
-        parallel=parallel if parallel in ("dp", "latency") else "dp")
+        parallel=parallel if parallel in ("dp", "latency") else "dp",
+        speed=speed)
     # the runner may have rounded batch_size up to a dp multiple; the
     # batcher must coalesce up to THAT size or every batch gets padded
     max_batch = max(max_batch, runner.batch_size)
@@ -228,11 +230,13 @@ def main(argv=None):  # pragma: no cover
     ap.add_argument("--warmup", default=None,
                     help="HxW to pre-compile before serving, e.g. 1536x1536")
     ap.add_argument("--parallel", choices=["none", "dp", "latency"], default="none")
+    ap.add_argument("--speed", choices=["exact", "fast"], default="exact",
+                    help="fast = ToMe token-merge approximation tier")
     args = ap.parse_args(argv)
     warm = tuple(int(v) for v in args.warmup.split("x")) if args.warmup else None
     server = create_server(args.host, args.port, max_batch=args.max_batch,
                            max_wait_ms=args.max_wait_ms, warmup_shape=warm,
-                           parallel=args.parallel)
+                           parallel=args.parallel, speed=args.speed)
     print(f"serving on {args.host}:{args.port}")
     server.serve_forever()
 

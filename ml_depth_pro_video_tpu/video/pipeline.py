@@ -190,6 +190,7 @@ def process_images_to_floor_plans(
     renderer: str = "matplotlib",
     runner: DepthVideoRunner | None = None,
     parallel: str = "none",
+    speed: str = "exact",
 ):
     """Process a frame directory into per-frame floor plans."""
     output_dir = output_dir or frames_dir
@@ -241,6 +242,7 @@ def process_images_to_floor_plans(
         downscale_factor=downscale_factor,
         mesh=mesh,
         parallel=parallel if parallel in ("dp", "latency") else "dp",
+        speed=speed,
     )
 
     try:
@@ -379,6 +381,8 @@ def main(argv=None):  # pragma: no cover - CLI shim, exercised via cli tests
     ap.add_argument("--force_reprocess", action="store_true")
     ap.add_argument("--batch_size", type=int, default=1)
     ap.add_argument("--renderer", choices=["matplotlib", "fast"], default="matplotlib")
+    ap.add_argument("--speed", choices=["exact", "fast"], default="exact",
+                    help="fast = ToMe token-merge approximation tier")
     ap.add_argument("--parallel", choices=["none", "dp", "latency"], default="none",
                     help="multi-chip mode: dp shards frame batches, latency "
                          "shards the MODEL for single-stream speed")
@@ -411,7 +415,7 @@ def main(argv=None):  # pragma: no cover - CLI shim, exercised via cli tests
         num_workers=args.num_workers, simple_output=args.simple_output,
         output_all_files=args.output_all_files, resume=args.resume,
         force_reprocess=args.force_reprocess, batch_size=args.batch_size,
-        renderer=args.renderer, parallel=args.parallel,
+        renderer=args.renderer, parallel=args.parallel, speed=args.speed,
         x_limits=tuple(args.x_limits) if args.x_limits else None,
         z_limits=tuple(args.z_limits) if args.z_limits else None,
     )

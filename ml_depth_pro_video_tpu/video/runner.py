@@ -48,9 +48,14 @@ class DepthVideoRunner:
         quantize: bool = False,
         max_retries: int = 2,
         parallel: str = "dp",
+        speed: str = "exact",
     ):
         if parallel not in ("dp", "latency"):
             raise ValueError(f"parallel must be 'dp' or 'latency', got {parallel!r}")
+        if speed != "exact":
+            from ..models.depth_pro import apply_speed
+
+            cfg = apply_speed(cfg, speed)
         self.cfg = cfg
         self.precision = resolve_precision(precision)
         if mesh is not None and parallel == "dp":

@@ -98,3 +98,114 @@ def test_weight_only_quantization_close_to_fp32():
     got, _ = vit_apply(qparams, x, cfg)
     rel = float(jnp.abs(got - ref).max() / (jnp.abs(ref).max() + 1e-9))
     assert rel < 0.02, rel
+
+
+# ---------------------------------------------------------------------------
+# token merging (ToMe speed tier)
+
+
+def test_token_merge_roundtrip_properties():
+    """compute_token_merge/unmerge_tokens invariants: cls is never
+    merged, kept tokens survive exactly, merged positions receive the
+    mean of their pair, shapes are static (S - r)."""
+    import jax
+
+    from ml_depth_pro_video_tpu.models.vit import compute_token_merge, unmerge_tokens
+
+    rng = np.random.default_rng(0)
+    b, s, d = 3, 17, 8  # 16 patch tokens: na=8, nb=8
+    x = jnp.asarray(rng.standard_normal((b, s, d)).astype(np.float32))
+    ratio = 0.25  # r = 4
+    merged, gmap = compute_token_merge(x, ratio)
+    r = 4
+    assert merged.shape == (b, s - r, d)
+    assert gmap.shape == (b, s)
+    full = unmerge_tokens(merged, gmap)
+    assert full.shape == (b, s, d)
+    # cls exact
+    np.testing.assert_array_equal(np.asarray(full[:, 0]), np.asarray(x[:, 0]))
+    # every unmerged position is either its original value (kept) or a
+    # 2+-token mean; at most 2*r positions may deviate
+    diff = np.abs(np.asarray(full) - np.asarray(x)).max(axis=-1)
+    assert (diff > 1e-6).sum(axis=1).max() <= 2 * r
+    # B tokens that received no merge are exact: at least nb - r of them
+    b_pos = 2 + 2 * np.arange(8)
+    exact_b = (diff[:, b_pos] < 1e-6).sum(axis=1)
+    assert (exact_b >= 8 - r).all()
+
+
+def test_token_merge_duplicates_are_lossless():
+    """Identical A/B pairs merge losslessly: mean(t, t) == t."""
+    from ml_depth_pro_video_tpu.models.vit import compute_token_merge, unmerge_tokens
+
+    rng = np.random.default_rng(1)
+    base = rng.standard_normal((1, 9, 4)).astype(np.float32)
+    # make each A token (odd positions 1,3,5,7) equal its B neighbor
+    x = base.copy()
+    for a, bb in ((1, 2), (3, 4), (5, 6), (7, 8)):
+        x[:, a] = x[:, bb]
+    merged, gmap = compute_token_merge(jnp.asarray(x), 0.5)  # r = 4 = all of A
+    full = unmerge_tokens(merged, gmap)
+    np.testing.assert_allclose(np.asarray(full), x, rtol=1e-6, atol=1e-6)
+
+
+def test_token_merge_full_a_set_edge():
+    """ratio large enough to merge the WHOLE A set (kept set empty)."""
+    from ml_depth_pro_video_tpu.models.vit import compute_token_merge, unmerge_tokens
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 17, 8)).astype(np.float32))
+    merged, gmap = compute_token_merge(x, 0.99)  # r = min(15, na=8) = 8
+    assert merged.shape == (2, 9, 8)  # cls + 8 b tokens
+    assert unmerge_tokens(merged, gmap).shape == (2, 17, 8)
+
+
+def test_vit_apply_merge_preserves_shapes_and_bounds_deviation():
+    """vit_apply with the merge tier returns full-length captures and
+    final tokens; deviation vs exact is finite and nonzero (it IS an
+    approximation), and shrinks as the ratio drops."""
+    import jax
+
+    from ml_depth_pro_video_tpu.models.vit import init_vit
+
+    cfg = ViTConfig(img_size=64, patch_size=16, embed_dim=32, depth=4, num_heads=4, mlp_ratio=2)
+    params = init_vit(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+
+    exact, caps_e = vit_apply(params, x, cfg, capture_blocks=(1, 2))
+    devs = []
+    for ratio in (0.5, 0.25):
+        fast, caps_f = vit_apply(params, x, cfg, capture_blocks=(1, 2),
+                                 merge_ratio=ratio, merge_block=2)
+        assert fast.shape == exact.shape
+        assert all(cf.shape == ce.shape for cf, ce in zip(caps_f, caps_e))
+        assert np.isfinite(np.asarray(fast)).all()
+        # capture at block 1 precedes the merge point -> EXACT
+        np.testing.assert_allclose(np.asarray(caps_f[0]), np.asarray(caps_e[0]),
+                                   rtol=1e-5, atol=1e-5)
+        dev = float(jnp.abs(fast - exact).mean() / (jnp.abs(exact).mean() + 1e-9))
+        devs.append(dev)
+    assert devs[0] > 0.0
+    assert devs[1] <= devs[0] + 1e-6
+
+
+def test_infer_fn_speed_fast_runs_tiny():
+    """apply_speed plumbs the merge tier through infer_fn end to end."""
+    import jax
+
+    from ml_depth_pro_video_tpu.models.depth_pro import (
+        apply_speed,
+        infer_fn,
+        init_depth_pro,
+        tiny_config,
+    )
+
+    cfg = apply_speed(tiny_config(), "fast")
+    assert cfg.token_merge_ratio > 0
+    params = init_depth_pro(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.random((1, cfg.img_size, cfg.img_size, 3)).astype(np.float32))
+    out = infer_fn(params, x, None, cfg)
+    assert out["depth"].shape == (1, cfg.img_size, cfg.img_size)
+    assert np.isfinite(np.asarray(out["depth"])).all()
