@@ -49,6 +49,7 @@ class DepthVideoRunner:
         max_retries: int = 2,
         parallel: str = "dp",
         speed: str = "exact",
+        decode_workers: int | None = None,
     ):
         if parallel not in ("dp", "latency"):
             raise ValueError(f"parallel must be 'dp' or 'latency', got {parallel!r}")
@@ -76,6 +77,13 @@ class DepthVideoRunner:
         # MODEL is sharded over chips (parallel/latency.py) — lowest
         # single-stream latency, best with batch_size=1.
         self.parallel = parallel
+        # decode/normalize threads feeding the stream: an 8-chip mesh at
+        # full rate needs ~20 ms/frame of host feed, beyond one PNG
+        # decoder thread (scripts/feed_ceiling_8dev.out); results stay
+        # in input order
+        if decode_workers is None:
+            decode_workers = min(8, os.cpu_count() or 1)
+        self.decode_workers = max(int(decode_workers), 1)
 
         params = load_checkpoint(cfg)
         if params is None:
@@ -197,13 +205,41 @@ class DepthVideoRunner:
 
         def loader():
             try:
-                for item in items:
-                    try:
-                        q.put(self._load_one(item))
-                    except Exception as exc:  # noqa: BLE001 - one corrupt
-                        # frame must not end the whole stream
-                        logging.getLogger(__name__).warning(
-                            "skipping unreadable frame %r: %s", item, exc)
+                if self.decode_workers > 1:
+                    # bounded-in-flight parallel decode, order-preserving:
+                    # a deque of at most 2*workers futures (q.put blocks
+                    # when the queue is full, so long streams never load
+                    # ahead unboundedly)
+                    from collections import deque
+                    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+                    with _TPE(self.decode_workers) as ex:
+                        dq: deque = deque()
+                        it = iter(items)
+                        exhausted = False
+                        while dq or not exhausted:
+                            while not exhausted and len(dq) < 2 * self.decode_workers:
+                                try:
+                                    item = next(it)
+                                except StopIteration:
+                                    exhausted = True
+                                    break
+                                dq.append((item, ex.submit(self._load_one, item)))
+                            if dq:
+                                item, fut = dq.popleft()
+                                try:
+                                    q.put(fut.result())
+                                except Exception as exc:  # noqa: BLE001
+                                    logging.getLogger(__name__).warning(
+                                        "skipping unreadable frame %r: %s", item, exc)
+                else:
+                    for item in items:
+                        try:
+                            q.put(self._load_one(item))
+                        except Exception as exc:  # noqa: BLE001 - one corrupt
+                            # frame must not end the whole stream
+                            logging.getLogger(__name__).warning(
+                                "skipping unreadable frame %r: %s", item, exc)
             finally:
                 q.put(sentinel)
 

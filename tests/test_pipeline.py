@@ -284,3 +284,30 @@ def test_resume_retries_failed_frames(tmp_path, monkeypatch, tiny_runner):
         str(frames_dir), output_dir=out_dir, num_workers=1,
         runner=tiny_runner, fit_shapes=False, renderer="fast", resume=True)
     assert calls["n"] == 1  # only the failed frame is reprocessed
+
+
+def test_parallel_decode_loader_order_and_fault_isolation(frames_dir, tmp_path):
+    """decode_workers > 1: results keep input order, corrupt frames are
+    skipped (not fatal), and outputs equal the serial loader's."""
+    import glob
+
+    from ml_depth_pro_video_tpu.models.depth_pro import tiny_config
+    from ml_depth_pro_video_tpu.video.runner import DepthVideoRunner
+
+    paths = sorted(glob.glob(os.path.join(frames_dir, "*.png")))
+    bad = str(tmp_path / "corrupt.png")
+    open(bad, "wb").write(b"not a png")
+    items = paths[:1] + [bad] + paths[1:]
+
+    par = DepthVideoRunner(cfg=tiny_config(), precision="fp32",
+                           batch_size=2, decode_workers=4)
+    assert par.decode_workers == 4
+    out_p = list(par.depth_stream(items))
+    assert [r["key"] for r in out_p] == paths  # order kept, corrupt skipped
+
+    ser = DepthVideoRunner(cfg=tiny_config(), precision="fp32",
+                           batch_size=2, decode_workers=1)
+    ser.params = par.params
+    out_s = list(ser.depth_stream(items))
+    for a, b in zip(out_p, out_s):
+        np.testing.assert_allclose(a["depth"], b["depth"], rtol=1e-6, atol=1e-6)
