@@ -236,12 +236,15 @@ def fast_floorplan_visualization(
     (_shapes.png / _floor_plan.png) and only when ``output_all_files``
     demands them. Returns (rectangles, circles) like
     ``floorplan_visualization``."""
-    points = cloud.points
+    # filter once; every stage below reuses the thresholded cloud
+    if height_threshold is not None and len(cloud.points):
+        fcloud = cloud.select(cloud.points[:, 1] >= height_threshold)
+    else:
+        fcloud = cloud
+    pts = fcloud.points
+
     rectangles, circles = [], []
-    if fit_shapes and len(points):
-        mask = (points[:, 1] >= height_threshold) if height_threshold is not None \
-            else np.ones(len(points), bool)
-        pts = points[mask]
+    if fit_shapes and len(pts):
         shape_points = np.column_stack([-pts[:, 0], pts[:, 2]])
         if len(shape_points) > 100_000:
             rng = np.random.default_rng(seed)
@@ -253,7 +256,7 @@ def fast_floorplan_visualization(
                 circularity_threshold=circularity_threshold,
             )
     fast_floorplan_image(
-        cloud, output_path, height_threshold=height_threshold, width=width,
+        fcloud, output_path, height_threshold=None, width=width,
         x_limits=x_limits, z_limits=z_limits,
         shapes=(rectangles, circles) if fit_shapes else None,
     )
@@ -261,9 +264,6 @@ def fast_floorplan_visualization(
         base = os.path.splitext(output_path)[0]
         export_shape_data(rectangles, circles, base + "_shapes.txt")
         if x_limits is None or z_limits is None:
-            pts = points
-            if height_threshold is not None and len(pts):
-                pts = pts[pts[:, 1] >= height_threshold]
             if len(pts):
                 x_limits = x_limits or (float(-pts[:, 0].max()), float(-pts[:, 0].min()))
                 z_limits = z_limits or (float(pts[:, 2].min()), float(pts[:, 2].max()))

@@ -257,16 +257,20 @@ def vit_apply(
         m = compute_token_merge(t, merge_ratio)
         return (t, None) if m is None else (m[0], m[1])
 
+    # merge exactly once, and only if blocks remain afterwards (merging
+    # after the last block would degrade output while saving nothing)
     mb = min(max(merge_block, 0), cfg.depth) if merge_ratio > 0.0 else None
+    merge_pending = mb is not None and mb < cfg.depth
     for idx in sorted(capture_blocks):
-        if mb is not None and gmap is None and mb <= idx:
+        if merge_pending and mb <= idx:
             tokens = _scan_blocks(tokens, params["blocks"], lo, mb, cfg, attn_impl, remat)
             lo = mb
             tokens, gmap = merge_now(tokens)
+            merge_pending = False
         tokens = _scan_blocks(tokens, params["blocks"], lo, idx + 1, cfg, attn_impl, remat)
         captures.append(unmerge_tokens(tokens, gmap) if gmap is not None else tokens)
         lo = idx + 1
-    if mb is not None and gmap is None:
+    if merge_pending and max(mb, lo) < cfg.depth:
         mb = max(mb, lo)
         tokens = _scan_blocks(tokens, params["blocks"], lo, mb, cfg, attn_impl, remat)
         lo = mb

@@ -50,9 +50,13 @@ def _sharded_patch_vit(mesh: Mesh, cfg: DepthProConfig, precision: Precision,
     n = mesh.shape["sp"]
 
     def body(vp, xs):
+        # merge args forwarded so --speed fast composes with latency
+        # parallelism (merging is per patch slice, shard-local)
         t, (h0, h1) = vit_apply(vp, xs, cfg.vit, precision,
                                 capture_blocks=cfg.hook_block_ids,
-                                attn_impl=attn_impl)
+                                attn_impl=attn_impl,
+                                merge_ratio=cfg.token_merge_ratio,
+                                merge_block=cfg.token_merge_block)
         return t, h0, h1
 
     sharded = shard_map(

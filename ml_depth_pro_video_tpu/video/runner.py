@@ -204,42 +204,34 @@ class DepthVideoRunner:
         sentinel = object()
 
         def loader():
-            try:
-                if self.decode_workers > 1:
-                    # bounded-in-flight parallel decode, order-preserving:
-                    # a deque of at most 2*workers futures (q.put blocks
-                    # when the queue is full, so long streams never load
-                    # ahead unboundedly)
-                    from collections import deque
-                    from concurrent.futures import ThreadPoolExecutor as _TPE
+            # bounded-in-flight decode pool, order-preserving: a deque of
+            # at most 2*workers futures (q.put blocks when the queue is
+            # full, so long streams never load ahead unboundedly). One
+            # code path for any worker count; a corrupt frame is skipped,
+            # never fatal.
+            from collections import deque
+            from concurrent.futures import ThreadPoolExecutor as _TPE
 
-                    with _TPE(self.decode_workers) as ex:
-                        dq: deque = deque()
-                        it = iter(items)
-                        exhausted = False
-                        while dq or not exhausted:
-                            while not exhausted and len(dq) < 2 * self.decode_workers:
-                                try:
-                                    item = next(it)
-                                except StopIteration:
-                                    exhausted = True
-                                    break
-                                dq.append((item, ex.submit(self._load_one, item)))
-                            if dq:
-                                item, fut = dq.popleft()
-                                try:
-                                    q.put(fut.result())
-                                except Exception as exc:  # noqa: BLE001
-                                    logging.getLogger(__name__).warning(
-                                        "skipping unreadable frame %r: %s", item, exc)
-                else:
-                    for item in items:
-                        try:
-                            q.put(self._load_one(item))
-                        except Exception as exc:  # noqa: BLE001 - one corrupt
-                            # frame must not end the whole stream
-                            logging.getLogger(__name__).warning(
-                                "skipping unreadable frame %r: %s", item, exc)
+            try:
+                with _TPE(self.decode_workers) as ex:
+                    dq: deque = deque()
+                    it = iter(items)
+                    exhausted = False
+                    while dq or not exhausted:
+                        while not exhausted and len(dq) < 2 * self.decode_workers:
+                            try:
+                                item = next(it)
+                            except StopIteration:
+                                exhausted = True
+                                break
+                            dq.append((item, ex.submit(self._load_one, item)))
+                        if dq:
+                            item, fut = dq.popleft()
+                            try:
+                                q.put(fut.result())
+                            except Exception as exc:  # noqa: BLE001
+                                logging.getLogger(__name__).warning(
+                                    "skipping unreadable frame %r: %s", item, exc)
             finally:
                 q.put(sentinel)
 

@@ -74,8 +74,8 @@ dt = time.time() - t0
 ok = sum(1 for v in completed.values() if v["success"])
 log(f"fit_shapes FAST pass: ok {ok}/8, {dt:.1f}s = {dt/8:.2f} s/frame sustained")
 
-# fast showcase without the matplotlib golden artifacts (scatter+overlays
-# + _shapes.txt only)
+# fast showcase without the matplotlib golden artifacts (scatter with
+# overlays only; output_all_files=False also skips _shapes.txt)
 t0 = time.time()
 completed = process_images_to_floor_plans(
     frames_dir, output_dir=out_dir, num_workers=2, fit_shapes=True,

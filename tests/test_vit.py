@@ -209,3 +209,44 @@ def test_infer_fn_speed_fast_runs_tiny():
     out = infer_fn(params, x, None, cfg)
     assert out["depth"].shape == (1, cfg.img_size, cfg.img_size)
     assert np.isfinite(np.asarray(out["depth"])).all()
+
+
+def test_token_merge_noop_ratio_is_exact():
+    """Regression (round-3 review): a ratio too small to merge one token
+    (int(ratio*n) < 1) must leave the forward EXACTLY equal to the exact
+    path — the failed-merge state must not rewind the block cursor and
+    re-apply blocks at the next capture point."""
+    import jax
+
+    from ml_depth_pro_video_tpu.models.vit import init_vit
+
+    cfg = ViTConfig(img_size=64, patch_size=16, embed_dim=32, depth=6, num_heads=4, mlp_ratio=2)
+    params = init_vit(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+    exact, caps_e = vit_apply(params, x, cfg, capture_blocks=(2, 4))
+    noop, caps_n = vit_apply(params, x, cfg, capture_blocks=(2, 4),
+                             merge_ratio=0.05, merge_block=1)  # r = int(.05*16) = 0
+    np.testing.assert_array_equal(np.asarray(noop), np.asarray(exact))
+    for a, b in zip(caps_n, caps_e):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_merge_after_last_block_is_skipped():
+    """Regression (round-3 review): merge_block >= depth would merge
+    AFTER the final block — pure quality loss, zero compute saved — and
+    must be skipped entirely."""
+    import jax
+
+    from ml_depth_pro_video_tpu.models.vit import init_vit
+
+    cfg = ViTConfig(img_size=64, patch_size=16, embed_dim=32, depth=2, num_heads=4, mlp_ratio=2)
+    params = init_vit(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+    exact, _ = vit_apply(params, x, cfg)
+    out, _ = vit_apply(params, x, cfg, merge_ratio=0.5, merge_block=2)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(exact))
+    # ... while a merge point with blocks remaining does approximate
+    out2, _ = vit_apply(params, x, cfg, merge_ratio=0.5, merge_block=1)
+    assert np.abs(np.asarray(out2) - np.asarray(exact)).max() > 0
