@@ -36,6 +36,7 @@ def process_image_to_mesh(
     add_ground_plane: bool = False,
     preview: bool = True,
     runner=None,
+    html: bool = False,
 ):
     out_dir = os.path.dirname(os.path.abspath(output_path or image_path)) or "."
     stem = os.path.splitext(os.path.basename(image_path))[0]
@@ -53,6 +54,11 @@ def process_image_to_mesh(
 
         mesh = add_ground_plane_mesh(mesh)
     mesh.save_obj(output_path)
+    if html and len(mesh.vertices):
+        from ..geom.html_viewer import export_mesh_html
+
+        export_mesh_html(mesh, os.path.splitext(output_path)[0] + ".html",
+                         title=os.path.basename(output_path))
     if preview and len(mesh.vertices):
         save_render(
             os.path.splitext(output_path)[0] + "_preview.png",
@@ -74,6 +80,8 @@ def main(argv=None) -> None:
                     choices=["poisson", "ball_pivoting", "simple"])
     ap.add_argument("--downscale_factor", type=float, default=1.0)
     ap.add_argument("--no_preview", dest="preview", action="store_false")
+    ap.add_argument("--html", action="store_true",
+                    help="also write a self-contained interactive WebGL viewer")
     args = ap.parse_args(argv)
     kw = dict(voxel_size=args.voxel_size, depth=args.depth,
               downscale_factor=args.downscale_factor)
@@ -82,7 +90,7 @@ def main(argv=None) -> None:
         kw.update({k: preset[k] for k in ("voxel_size", "depth", "downscale_factor")})
         kw.update(nb_points=preset["nb_points"], radius=preset["radius"])
     process_image_to_mesh(args.image_path, args.output_path, method=args.method,
-                          preview=args.preview, **kw)
+                          preview=args.preview, html=args.html, **kw)
 
 
 if __name__ == "__main__":  # pragma: no cover

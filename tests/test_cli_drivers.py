@@ -186,3 +186,37 @@ def test_view_pointcloud_cli_html(tmp_path):
     html_path = str(tmp_path / "c.html")
     assert os.path.exists(html_path)
     assert "drawArrays" in open(html_path).read()
+
+
+def test_mesh_html_viewer_export(tmp_path):
+    """Mesh HTML viewer: indexed-triangle payloads roundtrip, vertex
+    normals are unit, faceless meshes degrade to the point viewer."""
+    import base64
+    import re
+
+    from ml_depth_pro_video_tpu.geom.html_viewer import export_mesh_html, vertex_normals
+    from ml_depth_pro_video_tpu.geom.mesh import TriangleMesh
+
+    # unit tetrahedron
+    v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float64)
+    f = np.array([[0, 2, 1], [0, 1, 3], [0, 3, 2], [1, 2, 3]], np.int64)
+    n = vertex_normals(v, f)
+    np.testing.assert_allclose(np.linalg.norm(n, axis=1), 1.0, rtol=1e-6)
+
+    out = str(tmp_path / "tet.html")
+    export_mesh_html(TriangleMesh(v, f, None), out, title="tet")
+    doc = open(out).read()
+    assert "drawElements" in doc and "http" not in doc.replace("http-equiv", "")
+    idx_b64 = re.search(r'IDX_B64 = "([^"]*)"', doc).group(1)
+    idx = np.frombuffer(base64.b64decode(idx_b64), np.uint32).reshape(-1, 3)
+    np.testing.assert_array_equal(idx, f.astype(np.uint32))
+    nrm_b64 = re.search(r'NRM_B64 = "([^"]*)"', doc).group(1)
+    nrm = np.frombuffer(base64.b64decode(nrm_b64), np.float32).reshape(-1, 3)
+    np.testing.assert_allclose(nrm, n, rtol=1e-5, atol=1e-6)
+    assert re.search(r'N_INDEX = (\d+)', doc).group(1) == "12"
+
+    # faceless -> point viewer
+    out2 = str(tmp_path / "pts.html")
+    export_mesh_html(TriangleMesh(v, np.zeros((0, 3), np.int64), None), out2)
+    doc2 = open(out2).read()
+    assert 'N_INDEX = 0' in doc2
