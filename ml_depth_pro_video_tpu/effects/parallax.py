@@ -48,8 +48,9 @@ def bilinear_sample(image: jnp.ndarray, map_x: jnp.ndarray, map_y: jnp.ndarray) 
     return top * (1 - fy) + bot * fy
 
 
-@functools.partial(jax.jit, static_argnames=("motion_type", "total_frames"))
-def _parallax_clip(image, depth_norm, amplitude: float, motion_type: str, total_frames: int):
+@functools.partial(jax.jit, static_argnames=("motion_type",))
+def _parallax_chunk(image, depth_norm, amplitude, ts, motion_type: str):
+    """Render the frames at phases ``ts`` (one device launch per chunk)."""
     h, w = image.shape[:2]
     ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
                           jnp.arange(w, dtype=jnp.float32), indexing="ij")
@@ -73,21 +74,32 @@ def _parallax_clip(image, depth_norm, amplitude: float, motion_type: str, total_
             raise ValueError(f"Unknown motion type: {motion_type}")
         return bilinear_sample(image, map_x, map_y)
 
-    ts = 2.0 * jnp.pi * jnp.arange(total_frames, dtype=jnp.float32) / total_frames
     return jax.lax.map(one_frame, ts)
 
 
 def parallax_frames(image: np.ndarray, depth: np.ndarray, duration: float = 5.0,
                     fps: int = 30, amplitude: float = 0.05,
                     motion_type: str = "circle") -> np.ndarray:
-    """Render all parallax frames on-device; returns (T, H, W, 3) uint8."""
+    """Render all parallax frames on-device; returns (T, H, W, 3) uint8.
+
+    Frames render in fixed-size chunks streamed to the host (~256 MB of
+    device output per launch; the last chunk is phase-padded so ONE
+    compiled program covers the whole clip) — a long 4K clip would
+    otherwise materialize tens of GB in one buffer and OOM the chip."""
     img = jnp.asarray(np.asarray(image, dtype=np.float32))
     d = np.asarray(depth, dtype=np.float32)
-    depth_norm = (d - d.min()) / max(d.max() - d.min(), 1e-9)
+    depth_norm = jnp.asarray((d - d.min()) / max(d.max() - d.min(), 1e-9))
+    h, w = image.shape[:2]
     total = int(duration * fps)
-    frames = _parallax_clip(img, jnp.asarray(depth_norm), float(amplitude),
-                            motion_type, total)
-    return np.clip(np.asarray(frames), 0, 255).astype(np.uint8)
+    phases = 2.0 * np.pi * np.arange(total, dtype=np.float32) / max(total, 1)
+    chunk = max(1, min(total, int(256e6 // (h * w * 3 * 4))))
+    out = np.empty((total, h, w, 3), np.uint8)
+    for i in range(0, total, chunk):
+        sel = phases[i:i + chunk]
+        ts = jnp.asarray(np.pad(sel, (0, chunk - len(sel))))
+        fr = _parallax_chunk(img, depth_norm, float(amplitude), ts, motion_type)
+        out[i:i + len(sel)] = np.clip(np.asarray(fr[:len(sel)]), 0, 255).astype(np.uint8)
+    return out
 
 
 @jax.jit
@@ -114,6 +126,9 @@ def anaglyph_image(image: np.ndarray, depth: np.ndarray,
 
 def write_video(path: str, frames: np.ndarray, fps: int = 30) -> None:
     """Encode (T, H, W, 3) uint8 RGB frames to a video file on the host."""
+    import logging
+    import os
+
     try:
         import cv2
 
@@ -124,7 +139,16 @@ def write_video(path: str, frames: np.ndarray, fps: int = 30) -> None:
         for f in frames:
             vw.write(f[..., ::-1])  # RGB -> BGR
         vw.release()
-    except Exception:
+    except Exception as exc:  # noqa: BLE001 - fall back, but say why
+        logging.getLogger(__name__).warning(
+            "cv2 video encode failed (%s); falling back to imageio", exc)
+        # a half-written cv2 file must not survive next to (or as) the
+        # fallback's output
+        if os.path.exists(path):
+            try:
+                os.remove(path)
+            except OSError:
+                pass
         import imageio
 
         imageio.mimsave(path, list(frames), fps=fps)

@@ -18,12 +18,15 @@ from __future__ import annotations
 import base64
 import io
 import json
+import logging
 import queue
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 import numpy as np
+
+LOGGER = logging.getLogger(__name__)
 
 
 class _Batcher:
@@ -213,7 +216,16 @@ def create_server(host: str = "127.0.0.1", port: int = 8500, runner=None,
     # batcher must coalesce up to THAT size or every batch gets padded
     max_batch = max(max_batch, runner.batch_size)
     if warmup_shape is not None:
-        dummy = np.zeros((*warmup_shape, 3), np.uint8)
+        # the batcher canonicalizes every request to (img_size, img_size)
+        # host-side, so THAT is the only shape real traffic compiles —
+        # warming the raw user shape would pay the ~40 s compile for a
+        # program that never serves (the requested shape is accepted for
+        # CLI compatibility but canonicalized exactly like a request)
+        size = int(runner.cfg.img_size)
+        if tuple(warmup_shape) != (size, size):
+            LOGGER.info("warmup %sx%s canonicalized to %dx%d (batcher "
+                        "resizes all requests)", *warmup_shape, size, size)
+        dummy = np.zeros((size, size, 3), np.uint8)
         list(runner.depth_stream([dummy] * max_batch))
     batcher = _Batcher(runner, max_batch=max_batch, max_wait_ms=max_wait_ms)
     return ThreadingHTTPServer((host, port), make_handler(batcher))

@@ -50,9 +50,16 @@ class DepthDataset:
                 d = f["depth"]
         else:
             d = np.load(depth_path)
-        d = np.asarray(
-            Image.fromarray(np.asarray(d, np.float32)).resize((s, s), Image.BILINEAR)
-        )
+        # Validity-aware resize: bilinear on raw depth bleeds zero-valued
+        # hole pixels into neighbors (a 2 m pixel next to a hole becomes
+        # e.g. 0.5 m — positive, so it would PASS the silog (target > 0)
+        # mask with a wildly wrong log). Resize the validity mask along
+        # with the depth and re-invalidate every hole-touched pixel.
+        d = np.asarray(d, np.float32)
+        valid = (d > 0).astype(np.float32)
+        d = np.asarray(Image.fromarray(d).resize((s, s), Image.BILINEAR))
+        v = np.asarray(Image.fromarray(valid).resize((s, s), Image.BILINEAR))
+        d = np.where(v >= 0.999, d, 0.0)
         return x, d
 
     def batches(self, batch_size: int, epochs: int = 1, sharding=None,
@@ -90,10 +97,23 @@ class DepthDataset:
                                 logging.getLogger(__name__).warning(
                                     "skipping unreadable pair %s: %s",
                                     self.pairs[j][0], exc)
-                        if drop_remainder and len(data) < batch_size:
-                            continue
                         if not data:
+                            # every pair unreadable: dropping desyncs the
+                            # decode-free resume skip by one batch — say so
+                            logging.getLogger(__name__).warning(
+                                "entire batch unreadable — dropped; "
+                                "checkpoint-resume replay will be offset "
+                                "by one batch")
+                            n_out -= 1
                             continue
+                        # pad short batches by repeating good samples
+                        # instead of dropping: every counted permutation
+                        # batch then yields exactly one step, keeping the
+                        # decode-free `skip` aligned with state.step
+                        # (fixed shapes also avoid a recompile)
+                        if drop_remainder:
+                            while len(data) < batch_size:
+                                data.append(data[-1])
                         xs = np.stack([d[0] for d in data])
                         ds = np.stack([d[1] for d in data])
                         q.put((xs, ds))

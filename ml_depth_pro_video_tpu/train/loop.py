@@ -54,6 +54,15 @@ def fit(
     """
     precision = precision or Precision.bf16()
     mesh = make_mesh(dp=dp, tp=tp)
+    # P("dp") sharding needs batch divisible by dp — round up like the
+    # inference runner (video/runner.py) instead of crashing at the
+    # first device_put minutes into startup
+    dp_size = mesh.shape.get("dp", 1)
+    if batch_size % dp_size:
+        rounded = ((batch_size + dp_size - 1) // dp_size) * dp_size
+        log.info("batch_size %d -> %d (multiple of dp=%d)",
+                 batch_size, rounded, dp_size)
+        batch_size = rounded
 
     dataset = DepthDataset(data_root, cfg.img_size, seed=seed)
     val_pairs = dataset.pairs[:holdout]
@@ -100,27 +109,35 @@ def fit(
             save_train_state(checkpoint_dir, state)
             if val_pairs:
                 log.info("step %d val_silog %.4f", step,
-                         _validate(state.params, val_pairs, cfg, precision, batch_size))
+                         _validate(state.params, val_pairs, cfg, precision,
+                                   batch_size, mesh))
     if checkpoint_dir:
         save_train_state(checkpoint_dir, state)
     if val_pairs:
         log.info("final val_silog %.4f",
-                 _validate(state.params, val_pairs, cfg, precision, batch_size))
+                 _validate(state.params, val_pairs, cfg, precision, batch_size,
+                           mesh))
     return state
 
 
 @_functools.lru_cache(maxsize=4)
-def _jitted_loss(cfg, precision):
+def _jitted_loss(cfg, precision, attn_impl):
     from .step import loss_fn
 
     # cached so repeated validation rounds reuse one compiled program
     # (Precision and DepthProConfig are frozen/hashable dataclasses)
-    return jax.jit(_functools.partial(loss_fn, cfg=cfg, precision=precision))
+    return jax.jit(_functools.partial(loss_fn, cfg=cfg, precision=precision,
+                                      attn_impl=attn_impl))
 
 
-def _validate(params, pairs, cfg, precision, batch_size) -> float:
-    # unsharded host batches: validation batches may not divide dp
-    jitted = _jitted_loss(cfg, precision)
+def _validate(params, pairs, cfg, precision, batch_size, mesh=None) -> float:
+    # unsharded host batches: validation batches may not divide dp.
+    # Multi-device params force the XLA attention path, mirroring
+    # make_sharded_train_step (pallas_call is not GSPMD-partitionable —
+    # a Pallas-compiled validation program would fail on mesh-resident
+    # params at the FIRST checkpoint, hours into a run)
+    attn_impl = "xla" if mesh is not None and mesh.devices.size > 1 else None
+    jitted = _jitted_loss(cfg, precision, attn_impl)
     ds = DepthDataset.__new__(DepthDataset)
     ds.image_size = cfg.img_size
     ds.pairs = pairs

@@ -311,3 +311,17 @@ def test_parallel_decode_loader_order_and_fault_isolation(frames_dir, tmp_path):
     out_s = list(ser.depth_stream(items))
     for a, b in zip(out_p, out_s):
         np.testing.assert_allclose(a["depth"], b["depth"], rtol=1e-6, atol=1e-6)
+
+
+def test_runner_speed_fast_sets_merge_ratio():
+    from ml_depth_pro_video_tpu.models.depth_pro import SPEED_PRESETS, tiny_config
+    from ml_depth_pro_video_tpu.video.runner import DepthVideoRunner
+
+    r = DepthVideoRunner(cfg=tiny_config(), precision="fp32", speed="fast")
+    assert r.cfg.token_merge_ratio == SPEED_PRESETS["fast"] > 0
+    r2 = DepthVideoRunner(cfg=tiny_config(), precision="fp32")
+    assert r2.cfg.token_merge_ratio == 0.0
+    import pytest
+
+    with pytest.raises(ValueError):
+        DepthVideoRunner(cfg=tiny_config(), speed="warp")

@@ -117,3 +117,41 @@ def test_silog_loss_masks_invalid_targets():
     assert np.isfinite(loss) and loss < 1e-10  # valid pixels are perfect
     all_bad = jnp.zeros((1, 4, 4))
     assert np.isfinite(float(silog_loss(inv[:, :4, :4], all_bad)))
+
+
+def test_depth_resize_does_not_bleed_holes(tmp_path):
+    """Regression (round-3 review): bilinear depth resize bled zero
+    hole pixels into neighbors, producing small POSITIVE depths that
+    pass the silog (target > 0) mask with wrong log values. Hole-touched
+    pixels must come out exactly 0 (invalid)."""
+    rng = np.random.default_rng(0)
+    img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    Image.fromarray(img).save(tmp_path / "a.png")
+    d = np.full((64, 64), 2.0, np.float32)
+    d[20:40, 20:40] = 0.0  # hole
+    np.save(tmp_path / "a_depth.npy", d)
+
+    ds = DepthDataset(str(tmp_path), image_size=32)
+    _, depth = ds._load(0)
+    # every pixel is either invalid (0) or ~2.0; nothing in between
+    mid = (depth > 1e-6) & (depth < 1.9)
+    assert not mid.any(), depth[mid]
+    assert (depth == 0).any() and (np.abs(depth - 2.0) < 1e-3).any()
+
+
+def test_batches_pad_unreadable_instead_of_dropping(tmp_path):
+    """Regression (round-3 review): a batch with an unreadable pair was
+    dropped, desyncing the decode-free resume skip from state.step. Now
+    it pads with good samples and still yields."""
+    rng = np.random.default_rng(1)
+    for i in range(4):
+        Image.fromarray((rng.random((16, 16, 3)) * 255).astype(np.uint8)).save(
+            tmp_path / f"f{i}.png")
+        np.save(tmp_path / f"f{i}_depth.npy", np.ones((16, 16), np.float32))
+    # corrupt one image AFTER indexing
+    ds = DepthDataset(str(tmp_path), image_size=16)
+    open(ds.pairs[1][0], "wb").write(b"corrupt")
+    batches = list(ds.batches(4, epochs=1))
+    assert len(batches) == 1
+    xs, dd = batches[0]
+    assert xs.shape == (4, 16, 16, 3) and dd.shape == (4, 16, 16)
