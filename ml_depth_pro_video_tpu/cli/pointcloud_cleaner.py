@@ -66,21 +66,25 @@ def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description="Image -> cleaned point cloud (TPU)")
     ap.add_argument("--image_path", required=True)
     ap.add_argument("--output_dir", default=None)
-    ap.add_argument("--nb_points", type=int, default=20)
-    ap.add_argument("--radius", type=float, default=0.1)
+    # None defaults: an EXPLICIT flag must win over a --quality preset
+    ap.add_argument("--nb_points", type=int, default=None)
+    ap.add_argument("--radius", type=float, default=None)
     ap.add_argument("--shadow_height_threshold", type=float, default=0.1)
     ap.add_argument("--max_shadow_angle", type=float, default=75.0)
-    ap.add_argument("--downscale_factor", type=float, default=1.0)
+    ap.add_argument("--downscale_factor", type=float, default=None)
     ap.add_argument("--quality", choices=list(QUALITY_PRESETS), default=None)
     ap.add_argument("--view_preset", default="front",
                     choices=["front", "top", "side", "iso", "isometric", "multi"],
                     help="preview view (reference default: front)")
     ap.add_argument("--no_preview", dest="preview", action="store_false")
     args = ap.parse_args(argv)
-    kw = dict(nb_points=args.nb_points, radius=args.radius,
-              downscale_factor=args.downscale_factor)
+    # precedence: explicit flag > quality preset > built-in default
+    kw = dict(nb_points=20, radius=0.1, downscale_factor=1.0)
     if args.quality:
         kw.update(QUALITY_PRESETS[args.quality])
+    for name in ("nb_points", "radius", "downscale_factor"):
+        if getattr(args, name) is not None:
+            kw[name] = getattr(args, name)
     process_image_to_clean_pointcloud(
         args.image_path, args.output_dir,
         shadow_height_threshold=args.shadow_height_threshold,

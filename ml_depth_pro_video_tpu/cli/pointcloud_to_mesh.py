@@ -74,21 +74,25 @@ def main(argv=None) -> None:
     ap.add_argument("--output_path", default=None)
     ap.add_argument("--quality", choices=list(QUALITY_PRESETS), default=None,
                     help="preset overriding voxel/depth/downscale")
-    ap.add_argument("--voxel_size", type=float, default=0.05)
-    ap.add_argument("--depth", type=int, default=8)
+    # None defaults: an EXPLICIT flag must win over a --quality preset
+    ap.add_argument("--voxel_size", type=float, default=None)
+    ap.add_argument("--depth", type=int, default=None)
     ap.add_argument("--method", default="poisson",
                     choices=["poisson", "ball_pivoting", "simple"])
-    ap.add_argument("--downscale_factor", type=float, default=1.0)
+    ap.add_argument("--downscale_factor", type=float, default=None)
     ap.add_argument("--no_preview", dest="preview", action="store_false")
     ap.add_argument("--html", action="store_true",
                     help="also write a self-contained interactive WebGL viewer")
     args = ap.parse_args(argv)
-    kw = dict(voxel_size=args.voxel_size, depth=args.depth,
-              downscale_factor=args.downscale_factor)
+    # precedence: explicit flag > quality preset > built-in default
+    kw = dict(voxel_size=0.05, depth=8, downscale_factor=1.0)
     if args.quality:
         preset = dict(QUALITY_PRESETS[args.quality])
         kw.update({k: preset[k] for k in ("voxel_size", "depth", "downscale_factor")})
         kw.update(nb_points=preset["nb_points"], radius=preset["radius"])
+    for name in ("voxel_size", "depth", "downscale_factor"):
+        if getattr(args, name) is not None:
+            kw[name] = getattr(args, name)
     process_image_to_mesh(args.image_path, args.output_path, method=args.method,
                           preview=args.preview, html=args.html, **kw)
 

@@ -96,7 +96,7 @@ def run(args) -> None:
             Image.fromarray(colorize(normed)).save(str(base) + ".jpg", quality=90)
             print(f"wrote {base}.npz / .jpg")
         else:
-            print(f"{rel.name}: depth [{depth.min():.2f}, {depth.max():.2f}] m, "
+            print(f"{src.name}: depth [{depth.min():.2f}, {depth.max():.2f}] m, "
                   f"f_px={result['focallength_px']:.1f}")
 
     if not args.skip_display:

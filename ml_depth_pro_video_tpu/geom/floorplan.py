@@ -69,12 +69,17 @@ def detect_floor_plane(cloud: PointCloud, distance_threshold: float = 0.02,
     ok = norms > 1e-12
     normals[ok] /= norms[ok, None]
     d = -np.einsum("ij,ij->i", normals, p0)
-    # inlier counts for all candidate planes at once
-    dist = np.abs(pts @ normals.T + d)  # (N, I)
-    counts = (dist < distance_threshold).sum(axis=0)
+    # score candidate planes in chunks: the full (N, I) distance matrix
+    # is ~8 GB float64 at 1M points x 1000 iterations
+    counts = np.empty(num_iterations, np.int64)
+    chunk = max(1, int(5e7 // max(n, 1)))
+    for i in range(0, num_iterations, chunk):
+        dist = np.abs(pts @ normals[i:i + chunk].T + d[i:i + chunk])
+        counts[i:i + chunk] = (dist < distance_threshold).sum(axis=0)
     counts[~ok] = -1
     best = int(np.argmax(counts))
-    inliers = np.nonzero(dist[:, best] < distance_threshold)[0]
+    best_dist = np.abs(pts @ normals[best] + d[best])
+    inliers = np.nonzero(best_dist < distance_threshold)[0]
     a, b, c = normals[best]
     return (float(a), float(b), float(c), float(d[best])), inliers
 

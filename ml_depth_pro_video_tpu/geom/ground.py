@@ -148,12 +148,17 @@ def _ransac_plane_xz(points: np.ndarray, rng: np.random.Generator,
     ok = np.linalg.det(AtA) > 1e-12
     coef = np.zeros((n_iters, 3))
     coef[ok] = np.linalg.solve(AtA[ok], Atb[ok][..., None])[..., 0]
-    resid = np.abs(xz @ coef.T - y[:, None])  # (N, I)
-    inliers = (resid < residual).sum(axis=0)
+    # score in chunks of iterations: the full (N, I) residual matrix is
+    # ~1 GB when the trace fallback feeds 100k+ points
+    inliers = np.empty(n_iters, np.int64)
+    chunk = max(1, int(5e7 // max(n, 1)))
+    for i in range(0, n_iters, chunk):
+        resid = np.abs(xz @ coef[i:i + chunk].T - y[:, None])
+        inliers[i:i + chunk] = (resid < residual).sum(axis=0)
     inliers[~ok] = -1
     best = int(np.argmax(inliers))
     # refit on the best consensus set
-    mask = resid[:, best] < residual
+    mask = np.abs(xz @ coef[best] - y) < residual
     if mask.sum() >= 3:
         coef_best, *_ = np.linalg.lstsq(xz[mask], y[mask], rcond=None)
     else:

@@ -796,6 +796,12 @@ def depth_map_mesh(depth: np.ndarray, f_px: float, image: np.ndarray | None = No
     colors = None
     if image is not None:
         img = np.asarray(image)[::step, ::step].astype(np.float64)
+        # accept grayscale (H, W) and RGBA alongside RGB, like the rest
+        # of the image-consuming stack (native _rgb_image, depth_to_3d)
+        if img.ndim == 2:
+            img = np.repeat(img[..., None], 3, axis=-1)
+        elif img.shape[-1] == 4:
+            img = img[..., :3]
         if img.max() > 1.0:
             img = img / 255.0
         colors = img.reshape(-1, 3)

@@ -130,13 +130,16 @@ def read_ply(path: str) -> PointCloud:
             name in ("red", "green", "blue") and _PLY_TYPES.get(typ) == "u1"
             for typ, name in props
         )
+        if not vertex_first:
+            # without parsing the preceding element's rows there is no
+            # way to find the vertex data in EITHER format — ascii used
+            # to silently load the wrong element's rows as points
+            raise ValueError(
+                f"{path}: PLY with elements before 'vertex' is not supported")
         if fmt == "ascii":
             data = np.loadtxt(f, max_rows=n, ndmin=2) if n else np.zeros((0, len(props)))
             cols = {name: data[:, i] for i, (_, name) in enumerate(props)}
         else:
-            if not vertex_first:
-                raise ValueError(
-                    f"{path}: binary PLY with elements before 'vertex' is not supported")
             endian = ">" if fmt == "binary_big_endian" else "<"
             try:
                 dtype = np.dtype([(name, endian + _PLY_TYPES[typ]) for typ, name in props])

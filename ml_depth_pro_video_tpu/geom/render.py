@@ -78,17 +78,27 @@ def render_pointcloud_image(
     px = ((u - (u0 + u1) / 2) * scale + width / 2).astype(np.int64)
     py = ((v - (v0 + v1) / 2) * scale + height / 2).astype(np.int64)
 
-    # painter's algorithm: draw far -> near
+    # painter's algorithm with a z-buffer: the splat-offset passes each
+    # redraw every point, so without the buffer a far point's later-pass
+    # splat overwrote near points drawn in earlier passes (silhouettes
+    # bled by up to point_size pixels). Within a pass, far->near write
+    # order makes the nearest duplicate win; across passes the z-buffer
+    # gates the write.
     order = np.argsort(depth)[::-1]
-    px, py, cols = px[order], py[order], cols[order].astype(np.float32)
+    px, py, cols, depth = px[order], py[order], cols[order].astype(np.float32), depth[order]
 
+    zbuf = np.full((height, width), np.inf, np.float32)
     r = max(point_size // 2, 0)
     for dy in range(-r, r + 1):
         for dx in range(-r, r + 1):
             qx = px + dx
             qy = py + dy
             ok = (qx >= 0) & (qx < width) & (qy >= 0) & (qy < height)
-            img[qy[ok], qx[ok]] = cols[ok]
+            qx, qy = qx[ok], qy[ok]
+            near = depth[ok] < zbuf[qy, qx]
+            qx, qy = qx[near], qy[near]
+            img[qy, qx] = cols[ok][near]
+            zbuf[qy, qx] = depth[ok][near]
     return np.clip(img * 255, 0, 255).astype(np.uint8)
 
 

@@ -209,6 +209,11 @@ class neighbors:
         lib = _load()
         if lib is None:
             return None
+        # exact-mirror contract: the kernel computes in float32 depth, so
+        # a float64 map (e.g. remove_depth_shadows output) must take the
+        # numpy chain — matching depth_to_3d's own native-path gate
+        if np.asarray(depth).dtype != np.float32:
+            return None
         dep = np.ascontiguousarray(depth, dtype=np.float32)
         h, w = dep.shape
         normal = np.asarray(ground_model["normal"], dtype=np.float64)

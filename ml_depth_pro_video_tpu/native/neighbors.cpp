@@ -307,12 +307,60 @@ int64_t voxel_downsample(const double* pts, const double* cols, int64_t n,
 
 // PCA normals from neighbors within `radius` (fallback: nearest cell
 // occupants), oriented towards `camera` (cx, cy, cz).
+// Smallest eigenvector of a symmetric 3x3 matrix {a d f; d b e; f e c},
+// closed form (trigonometric eigenvalues + largest cross product of rows
+// of C - lambda*I). Deterministic — replaces a fixed-start power
+// iteration that could fail to separate near-equal eigenvalues on thin
+// edges, flipping normals differently from the numpy eigh fallback.
+static void smallest_eigvec3(double a, double b, double c,
+                             double d, double e, double f, double out[3]) {
+    out[0] = 0.0; out[1] = 1.0; out[2] = 0.0;
+    const double p1 = d * d + e * e + f * f;
+    if (p1 < 1e-30) {  // already diagonal
+        int k = (a <= b && a <= c) ? 0 : (b <= c ? 1 : 2);
+        out[0] = out[1] = out[2] = 0.0;
+        out[k] = 1.0;
+        return;
+    }
+    const double q = (a + b + c) / 3.0;
+    const double p2 = (a - q) * (a - q) + (b - q) * (b - q) + (c - q) * (c - q) + 2.0 * p1;
+    const double p = std::sqrt(p2 / 6.0);
+    const double B0 = (a - q) / p, B4 = (b - q) / p, B8 = (c - q) / p;
+    const double B1 = d / p, B5 = e / p, B2 = f / p;
+    double r = (B0 * (B4 * B8 - B5 * B5) - B1 * (B1 * B8 - B5 * B2)
+                + B2 * (B1 * B5 - B4 * B2)) / 2.0;
+    r = std::max(-1.0, std::min(1.0, r));
+    const double phi = std::acos(r) / 3.0;
+    const double lam = q + 2.0 * p * std::cos(phi + 2.0 * M_PI / 3.0);  // smallest
+    const double A0 = a - lam, A4 = b - lam, A8 = c - lam;
+    const double r0[3] = {A0, d, f}, r1[3] = {d, A4, e}, r2[3] = {f, e, A8};
+    double cr[3][3] = {
+        {r0[1] * r1[2] - r0[2] * r1[1], r0[2] * r1[0] - r0[0] * r1[2], r0[0] * r1[1] - r0[1] * r1[0]},
+        {r0[1] * r2[2] - r0[2] * r2[1], r0[2] * r2[0] - r0[0] * r2[2], r0[0] * r2[1] - r0[1] * r2[0]},
+        {r1[1] * r2[2] - r1[2] * r2[1], r1[2] * r2[0] - r1[0] * r2[2], r1[0] * r2[1] - r1[1] * r2[0]},
+    };
+    int best = 0;
+    double best_n = -1.0;
+    for (int k = 0; k < 3; ++k) {
+        const double nn = cr[k][0] * cr[k][0] + cr[k][1] * cr[k][1] + cr[k][2] * cr[k][2];
+        if (nn > best_n) { best_n = nn; best = k; }
+    }
+    if (best_n < 1e-30) return;  // fully degenerate: keep +Y
+    const double inv = 1.0 / std::sqrt(best_n);
+    out[0] = cr[best][0] * inv;
+    out[1] = cr[best][1] * inv;
+    out[2] = cr[best][2] * inv;
+}
+
 void estimate_normals(const double* pts, int64_t n, double radius,
                       double cx, double cy, double cz, double* normals) {
     if (n == 0) return;
     GridHash grid(pts, n, radius);
     const double r2 = radius * radius;
-    std::vector<int64_t> nbrs;
+    const size_t max_nn = 30;  // Hybrid semantics: the 30 NEAREST inside
+                               // the radius (matching the numpy fallback
+                               // and the reference's KDTreeSearchParamHybrid)
+    std::vector<std::pair<double, int64_t>> nbrs;
     for (int64_t i = 0; i < n; ++i) {
         nbrs.clear();
         const double xi = pts[3 * i], yi = pts[3 * i + 1], zi = pts[3 * i + 2];
@@ -320,38 +368,31 @@ void estimate_normals(const double* pts, int64_t n, double radius,
             const double dx = pts[3 * j] - xi;
             const double dy = pts[3 * j + 1] - yi;
             const double dz = pts[3 * j + 2] - zi;
-            if (dx * dx + dy * dy + dz * dz <= r2) nbrs.push_back(j);
+            const double d2 = dx * dx + dy * dy + dz * dz;
+            if (d2 <= r2) nbrs.emplace_back(d2, j);
         });
+        if (nbrs.size() > max_nn) {
+            std::nth_element(nbrs.begin(), nbrs.begin() + max_nn, nbrs.end());
+            nbrs.resize(max_nn);
+        }
         double nx = 0, ny = 1, nz = 0;
         if (nbrs.size() >= 3) {
             double mx = 0, my = 0, mz = 0;
-            for (int64_t j : nbrs) { mx += pts[3*j]; my += pts[3*j+1]; mz += pts[3*j+2]; }
+            for (auto& pr : nbrs) {
+                const int64_t j = pr.second;
+                mx += pts[3*j]; my += pts[3*j+1]; mz += pts[3*j+2];
+            }
             const double inv = 1.0 / nbrs.size();
             mx *= inv; my *= inv; mz *= inv;
             double cxx=0, cxy=0, cxz=0, cyy=0, cyz=0, czz=0;
-            for (int64_t j : nbrs) {
+            for (auto& pr : nbrs) {
+                const int64_t j = pr.second;
                 const double dx = pts[3*j] - mx, dy = pts[3*j+1] - my, dz = pts[3*j+2] - mz;
                 cxx += dx*dx; cxy += dx*dy; cxz += dx*dz;
                 cyy += dy*dy; cyz += dy*dz; czz += dz*dz;
             }
-            // smallest eigenvector of the 3x3 covariance by inverse power
-            // iteration on (C - eps I); fall back to cross products.
-            double C[9] = {cxx, cxy, cxz, cxy, cyy, cyz, cxz, cyz, czz};
-            // power iteration on (trace*I - C): largest eigvec of that is
-            // smallest of C.
-            const double tr = cxx + cyy + czz;
-            double M[9] = {tr - C[0], -C[1], -C[2], -C[3], tr - C[4], -C[5], -C[6], -C[7], tr - C[8]};
-            double v[3] = {1.0, 1.0, 1.0};
-            for (int it = 0; it < 24; ++it) {
-                double w[3] = {
-                    M[0]*v[0] + M[1]*v[1] + M[2]*v[2],
-                    M[3]*v[0] + M[4]*v[1] + M[5]*v[2],
-                    M[6]*v[0] + M[7]*v[1] + M[8]*v[2],
-                };
-                double norm = std::sqrt(w[0]*w[0] + w[1]*w[1] + w[2]*w[2]);
-                if (norm < 1e-20) break;
-                v[0] = w[0]/norm; v[1] = w[1]/norm; v[2] = w[2]/norm;
-            }
+            double v[3];
+            smallest_eigvec3(cxx, cyy, czz, cxy, cyz, cxz, v);
             nx = v[0]; ny = v[1]; nz = v[2];
         }
         // orient towards camera

@@ -400,3 +400,53 @@ def test_ply_reader_hardening(tmp_path):
 
     with pytest.raises(ValueError):
         PointCloud(np.zeros((4, 3)), np.zeros((4, 4)))  # RGBA misalignment
+
+
+def test_render_zbuffer_keeps_near_points_over_far_splats():
+    """Regression (round-3 review): splat-offset passes redraw every
+    point, so a far point's later-pass splat overwrote near pixels.
+    The z-buffer must keep the near point's color."""
+    from ml_depth_pro_video_tpu.geom.pointcloud import PointCloud
+    from ml_depth_pro_video_tpu.geom.render import render_pointcloud_image
+
+    pts = np.array([
+        [0.0, 0.0, 0.0],       # near (red), lands on pixel (50, 50)
+        [-1 / 90, 0.0, 5.0],   # far (blue), one pixel left: its +1 splat
+                               # hits (50, 50) in a later pass
+        [0.5, 0.0, 0.0], [-0.5, 0.0, 0.0],  # fix the span
+    ])
+    cols = np.array([[1, 0, 0], [0, 0, 1], [0, 0, 0], [0, 0, 0]], float)
+    img = render_pointcloud_image(PointCloud(pts, cols), view="front",
+                                  width=100, height=100, point_size=3,
+                                  max_points=None)
+    np.testing.assert_array_equal(img[50, 50], [255, 0, 0])
+
+
+def test_read_ply_rejects_elements_before_vertex(tmp_path):
+    """Regression (round-3 review): the ascii path silently loaded the
+    preceding element's rows as vertex data."""
+    import pytest
+
+    from ml_depth_pro_video_tpu.geom.pointcloud import read_ply
+
+    p = tmp_path / "bad.ply"
+    p.write_text(
+        "ply\nformat ascii 1.0\n"
+        "element edge 2\nproperty int v1\nproperty int v2\n"
+        "element vertex 1\nproperty float x\nproperty float y\nproperty float z\n"
+        "end_header\n0 1\n1 2\n0.0 0.0 0.0\n")
+    with pytest.raises(ValueError, match="before 'vertex'"):
+        read_ply(str(p))
+
+
+def test_cleaner_cli_explicit_flags_beat_quality_preset(monkeypatch):
+    """Regression (round-3 review): --quality silently clobbered
+    explicitly passed --nb_points/--radius."""
+    from ml_depth_pro_video_tpu.cli import pointcloud_cleaner as mod
+
+    captured = {}
+    monkeypatch.setattr(mod, "process_image_to_clean_pointcloud",
+                        lambda *a, **kw: captured.update(kw))
+    mod.main(["--image_path", "x.jpg", "--quality", "fast", "--nb_points", "5"])
+    assert captured["nb_points"] == 5                       # explicit wins
+    assert captured["radius"] == mod.QUALITY_PRESETS["fast"]["radius"]  # preset fills the rest

@@ -271,3 +271,37 @@ def test_simple_triangulation_tiny_cloud():
         mesh = simple_triangulation(cloud, k=6)
         if len(mesh.faces):
             assert mesh.faces.max() < len(mesh.vertices)
+
+
+def test_native_normals_match_numpy_fallback():
+    """Regression (round-3 review): the native PCA normals used ALL
+    radius neighbors and a fixed-start power iteration; numpy uses the
+    30 nearest + eigh. Both now implement Hybrid(radius, max_nn=30)
+    semantics with an exact smallest-eigenvector, so they must agree."""
+    from ml_depth_pro_video_tpu.geom import mesh as mesh_mod
+    from ml_depth_pro_video_tpu.native import neighbors as native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+
+    rng = np.random.default_rng(0)
+    # dense wavy sheet: >30 neighbors inside the radius for inner points
+    g = np.linspace(0, 1, 40)
+    xx, zz = np.meshgrid(g, g)
+    pts = np.column_stack([
+        xx.ravel(), 0.08 * np.sin(6 * xx.ravel()) * np.cos(6 * zz.ravel()), zz.ravel()])
+    pts += rng.normal(scale=1e-4, size=pts.shape)
+
+    got = native.estimate_normals(pts, radius=0.12, camera=(0.5, 5.0, 0.5))
+
+    # numpy fallback, forced
+    import unittest.mock as mock
+
+    with mock.patch.object(mesh_mod._native, "available", lambda: False):
+        ref = mesh_mod.estimate_normals(pts, radius=0.12, camera=(0.5, 5.0, 0.5))
+    dots = np.abs(np.einsum("ij,ij->i", got, ref))
+    # allow a small tie-break tail (nth_element vs KD-tree ordering on
+    # equidistant neighbors); the bulk must agree to ~1 degree
+    assert np.quantile(dots, 0.05) > 0.9995, np.quantile(dots, [0, 0.05, 0.5])
