@@ -576,8 +576,6 @@ class DepthPro:
         if not chw and x.shape[-3] == 3 and x.shape[-2] != 3:
             # (3, H, 3)-shaped input is genuinely ambiguous between CHW
             # with W=3 and HWC with H=3; we assume HWC — say so
-            import logging
-
             logging.getLogger(__name__).warning(
                 "ambiguous input shape %s: assuming HWC (channels-last); "
                 "pass channels-last explicitly to silence", x.shape)

@@ -85,7 +85,8 @@ def make_latency_infer(cfg: DepthProConfig, mesh: Mesh | None = None,
                        precision: Precision = Precision.fp32(),
                        attn_impl: str | None = None,
                        derive_missing: bool = False,
-                       interpolation_mode: str = "bilinear"):
+                       interpolation_mode: str = "bilinear",
+                       preprocess=None):
     """Jitted forward with the model itself sharded over the mesh.
     Signature: ``fn(params, x, f_px) -> {"depth", "focallength_px"}``
     with x (B, H, W, 3) and f_px (B,) or None.
@@ -103,6 +104,11 @@ def make_latency_infer(cfg: DepthProConfig, mesh: Mesh | None = None,
         return jax.lax.with_sharding_constraint(t, row_sharded)
 
     def fn(params, x, f_px=None):
+        # ``preprocess`` (e.g. the runner's uint8 normalization) runs
+        # INSIDE the jitted program so it fuses instead of adding an
+        # eager dispatch + fp32 frame copy on the latency path
+        if preprocess is not None:
+            x = preprocess(x)
         return infer_fn(params, x, f_px, cfg, precision, attn_impl,
                         interpolation_mode=interpolation_mode,
                         derive_missing=derive_missing,

@@ -288,12 +288,15 @@ def process_images_to_floor_plans(
         t_start = time.time()
         n_done = 0
         total = len(image_paths)
+        # a worker pool only helps with cores to spare: on a 1-core host
+        # thread overlap measurably HURTS (GIL + memory contention —
+        # 6.2 vs 3.0 s/frame measured), so clamp to the core count.
+        # Clamp BEFORE sizing the in-flight bound below.
+        num_workers = max(1, min(num_workers, os.cpu_count() or 1))
         # bound in-flight geometry: inference streams ~20x faster than
         # the host stages, and each queued result holds the full frame +
         # depth (~20 MB at 1536^2) — an unbounded backlog OOMs long runs
-        import threading as _threading
-
-        inflight = _threading.Semaphore(max(num_workers, 1) * 2)
+        inflight = threading.Semaphore(num_workers * 2)
 
         def handle(result):
             nonlocal n_done
@@ -316,10 +319,6 @@ def process_images_to_floor_plans(
             print(f"[{done}/{total}] {os.path.basename(result['key'])} "
                   f"ok={ok} {dt:.1f}s (avg {avg:.1f}s/frame, ETA {eta/60:.1f} min)")
 
-        # a worker pool only helps with cores to spare: on a 1-core host
-        # thread overlap measurably HURTS (GIL + memory contention —
-        # 6.2 vs 3.0 s/frame measured), so clamp to the core count
-        num_workers = max(1, min(num_workers, os.cpu_count() or 1))
         if num_workers > 1:
             # device inference streams ahead; geometry overlaps on host threads
             with ThreadPoolExecutor(max_workers=num_workers) as pool:
@@ -404,8 +403,15 @@ def main(argv=None):  # pragma: no cover - CLI shim, exercised via cli tests
         from .decode import extract_frames
 
         args.frames_dir = args.frames_dir or os.path.splitext(args.video)[0] + "_frames"
-        print(f"Decoding {args.video} -> {args.frames_dir}")
-        extract_frames(args.video, args.frames_dir)
+        have = glob.glob(os.path.join(args.frames_dir, args.pattern))
+        if have and not args.force_reprocess:
+            # --resume reruns must not re-decode the whole video before
+            # the progress filter even looks at what is done
+            print(f"{len(have)} frames already extracted in {args.frames_dir}; "
+                  "skipping decode (--force_reprocess re-extracts)")
+        else:
+            print(f"Decoding {args.video} -> {args.frames_dir}")
+            extract_frames(args.video, args.frames_dir)
     process_images_to_floor_plans(
         frames_dir=args.frames_dir, output_dir=args.output_dir,
         height_threshold=args.height_threshold, point_size=args.point_size,

@@ -87,6 +87,10 @@ class DepthVideoRunner:
 
         params = load_checkpoint(cfg)
         if params is None:
+            if cfg.checkpoint_uri is not None:
+                logging.getLogger(__name__).warning(
+                    "checkpoint %s not found; running with RANDOM weights "
+                    "(depth output will be garbage)", cfg.checkpoint_uri)
             params = init_depth_pro(jax.random.PRNGKey(rng_seed), cfg)
         if quantize:
             from ..ckpt.quantize import quantize_vit_weights
@@ -126,11 +130,16 @@ class DepthVideoRunner:
                 from ..parallel.latency import make_latency_infer, make_sp_mesh
 
                 sp_mesh = make_sp_mesh(list(self.mesh.devices.flat))
+                # norm runs INSIDE the jitted latency program (preprocess
+                # hook) — an eager norm here would add an un-jitted
+                # dispatch and a full fp32 frame copy per batch on the
+                # latency-critical path
                 lat = make_latency_infer(cfg, sp_mesh, prec,
-                                         derive_missing=mixed)
+                                         derive_missing=mixed,
+                                         preprocess=norm)
 
                 def fn(p, x, f=None, _lat=lat):  # noqa: E731
-                    return _lat(p, norm(x), f)
+                    return _lat(p, x, f)
             elif self.mesh is not None:
                 # shard_map: each chip runs the full per-frame program on
                 # its batch slice (pallas kernels aren't GSPMD-partitionable)
@@ -179,6 +188,12 @@ class DepthVideoRunner:
         else:
             img = np.asarray(item)
             key = None
+        if img.dtype != np.uint8:
+            # convert BEFORE any PIL resize: Image.fromarray cannot
+            # handle float RGB arrays (they were silently dropped)
+            if np.issubdtype(img.dtype, np.floating) and img.size and img.max() <= 1.0:
+                img = img * 255.0  # [0,1] floats (plt.imread etc.)
+            img = np.clip(img, 0, 255).astype(np.uint8)
         if self.downscale_factor != 1.0:
             from PIL import Image
 
@@ -187,10 +202,6 @@ class DepthVideoRunner:
             if f_px is not None:
                 f_px = f_px * self.downscale_factor
             img = np.asarray(Image.fromarray(img).resize((w, h), Image.BILINEAR))
-        if img.dtype != np.uint8:
-            if np.issubdtype(img.dtype, np.floating) and img.size and img.max() <= 1.0:
-                img = img * 255.0  # [0,1] floats (plt.imread etc.)
-            img = np.clip(img, 0, 255).astype(np.uint8)
         return key, img, f_px
 
     def depth_stream(self, items: Iterable) -> Iterator[dict]:
@@ -224,6 +235,12 @@ class DepthVideoRunner:
                             except StopIteration:
                                 exhausted = True
                                 break
+                            except Exception as exc:  # noqa: BLE001 - the
+                                # ITEMS iterator itself failed: truncating
+                                # silently would look like normal
+                                # exhaustion — surface it to the consumer
+                                q.put(("__stream_error__", exc))
+                                return
                             dq.append((item, ex.submit(self._load_one, item)))
                         if dq:
                             item, fut = dq.popleft()
@@ -303,6 +320,8 @@ class DepthVideoRunner:
             got = q.get()
             if got is sentinel:
                 break
+            if isinstance(got, tuple) and len(got) == 2 and got[0] == "__stream_error__":
+                raise RuntimeError("frame source iterator failed") from got[1]
             key, x, f = got
             if pending and x.shape != pending[0][1].shape:
                 # resolution change mid-stream: flush the homogeneous

@@ -325,3 +325,31 @@ def test_runner_speed_fast_sets_merge_ratio():
 
     with pytest.raises(ValueError):
         DepthVideoRunner(cfg=tiny_config(), speed="warp")
+
+
+def test_float_frame_with_downscale_not_dropped(tiny_runner):
+    """Regression (round-3 review): float RGB frames + downscale_factor
+    crashed PIL (uint8 conversion ran AFTER the resize) and the frame
+    was silently dropped."""
+    from ml_depth_pro_video_tpu.models.depth_pro import tiny_config
+    from ml_depth_pro_video_tpu.video.runner import DepthVideoRunner
+
+    r = DepthVideoRunner(cfg=tiny_config(), precision="fp32",
+                         batch_size=1, downscale_factor=0.5)
+    r.params = tiny_runner.params
+    frame = np.random.default_rng(0).random((120, 160, 3)).astype(np.float32)
+    out = list(r.depth_stream([frame]))
+    assert len(out) == 1 and out[0]["depth"].shape == (60, 80)
+
+
+def test_stream_iterator_failure_raises(tiny_runner):
+    """Regression (round-3 review): an items-iterator exception ended
+    the stream as if it completed normally; it must raise."""
+    import pytest
+
+    def bad_gen():
+        yield np.zeros((64, 64, 3), np.uint8)
+        raise IOError("container died")
+
+    with pytest.raises(RuntimeError, match="frame source iterator failed"):
+        list(tiny_runner.depth_stream(bad_gen()))
