@@ -26,6 +26,10 @@ def main() -> None:
     import dataclasses
 
     cfg = DEFAULT_MONODEPTH_CONFIG
+    if os.environ.get("BENCH_SPEED"):  # "fast" = ToMe token-merge tier
+        from ml_depth_pro_video_tpu.models.depth_pro import apply_speed
+
+        cfg = apply_speed(cfg, os.environ["BENCH_SPEED"])
     params = load_checkpoint(cfg)
     if params is None:
         cfg = dataclasses.replace(cfg, checkpoint_uri=None)
