@@ -84,3 +84,30 @@ def test_generate_depth_maps_cli(tmp_path):
     assert os.path.exists(out / "f_0_depth.npz")
     npz = np.load(out / "f_0_depth.npz")
     assert npz["depth"].shape == (96, 128)
+
+
+def test_parallax_chunking_is_value_exact():
+    """Regression (round-3 review fix): clips render in fixed-size
+    chunks; chunk boundaries must not change any pixel."""
+    import jax.numpy as jnp
+
+    from ml_depth_pro_video_tpu.effects import parallax as par
+
+    rng = np.random.default_rng(0)
+    img = (rng.random((40, 48, 3)) * 255).astype(np.uint8)
+    depth = (1 + rng.random((40, 48))).astype(np.float32)
+
+    whole = par.parallax_frames(img, depth, duration=0.6, fps=10)  # 6 frames
+
+    img_j = jnp.asarray(img.astype(np.float32))
+    d = depth
+    dn = jnp.asarray((d - d.min()) / max(d.max() - d.min(), 1e-9))
+    phases = 2.0 * np.pi * np.arange(6, dtype=np.float32) / 6
+    out = np.empty_like(whole)
+    chunk = 4  # forces a padded tail chunk
+    for i in range(0, 6, chunk):
+        sel = phases[i:i + chunk]
+        ts = jnp.asarray(np.pad(sel, (0, chunk - len(sel))))
+        fr = par._parallax_chunk(img_j, dn, 0.05, ts, "circle")
+        out[i:i + len(sel)] = np.clip(np.asarray(fr[:len(sel)]), 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(out, whole)
