@@ -29,8 +29,12 @@ import jax.numpy as jnp
 
 def bilinear_sample(image: jnp.ndarray, map_x: jnp.ndarray, map_y: jnp.ndarray) -> jnp.ndarray:
     """Sample (H, W, C) image at fractional coords (torch/cv2 INTER_LINEAR
-    semantics with border clamp)."""
+    semantics with border clamp). Corner lookups go through ONE flat
+    linear-index gather each — measurably faster than 2-D advanced
+    indexing on TPU (65 vs 90 ms/frame at 1536^2,
+    scripts/tpu_warp_profile.out)."""
     h, w = image.shape[:2]
+    flat = image.reshape(-1, image.shape[-1])
     x = jnp.clip(map_x, 0.0, w - 1.0)
     y = jnp.clip(map_y, 0.0, h - 1.0)
     x0 = jnp.floor(x).astype(jnp.int32)
@@ -39,10 +43,10 @@ def bilinear_sample(image: jnp.ndarray, map_x: jnp.ndarray, map_y: jnp.ndarray) 
     y1 = jnp.minimum(y0 + 1, h - 1)
     fx = (x - x0)[..., None]
     fy = (y - y0)[..., None]
-    v00 = image[y0, x0]
-    v01 = image[y0, x1]
-    v10 = image[y1, x0]
-    v11 = image[y1, x1]
+    v00 = jnp.take(flat, y0 * w + x0, axis=0)
+    v01 = jnp.take(flat, y0 * w + x1, axis=0)
+    v10 = jnp.take(flat, y1 * w + x0, axis=0)
+    v11 = jnp.take(flat, y1 * w + x1, axis=0)
     top = v00 * (1 - fx) + v01 * fx
     bot = v10 * (1 - fx) + v11 * fx
     return top * (1 - fy) + bot * fy
@@ -72,7 +76,9 @@ def _parallax_chunk(image, depth_norm, amplitude, ts, motion_type: str):
             map_y = ys
         else:
             raise ValueError(f"Unknown motion type: {motion_type}")
-        return bilinear_sample(image, map_x, map_y)
+        # clip + uint8 ON DEVICE: the host fetch then moves 4x less
+        # data and skips a 250 MB/chunk clip+astype pass on one core
+        return jnp.clip(bilinear_sample(image, map_x, map_y), 0, 255).astype(jnp.uint8)
 
     return jax.lax.map(one_frame, ts)
 
@@ -92,13 +98,22 @@ def parallax_frames(image: np.ndarray, depth: np.ndarray, duration: float = 5.0,
     h, w = image.shape[:2]
     total = int(duration * fps)
     phases = 2.0 * np.pi * np.arange(total, dtype=np.float32) / max(total, 1)
-    chunk = max(1, min(total, int(256e6 // (h * w * 3 * 4))))
+    # chunk output is uint8 on device; per-frame fp32 temps live only
+    # inside the lax.map body
+    chunk = max(1, min(total, int(256e6 // (h * w * 3))))
     out = np.empty((total, h, w, 3), np.uint8)
+    pending = None  # one-deep pipeline: dispatch chunk i+1, then fetch i
     for i in range(0, total, chunk):
         sel = phases[i:i + chunk]
         ts = jnp.asarray(np.pad(sel, (0, chunk - len(sel))))
         fr = _parallax_chunk(img, depth_norm, float(amplitude), ts, motion_type)
-        out[i:i + len(sel)] = np.clip(np.asarray(fr[:len(sel)]), 0, 255).astype(np.uint8)
+        if pending is not None:
+            j, m, prev = pending
+            out[j:j + m] = np.asarray(prev[:m])
+        pending = (i, len(sel), fr)
+    if pending is not None:
+        j, m, prev = pending
+        out[j:j + m] = np.asarray(prev[:m])
     return out
 
 
