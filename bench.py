@@ -69,10 +69,17 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     fps = batch * iters / dt
+    # non-default modes must be distinguishable downstream: the exact
+    # default keeps the canonical metric name, env-knob variants tag it
+    suffix = ""
+    if os.environ.get("BENCH_SPEED"):
+        suffix += f"_speed_{os.environ['BENCH_SPEED']}"
+    if os.environ.get("BENCH_QUANT"):
+        suffix += "_int8"
     print(
         json.dumps(
             {
-                "metric": "fps_per_chip_1536x1536_metric_depth",
+                "metric": "fps_per_chip_1536x1536_metric_depth" + suffix,
                 "value": round(fps, 3),
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / (1.0 / 0.3), 3),
