@@ -50,10 +50,9 @@ def colorize_depth(depth: np.ndarray, colormap: str = "turbo",
 def save_depth_image(path: str, arr: np.ndarray) -> None:
     from PIL import Image
 
-    if arr.dtype == np.uint16:
-        Image.fromarray(arr, mode="I;16").save(path)
-    else:
-        Image.fromarray(arr).save(path)
+    # uint16 arrays map to 16-bit grayscale ("I;16") natively; passing
+    # mode= explicitly is deprecated in Pillow (removal Oct 2026)
+    Image.fromarray(arr).save(path)
 
 
 def generate_depth_maps(

@@ -89,18 +89,32 @@ def estimate_normals(points: np.ndarray, radius: float, camera=(0.0, 0.0, 0.0),
     from scipy.spatial import cKDTree
 
     pts = np.asarray(points, dtype=np.float64)
+    if len(pts) == 0:
+        return np.zeros((0, 3))
+    k = min(max_nn, len(pts))
     tree = cKDTree(pts)
-    dist, idx = tree.query(pts, k=min(max_nn, len(pts)), workers=-1)
     normals = np.zeros_like(pts)
-    for i in range(len(pts)):
-        nbrs = idx[i][dist[i] <= radius]
-        if len(nbrs) < 3:
-            normals[i] = [0, 1, 0]
-            continue
-        q = pts[nbrs] - pts[nbrs].mean(axis=0)
-        cov = q.T @ q
-        w, v = np.linalg.eigh(cov)
-        normals[i] = v[:, 0]
+    # batched masked-PCA: per chunk, gather the (n, k, 3) neighbor block,
+    # zero-weight neighbors outside the radius, and eigensolve all the
+    # 3x3 covariances at once (same math as the per-point loop, ~100x
+    # faster on large clouds without the native lib)
+    chunk = 65536
+    for s in range(0, len(pts), chunk):
+        p = pts[s:s + chunk]
+        dist, idx = tree.query(p, k=k, workers=-1)
+        if k == 1:
+            dist = dist[:, None]
+            idx = idx[:, None]
+        w = (dist <= radius).astype(np.float64)
+        counts = w.sum(axis=1)
+        nbr = pts[idx]
+        mean = (nbr * w[..., None]).sum(axis=1) / np.maximum(counts, 1)[:, None]
+        q = (nbr - mean[:, None, :]) * w[..., None]
+        cov = np.einsum("nki,nkj->nij", q, q)
+        _, vecs = np.linalg.eigh(cov)
+        n = vecs[..., 0]
+        n[counts < 3] = [0.0, 1.0, 0.0]
+        normals[s:s + chunk] = n
     to_cam = np.asarray(camera) - pts
     flip = np.einsum("ij,ij->i", normals, to_cam) < 0
     normals[flip] *= -1
@@ -381,7 +395,11 @@ def _dense_chi(pts: np.ndarray, nrm: np.ndarray, res: int, origin: np.ndarray,
     # solve -lap(chi) = -div  (SPD form) on the accelerator; numpy fallback
     try:
         chi = _poisson_cg_device(-div, iters=cg_iters)
-    except Exception:  # pragma: no cover - e.g. device OOM
+    except Exception as e:  # pragma: no cover - e.g. device OOM
+        logger.warning(
+            "Poisson CG device solve failed (%s: %s); falling back to the "
+            "host numpy CG — expect a much slower solve (minutes at 256^3 "
+            "on a small host).", type(e).__name__, e)
         chi = _cg(lambda x: -_laplacian_apply(x), -div, iters=cg_iters)
     return chi, density
 

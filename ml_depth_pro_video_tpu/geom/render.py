@@ -78,15 +78,14 @@ def render_pointcloud_image(
     px = ((u - (u0 + u1) / 2) * scale + width / 2).astype(np.int64)
     py = ((v - (v0 + v1) / 2) * scale + height / 2).astype(np.int64)
 
-    # painter's algorithm with a z-buffer: the splat-offset passes each
-    # redraw every point, so without the buffer a far point's later-pass
-    # splat overwrote near points drawn in earlier passes (silhouettes
-    # bled by up to point_size pixels). Within a pass, far->near write
-    # order makes the nearest duplicate win; across passes the z-buffer
-    # gates the write.
-    order = np.argsort(depth)[::-1]
-    px, py, cols, depth = px[order], py[order], cols[order].astype(np.float32), depth[order]
-
+    # z-buffered splatting: the splat-offset passes each redraw every
+    # point, so without the buffer a far point's later-pass splat
+    # overwrote near points drawn in earlier passes (silhouettes bled by
+    # up to point_size pixels). Within a pass, the nearest duplicate per
+    # pixel is selected EXPLICITLY (per-pixel argmin of depth via a
+    # stable lexsort) rather than relying on fancy-index write ordering;
+    # across passes the z-buffer gates the write.
+    cols = cols.astype(np.float32)
     zbuf = np.full((height, width), np.inf, np.float32)
     r = max(point_size // 2, 0)
     for dy in range(-r, r + 1):
@@ -94,11 +93,17 @@ def render_pointcloud_image(
             qx = px + dx
             qy = py + dy
             ok = (qx >= 0) & (qx < width) & (qy >= 0) & (qy < height)
-            qx, qy = qx[ok], qy[ok]
-            near = depth[ok] < zbuf[qy, qx]
-            qx, qy = qx[near], qy[near]
-            img[qy, qx] = cols[ok][near]
-            zbuf[qy, qx] = depth[ok][near]
+            qx, qy, d, c = qx[ok], qy[ok], depth[ok], cols[ok]
+            lin = qy * width + qx
+            by_pixel = np.lexsort((d, lin))
+            lin_s = lin[by_pixel]
+            first = np.ones(len(lin_s), dtype=bool)
+            first[1:] = lin_s[1:] != lin_s[:-1]
+            sel = by_pixel[first]  # nearest point of each touched pixel
+            qx, qy, d, c = qx[sel], qy[sel], d[sel], c[sel]
+            near = d < zbuf[qy, qx]
+            img[qy[near], qx[near]] = c[near]
+            zbuf[qy[near], qx[near]] = d[near]
     return np.clip(img * 255, 0, 255).astype(np.uint8)
 
 

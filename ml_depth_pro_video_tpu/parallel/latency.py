@@ -17,20 +17,31 @@ latency, by splitting the model's own work across every chip:
   3x3 convs automatically;
 - the tiny image/FOV ViTs (1 patch each) stay replicated.
 
-On a v5e-8 this turns the ~105 ms patch-ViT into ~15 ms + gather and
-the ~45 ms decoder into ~8 ms + halos, bounding single-stream latency
-at roughly the replicated remainder — the video pipeline can then hit
+On a v5e-8 this is PROJECTED (not yet measured on real 8-chip
+hardware) to turn the ~105 ms patch-ViT into ~15 ms + gather and the
+~45 ms decoder into ~8 ms + halos, bounding single-stream latency at
+roughly the replicated remainder — the video pipeline can then hit
 camera rate on ONE stream instead of needing 8 parallel streams.
+
+**Padding waste**: the 35-patch axis must pad up to a multiple of the
+mesh size — on 8 devices that is 40 slots, i.e. 12.5% of the patch-ViT
+compute is spent on zero patches (the log notes the fraction at trace
+time). 5- or 7-device meshes divide 35 exactly (zero pad); on a full
+v5e-8 the 8-way split is still faster in wall-clock than a 7-way split
+with one idle chip (35/8 -> 5 patches per chip vs 5 with 7 chips),
+so the default remains "use every device".
 """
 
 from __future__ import annotations
+
+import logging
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..core.precision import Precision
 from ..models.depth_pro import DepthProConfig, infer_fn
@@ -63,12 +74,20 @@ def _sharded_patch_vit(mesh: Mesh, cfg: DepthProConfig, precision: Precision,
         body, mesh=mesh,
         in_specs=(P(), P("sp")),
         out_specs=(P("sp"), P("sp"), P("sp")),
-        check_rep=False,
+        check_vma=False,
     )
 
     def patch_vit_fn(vp, pyramid):
         nb = pyramid.shape[0]
         pad = (-nb) % n
+        if pad:
+            # trace-time (once per compile): be honest about the padded
+            # slots — e.g. 35 patches on 8 devices pad to 40 = 12.5%
+            # wasted patch-ViT compute (5/7-device meshes divide exactly)
+            logging.getLogger(__name__).info(
+                "latency mode: %d patches pad to %d on %d devices "
+                "(%.1f%% padded patch-ViT compute)",
+                nb, nb + pad, n, 100.0 * pad / (nb + pad))
         xp = jnp.pad(pyramid, ((0, pad),) + ((0, 0),) * (pyramid.ndim - 1))
         t, h0, h1 = sharded(vp, xp)
         # replicate the gathered tokens for the (cheap) merge that follows

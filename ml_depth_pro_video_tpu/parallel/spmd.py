@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import jax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 def make_dp_infer(infer_fn, mesh: Mesh, n_batch_args: int = 1):
@@ -25,6 +25,6 @@ def make_dp_infer(infer_fn, mesh: Mesh, n_batch_args: int = 1):
         mesh=mesh,
         in_specs=(P(),) + (P("dp"),) * n_batch_args,
         out_specs=P("dp"),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(wrapped)

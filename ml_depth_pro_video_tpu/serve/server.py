@@ -155,7 +155,9 @@ def make_handler(batcher: _Batcher):
                     lo, hi = float(depth.min()), float(depth.max())
                     normed = ((depth - lo) / max(hi - lo, 1e-9) * 65535).astype(np.uint16)
                     buf = io.BytesIO()
-                    Image.fromarray(normed, mode="I;16").save(buf, format="PNG")
+                    # uint16 arrays map to 16-bit grayscale natively; an
+                    # explicit mode= here is deprecated (removal Oct 2026)
+                    Image.fromarray(normed).save(buf, format="PNG")
                     body = buf.getvalue()
                     # metric scale travels in headers so the client can
                     # map pixel values back to meters

@@ -106,14 +106,20 @@ class DepthDataset:
                                 "by one batch")
                             n_out -= 1
                             continue
-                        # pad short batches by repeating good samples
-                        # instead of dropping: every counted permutation
-                        # batch then yields exactly one step, keeping the
-                        # decode-free `skip` aligned with state.step
-                        # (fixed shapes also avoid a recompile)
+                        # pad short batches to full size instead of
+                        # dropping: every counted permutation batch then
+                        # yields exactly one step, keeping the decode-free
+                        # `skip` aligned with state.step (fixed shapes
+                        # also avoid a recompile). Pad samples reuse the
+                        # last image but carry an ALL-ZERO depth target —
+                        # the silog mask (`train/step.py::silog_loss`,
+                        # target > 0 with a global valid-pixel count)
+                        # gives them exactly zero loss and gradient, so
+                        # duplicates get no extra weight.
                         if drop_remainder:
                             while len(data) < batch_size:
-                                data.append(data[-1])
+                                data.append((data[-1][0],
+                                             np.zeros_like(data[-1][1])))
                         xs = np.stack([d[0] for d in data])
                         ds = np.stack([d[1] for d in data])
                         q.put((xs, ds))

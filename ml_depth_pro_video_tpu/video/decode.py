@@ -55,6 +55,9 @@ def video_info(path: str) -> dict:
         cap.release()
 
 
+DECODE_COMPLETE_MARKER = ".decode_complete"
+
+
 # 6 digits keep lexicographic == numeric order past 10k frames (the
 # pipeline sorts frame files lexicographically)
 def extract_frames(path: str, output_dir: str, pattern: str = "output_{:06d}.png",
@@ -69,4 +72,10 @@ def extract_frames(path: str, output_dir: str, pattern: str = "output_{:06d}.png
         out = os.path.join(output_dir, pattern.format(i))
         Image.fromarray(frame).save(out)
         written.append(out)
+    # decode-complete marker: an interrupted extraction leaves frames on
+    # disk that LOOK like a finished set to a later resume run; the
+    # marker (written only after the full decode) records the true count
+    # so the pipeline can tell complete from truncated (ADVICE r3)
+    with open(os.path.join(output_dir, DECODE_COMPLETE_MARKER), "w") as f:
+        f.write(f"{len(written)}\n")
     return written

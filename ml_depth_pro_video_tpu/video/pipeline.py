@@ -400,13 +400,36 @@ def main(argv=None):  # pragma: no cover - CLI shim, exercised via cli tests
     if not args.frames_dir and not args.video:
         ap.error("--frames_dir or --video is required")
     if args.video:
-        from .decode import extract_frames
+        from .decode import DECODE_COMPLETE_MARKER, extract_frames, video_info
 
         args.frames_dir = args.frames_dir or os.path.splitext(args.video)[0] + "_frames"
         have = glob.glob(os.path.join(args.frames_dir, args.pattern))
+        # --resume reruns must not re-decode the whole video before the
+        # progress filter even looks at what is done — but an interrupted
+        # decode leaves a silently TRUNCATED frame set, so "frames exist"
+        # is not enough (ADVICE r3): trust the decode-complete marker, or
+        # failing that compare against the container's frame count.
+        complete = False
         if have and not args.force_reprocess:
-            # --resume reruns must not re-decode the whole video before
-            # the progress filter even looks at what is done
+            marker = os.path.join(args.frames_dir, DECODE_COMPLETE_MARKER)
+            if os.path.exists(marker):
+                try:
+                    with open(marker) as f:
+                        expected = int(f.read().strip())
+                except (ValueError, OSError):
+                    expected = -1
+                complete = 0 <= expected <= len(have)
+            else:
+                try:
+                    expected = video_info(args.video)["frames"]
+                except Exception:
+                    expected = 0
+                complete = expected > 0 and len(have) >= expected
+            if not complete:
+                print(f"{len(have)} frames in {args.frames_dir} look "
+                      "incomplete (no decode-complete marker / fewer than "
+                      "the video's frame count); re-extracting")
+        if complete:
             print(f"{len(have)} frames already extracted in {args.frames_dir}; "
                   "skipping decode (--force_reprocess re-extracts)")
         else:

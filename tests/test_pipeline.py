@@ -161,6 +161,15 @@ def test_video_decode_roundtrip(tmp_path, tiny_runner):
     written = extract_frames(vid, out_dir, stride=3)
     assert len(written) == 2 and os.path.exists(written[0])
 
+    # completed decode writes the marker with the true frame count so a
+    # resume run can tell a finished extraction from a truncated one
+    from ml_depth_pro_video_tpu.video.decode import DECODE_COMPLETE_MARKER
+
+    marker = os.path.join(out_dir, DECODE_COMPLETE_MARKER)
+    assert os.path.exists(marker)
+    with open(marker) as f:
+        assert int(f.read().strip()) == 2
+
 
 def test_runner_downscale_rescales_fpx(frames_dir):
     from ml_depth_pro_video_tpu.models.depth_pro import tiny_config
