@@ -5,9 +5,12 @@ Capability parity with `/root/reference/pointcloud_to_mesh.py:313-465`
 ball-pivoting / simple triangulation, low-density vertex filtering,
 mesh cleanup) without Open3D:
 
-- **poisson** — our own grid Poisson reconstruction: normals are
-  trilinearly splatted into a vector field V on a regular grid, the
-  indicator function chi solves the Poisson equation lap(chi) = div V
+- **poisson** — our own grid SCREENED Poisson reconstruction: normals
+  are trilinearly splatted into a vector field V on a regular grid, the
+  indicator chi solves (lap - alpha·D) chi = div V — the screened
+  Poisson equation of Kazhdan-Hoppe 2013 with lumped-diagonal sample
+  weights D, matching the reference's Open3D call, which is screened
+  (`pointcloud_to_mesh.py:356`; alpha=0 recovers the plain equation) —
   via matrix-free conjugate gradients (7-point Laplacian as array
   shifts), and the iso-surface is extracted with marching tetrahedra
   (6-tet Kuhn cube decomposition — no big marching-cubes tables).
@@ -284,10 +287,13 @@ def _cg(apply_A, b: np.ndarray, iters: int = 200, tol: float = 1e-6) -> np.ndarr
     return x
 
 
-def _poisson_cg_device(b: np.ndarray, iters: int = 300, tol: float = 1e-6) -> np.ndarray:
-    """CG on -lap(x) = b, jitted on the default JAX device (the Poisson
-    solve is a pure stencil loop — ideal accelerator work; the TPU does
-    a 128^3 x 300-iteration solve in milliseconds)."""
+def _poisson_cg_device(b: np.ndarray, iters: int = 300, tol: float = 1e-6,
+                       diag: np.ndarray | None = None) -> np.ndarray:
+    """CG on (-lap + diag)(x) = b, jitted on the default JAX device (the
+    Poisson solve is a pure stencil loop — ideal accelerator work; the
+    TPU does a 128^3 x 300-iteration solve in milliseconds). ``diag`` is
+    the optional SCREENING term (Kazhdan-Hoppe): a pointwise
+    sample-density penalty that anchors the indicator at the samples."""
     import functools
 
     import jax
@@ -303,13 +309,17 @@ def _poisson_cg_device(b: np.ndarray, iters: int = 300, tol: float = 1e-6) -> np
         out = out.at[:, :, :-1].add(-x[:, :, 1:])
         return out
 
-    @functools.partial(jax.jit, static_argnames=("n_iters",))
-    def solve(b, n_iters):
+    @functools.partial(jax.jit, static_argnames=("n_iters", "screened"))
+    def solve(b, d, n_iters, screened):
         b_norm2 = jnp.sum(b * b) + 1e-30
+
+        def apply_A(x):
+            y = neg_lap(x)
+            return y + d * x if screened else y
 
         def body(state):
             i, x, r, p, rs = state
-            Ap = neg_lap(p)
+            Ap = apply_A(p)
             alpha = rs / (jnp.sum(p * Ap) + 1e-30)
             x = x + alpha * p
             r = r - alpha * Ap
@@ -325,7 +335,9 @@ def _poisson_cg_device(b: np.ndarray, iters: int = 300, tol: float = 1e-6) -> np
         _, x, *_ = jax.lax.while_loop(cond, body, (0, x0, b, b, jnp.sum(b * b)))
         return x
 
-    return np.asarray(solve(jnp.asarray(b, jnp.float32), iters), dtype=np.float64)
+    d = jnp.zeros((1, 1, 1), jnp.float32) if diag is None else jnp.asarray(diag, jnp.float32)
+    return np.asarray(solve(jnp.asarray(b, jnp.float32), d, iters,
+                            diag is not None), dtype=np.float64)
 
 
 def _corner_weights(frac: np.ndarray):
@@ -368,10 +380,32 @@ def _grid_frame(pts: np.ndarray, res: int):
     return origin, spacing
 
 
+def _screen_diag(density: np.ndarray, screen: float) -> np.ndarray | None:
+    """Screening diagonal from the splat density: normalized so the mean
+    occupied node gets weight ``screen`` (making alpha resolution- and
+    point-count-independent, in the spirit of Kazhdan-Hoppe's
+    area-normalized screening)."""
+    if screen <= 0:
+        return None
+    occ = density > 0
+    if not occ.any():
+        return None
+    return (screen / float(density[occ].mean())) * density
+
+
 def _dense_chi(pts: np.ndarray, nrm: np.ndarray, res: int, origin: np.ndarray,
-               spacing: float, cg_iters: int):
+               spacing: float, cg_iters: int, screen: float = 0.0):
     """Dense grid Poisson solve: splat normals, divergence, CG.
-    Returns (chi, density) as (res, res, res) arrays."""
+    Returns (chi, density) as (res, res, res) arrays.
+
+    ``screen > 0`` solves the SCREENED Poisson equation
+    (-lap + alpha·D) chi = -div V with D the (normalized) sample splat
+    density — the pointwise interpolation penalty of Kazhdan-Hoppe 2013
+    with lumped-diagonal weights and target chi(sample) = 0. This is
+    what the reference's Open3D call actually runs
+    (`/root/reference/pointcloud_to_mesh.py:356-366`); the unscreened
+    equation over-smooths and bulges on open-boundary depth-map clouds
+    (dense foreground, sparse background)."""
     coords = (pts - origin) / spacing
     V = np.zeros((res, res, res, 3), np.float32)
     density = np.zeros((res, res, res), np.float32)
@@ -392,15 +426,21 @@ def _dense_chi(pts: np.ndarray, nrm: np.ndarray, res: int, origin: np.ndarray,
         grad[tuple(sl_c)] = (comp[tuple(sl_f)] - comp[tuple(sl_b)]) / 2.0
         div += grad
 
-    # solve -lap(chi) = -div  (SPD form) on the accelerator; numpy fallback
+    # solve (-lap [+ alpha·D])(chi) = -div (SPD form) on the accelerator;
+    # numpy fallback
+    diag = _screen_diag(density, screen)
     try:
-        chi = _poisson_cg_device(-div, iters=cg_iters)
+        chi = _poisson_cg_device(-div, iters=cg_iters, diag=diag)
     except Exception as e:  # pragma: no cover - e.g. device OOM
         logger.warning(
             "Poisson CG device solve failed (%s: %s); falling back to the "
             "host numpy CG — expect a much slower solve (minutes at 256^3 "
             "on a small host).", type(e).__name__, e)
-        chi = _cg(lambda x: -_laplacian_apply(x), -div, iters=cg_iters)
+        if diag is None:
+            chi = _cg(lambda x: -_laplacian_apply(x), -div, iters=cg_iters)
+        else:
+            chi = _cg(lambda x: -_laplacian_apply(x) + diag * x, -div,
+                      iters=cg_iters)
     return chi, density
 
 
@@ -417,7 +457,8 @@ def _density_filter(mesh_verts, faces, vdens, density_quantile):
 
 
 def poisson_reconstruct(points: np.ndarray, normals: np.ndarray, depth: int = 6,
-                        density_quantile: float = 0.1, cg_iters: int = 300):
+                        density_quantile: float = 0.1, cg_iters: int = 300,
+                        screen: float = 4.0):
     """Grid Poisson surface reconstruction (see module docstring).
 
     ``depth`` mirrors the reference's octree depth: grid resolution is
@@ -427,6 +468,10 @@ def poisson_reconstruct(points: np.ndarray, normals: np.ndarray, depth: int = 6,
     narrow-band solver (`poisson_reconstruct_sparse`) — a dense 512^3+
     grid would not fit host memory, and the surface only occupies a thin
     shell of it anyway.
+
+    ``screen`` is the Kazhdan-Hoppe screening weight (the reference's
+    Open3D Poisson is *screened*; its default interpolation weight is 4).
+    0 disables screening (the plain Poisson equation, round-2 behavior).
     """
     pts = np.asarray(points, dtype=np.float64)
     nrm = np.asarray(normals, dtype=np.float64)
@@ -435,12 +480,13 @@ def poisson_reconstruct(points: np.ndarray, normals: np.ndarray, depth: int = 6,
     if 2**depth > 256:
         return poisson_reconstruct_sparse(
             pts, nrm, depth=depth, density_quantile=density_quantile,
-            cg_iters=cg_iters)
+            cg_iters=cg_iters, screen=screen)
     res = 2**depth
 
     origin, spacing = _grid_frame(pts, res)
     coords = (pts - origin) / spacing
-    chi, density = _dense_chi(pts, nrm, res, origin, spacing, cg_iters)
+    chi, density = _dense_chi(pts, nrm, res, origin, spacing, cg_iters,
+                              screen=screen)
 
     # iso level: mean indicator value at the sample points
     ijk = np.clip(np.round(coords).astype(np.int64), 0, res - 1)
@@ -516,7 +562,7 @@ def _splat_sparse(keys: np.ndarray, res: int, coords: np.ndarray,
 def poisson_reconstruct_sparse(points: np.ndarray, normals: np.ndarray,
                                depth: int = 9, density_quantile: float = 0.1,
                                cg_iters: int = 300, band: int | None = None,
-                               coarse_depth: int = 8):
+                               coarse_depth: int = 8, screen: float = 4.0):
     """Narrow-band Poisson reconstruction for depth >= 9 (512^3+).
 
     Beyond-reference fidelity (the reference's Open3D call runs octree
@@ -586,7 +632,8 @@ def poisson_reconstruct_sparse(points: np.ndarray, normals: np.ndarray,
     # --- coarse dense solve for boundary values / initial guess
     cres = min(2**coarse_depth, 256)
     cspacing = spacing * (res - 1) / (cres - 1)
-    chi_c, _ = _dense_chi(pts, nrm, cres, origin, cspacing, cg_iters)
+    chi_c, _ = _dense_chi(pts, nrm, cres, origin, cspacing, cg_iters,
+                          screen=screen)
     ratio = (cres - 1) / (res - 1)
 
     def coarse_at(node_keys: np.ndarray) -> np.ndarray:
@@ -612,9 +659,14 @@ def poisson_reconstruct_sparse(points: np.ndarray, normals: np.ndarray,
             b[missing] += coarse_at(nb_keys[missing, col]) * scale
         # out-of-grid neighbors keep the zero (far-field) boundary
 
+    # screening diagonal on band nodes (density ~ 0 at the band edge, so
+    # the coarse-to-fine h-scaling transfer of the Dirichlet values — a
+    # pure-Laplacian-region argument — is unaffected by screening)
+    diag = _screen_diag(density, screen)
+
     def apply_A(x):
         pad = np.concatenate([x, [0.0]])
-        acc = 6.0 * x
+        acc = 6.0 * x if diag is None else (6.0 + diag) * x
         for col in range(6):
             acc -= pad[nb_idx[:, col]]
         return acc
@@ -862,12 +914,16 @@ def add_ground_plane_mesh(mesh: TriangleMesh, y: float = 0.0,
 
 
 def create_mesh_from_pointcloud(cloud: PointCloud, voxel_size: float = 0.05,
-                                depth: int = 8, method: str = "poisson") -> TriangleMesh:
-    """Point cloud -> mesh (reference entry `pointcloud_to_mesh.py:313`)."""
+                                depth: int = 8, method: str = "poisson",
+                                screen: float = 4.0) -> TriangleMesh:
+    """Point cloud -> mesh (reference entry `pointcloud_to_mesh.py:313`).
+    ``screen`` = Kazhdan-Hoppe screening weight for the poisson method
+    (4.0 mirrors Open3D's screened-Poisson default; 0 = unscreened)."""
     down = voxel_downsample(cloud, voxel_size)
     if method == "poisson":
         normals = estimate_normals(down.points, radius=voxel_size * 2)
-        mesh = poisson_reconstruct(down.points, normals, depth=depth)
+        mesh = poisson_reconstruct(down.points, normals, depth=depth,
+                                   screen=screen)
         if down.colors is not None and len(mesh.vertices):
             from scipy.spatial import cKDTree
 

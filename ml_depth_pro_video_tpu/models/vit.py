@@ -106,7 +106,8 @@ def patchify(x: jnp.ndarray, patch: int) -> jnp.ndarray:
     return x.reshape(b, g_h * g_w, patch * patch * c)
 
 
-def _block(x: jnp.ndarray, bp: dict, cfg: ViTConfig, attn_impl: str | None) -> jnp.ndarray:
+def _block(x: jnp.ndarray, bp: dict, cfg: ViTConfig, attn_impl: str | None,
+           key_bias: jnp.ndarray | None = None) -> jnp.ndarray:
     from ..ckpt.quantize import materialize_weight as _w
 
     b, s, d = x.shape
@@ -115,7 +116,7 @@ def _block(x: jnp.ndarray, bp: dict, cfg: ViTConfig, attn_impl: str | None) -> j
 
     h = layer_norm(x, bp["ln1_g"], bp["ln1_b"], cfg.layer_norm_eps)
     qkv = jnp.dot(h, _w(bp["qkv_w"], cdt), preferred_element_type=cdt) + bp["qkv_b"].astype(cdt)
-    attn = attention_packed(qkv, nh, impl=attn_impl)
+    attn = attention_packed(qkv, nh, impl=attn_impl, key_bias=key_bias)
     attn = jnp.dot(attn, _w(bp["proj_w"], cdt), preferred_element_type=cdt) + bp["proj_b"].astype(cdt)
     x = x + bp["ls1"].astype(cdt) * attn
 
@@ -126,11 +127,14 @@ def _block(x: jnp.ndarray, bp: dict, cfg: ViTConfig, attn_impl: str | None) -> j
     return x + bp["ls2"].astype(cdt) * h
 
 
-def _scan_blocks(x, stacked, lo, hi, cfg, attn_impl, remat=False):
+def _scan_blocks(x, stacked, lo, hi, cfg, attn_impl, remat=False,
+                 key_bias=None):
     """Run blocks [lo, hi) via lax.scan over the stacked param axis.
 
     ``remat=True`` checkpoints each block (activations rematerialized in
-    the backward pass — O(sqrt) memory for training at 1536px)."""
+    the backward pass — O(sqrt) memory for training at 1536px).
+    ``key_bias`` (B, S): per-key attention score bias applied in every
+    block of the segment (ToMe proportional attention)."""
     if hi == lo:
         return x
     seg = jax.tree.map(lambda a: a[lo:hi], stacked)
@@ -139,7 +143,7 @@ def _scan_blocks(x, stacked, lo, hi, cfg, attn_impl, remat=False):
         block = jax.checkpoint(_block, static_argnums=(2, 3))
 
     def body(carry, bp):
-        return block(carry, bp, cfg, attn_impl), None
+        return block(carry, bp, cfg, attn_impl, key_bias), None
 
     x, _ = jax.lax.scan(body, x, seg)
     return x
@@ -156,16 +160,17 @@ def compute_token_merge(tokens: jnp.ndarray, ratio: float):
     Patch tokens alternate into sets A/B; each A token's best cosine
     match in B is found, and the ``r = int(ratio * n_patch)`` most
     similar A tokens are merged (averaged) into their matches. Returns
-    ``(merged_tokens (B, S-r, D), gather_map (B, S))`` where the gather
-    map reconstructs a full-length sequence by duplicating each merged
-    token back to its source positions — or ``None`` when r < 1.
+    ``(merged_tokens (B, S-r, D), gather_map (B, S), log_sizes
+    (B, S-r))`` where the gather map reconstructs a full-length sequence
+    by duplicating each merged token back to its source positions and
+    ``log_sizes`` is the log of how many original tokens each merged
+    token represents — the per-key score bias of ToMe's PROPORTIONAL
+    attention (round 4; the fused kernel takes it via
+    `ops/attention.py::flash_attention_packed_bias`). ``None`` if r < 1.
 
-    Deviations from the paper, both deliberate: similarity is measured
-    on the tokens themselves (ToMeSD's choice; attention keys live
-    inside the scanned block body), and proportional attention is
-    skipped (merged "size" weighting would need a score bias the fused
-    kernel does not take; the deviation is measured on-chip instead —
-    docs/PERFORMANCE.md).
+    One deliberate deviation from the paper remains: similarity is
+    measured on the tokens themselves (ToMeSD's choice; attention keys
+    live inside the scanned block body).
     """
     b, s, d = tokens.shape
     n = s - 1
@@ -202,7 +207,13 @@ def compute_token_merge(tokens: jnp.ndarray, ratio: float):
     gmap = gmap.at[batch, a_pos[kept_rank]].set(1 + jnp.arange(na - r, dtype=jnp.int32))
     gmap = gmap.at[batch, a_pos[merged_rank]].set((1 + (na - r) + dst).astype(jnp.int32))
     gmap = gmap.at[:, b_pos].set(1 + (na - r) + jnp.arange(nb, dtype=jnp.int32))
-    return merged, gmap
+
+    # log token sizes for proportional attention: cls and kept-A tokens
+    # represent themselves (log 1 = 0), each B token represents itself
+    # plus whatever merged into it
+    log_sizes = jnp.concatenate(
+        [jnp.zeros((b, 1 + na - r), jnp.float32), jnp.log(cnt)], axis=1)
+    return merged, gmap, log_sizes
 
 
 def unmerge_tokens(tokens: jnp.ndarray, gmap: jnp.ndarray) -> jnp.ndarray:
@@ -251,11 +262,12 @@ def vit_apply(
 
     captures = []
     gmap = None
+    key_bias = None
     lo = 0
 
     def merge_now(t):
         m = compute_token_merge(t, merge_ratio)
-        return (t, None) if m is None else (m[0], m[1])
+        return (t, None, None) if m is None else m
 
     # merge exactly once, and only if blocks remain afterwards (merging
     # after the last block would degrade output while saving nothing)
@@ -265,17 +277,19 @@ def vit_apply(
         if merge_pending and mb <= idx:
             tokens = _scan_blocks(tokens, params["blocks"], lo, mb, cfg, attn_impl, remat)
             lo = mb
-            tokens, gmap = merge_now(tokens)
+            tokens, gmap, key_bias = merge_now(tokens)
             merge_pending = False
-        tokens = _scan_blocks(tokens, params["blocks"], lo, idx + 1, cfg, attn_impl, remat)
+        tokens = _scan_blocks(tokens, params["blocks"], lo, idx + 1, cfg, attn_impl,
+                              remat, key_bias)
         captures.append(unmerge_tokens(tokens, gmap) if gmap is not None else tokens)
         lo = idx + 1
     if merge_pending and max(mb, lo) < cfg.depth:
         mb = max(mb, lo)
         tokens = _scan_blocks(tokens, params["blocks"], lo, mb, cfg, attn_impl, remat)
         lo = mb
-        tokens, gmap = merge_now(tokens)
-    tokens = _scan_blocks(tokens, params["blocks"], lo, cfg.depth, cfg, attn_impl, remat)
+        tokens, gmap, key_bias = merge_now(tokens)
+    tokens = _scan_blocks(tokens, params["blocks"], lo, cfg.depth, cfg, attn_impl,
+                          remat, key_bias)
 
     tokens = layer_norm(tokens, params["norm"]["g"], params["norm"]["b"], cfg.layer_norm_eps)
     if gmap is not None:

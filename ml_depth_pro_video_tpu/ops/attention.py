@@ -26,11 +26,17 @@ except ImportError:  # pragma: no cover
     pltpu = None
 
 
-def _xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """Reference attention. q,k,v: (B, H, S, D); returns (B, H, S, D)."""
+def _xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                   key_bias: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Reference attention. q,k,v: (B, H, S, D); returns (B, H, S, D).
+    ``key_bias`` (B, S) is added to every query's scores per KEY before
+    the softmax (ToMe proportional attention: log token sizes)."""
     scale = q.shape[-1] ** -0.5
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-    p = jax.nn.softmax(s * scale, axis=-1)
+    s = s * scale
+    if key_bias is not None:
+        s = s + key_bias[:, None, None, :].astype(s.dtype)
+    p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
 
 
@@ -130,6 +136,68 @@ def _packed_kernel(x_ref, o_ref, *, seq_len: int, scale: float,
         o_ref[0, :q_rows, h * hd:(h + 1) * hd] = out.astype(o_ref.dtype)
 
 
+def _packed_kernel_bias(x_ref, bias_ref, o_ref, *, scale: float,
+                        num_heads: int, q_rows: int):
+    """`_packed_kernel` with a per-key additive bias row (ToMe
+    proportional attention: log token sizes; the row ALSO carries the
+    -inf pad mask, so the in-kernel iota goes away). Kept as a separate
+    kernel so the exact hot path stays untouched when no bias is used."""
+    hd = (x_ref.shape[-1] // 3) // num_heads
+    bias = bias_ref[0][None, :]  # (1, s_pad): log-size + pad -inf
+    for h in range(num_heads):
+        base = h * 3 * hd
+        q = x_ref[0, :q_rows, base:base + hd]
+        k = x_ref[0, :, base + hd:base + 2 * hd]
+        v = x_ref[0, :, base + 2 * hd:base + 3 * hd]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = s * scale + bias
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        out = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        o_ref[0, :q_rows, h * hd:(h + 1) * hd] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret", "block_heads"))
+def flash_attention_packed_bias(qkv: jnp.ndarray, key_bias: jnp.ndarray,
+                                num_heads: int, interpret: bool = False,
+                                block_heads: int | None = None) -> jnp.ndarray:
+    """``flash_attention_packed`` with a per-key additive score bias
+    (B, S) fp32 — see `_packed_kernel_bias`."""
+    b, s, d3 = qkv.shape
+    d = d3 // 3
+    hd = d // num_heads
+    scale = hd**-0.5
+    s_pad = _round_up(s, 128)
+    q_rows = _round_up(s, 8)
+    x = jnp.pad(qkv, ((0, 0), (0, s_pad - s), (0, 0)))
+    bias = jnp.pad(key_bias.astype(jnp.float32), ((0, 0), (0, s_pad - s)),
+                   constant_values=-jnp.inf)
+
+    bh = block_heads or num_heads
+    assert num_heads % bh == 0
+    groups = num_heads // bh
+    out = pl.pallas_call(
+        functools.partial(_packed_kernel_bias, scale=scale,
+                          num_heads=bh, q_rows=q_rows),
+        grid=(b, groups),
+        in_specs=[
+            pl.BlockSpec((1, s_pad, 3 * hd * bh), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, s_pad, hd * bh), lambda i, j: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, d), qkv.dtype),
+        interpret=interpret,
+    )(x, bias)
+    return out[:, :s]
+
+
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret", "block_heads"))
 def flash_attention_packed(qkv: jnp.ndarray, num_heads: int,
                            interpret: bool = False,
@@ -174,7 +242,8 @@ def flash_attention_packed(qkv: jnp.ndarray, num_heads: int,
     return out[:, :s]
 
 
-def xla_attention_packed(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+def xla_attention_packed(qkv: jnp.ndarray, num_heads: int,
+                         key_bias: jnp.ndarray | None = None) -> jnp.ndarray:
     """Reference path for the HEAD-CONTIGUOUS packed layout (CPU/tests,
     fp32 parity, and GSPMD-partitioned programs — the (b, s, nh, 3, hd)
     reshape inherits a whole-head column sharding of the qkv matmul)."""
@@ -185,7 +254,7 @@ def xla_attention_packed(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
     q = x[:, :, :, 0].transpose(0, 2, 1, 3)
     k = x[:, :, :, 1].transpose(0, 2, 1, 3)
     v = x[:, :, :, 2].transpose(0, 2, 1, 3)
-    out = _xla_attention(q, k, v)
+    out = _xla_attention(q, k, v, key_bias)
     return out.transpose(0, 2, 1, 3).reshape(b, s, d)
 
 
@@ -211,6 +280,31 @@ def _flash_packed_bwd(num_heads, block_heads, qkv, g):
 _flash_packed_diff.defvjp(_flash_packed_fwd, _flash_packed_bwd)
 
 
+# biased variant: fused forward, XLA-math backward (grads for qkv AND
+# the key bias — the merge sizes are size-counts, but keeping the VJP
+# total means a future learned bias Just Works)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _flash_packed_bias_diff(qkv, key_bias, num_heads, block_heads=None):
+    return flash_attention_packed_bias(qkv, key_bias, num_heads,
+                                       block_heads=block_heads)
+
+
+def _flash_packed_bias_fwd(qkv, key_bias, num_heads, block_heads=None):
+    return (flash_attention_packed_bias(qkv, key_bias, num_heads,
+                                        block_heads=block_heads),
+            (qkv, key_bias))
+
+
+def _flash_packed_bias_bwd(num_heads, block_heads, res, g):
+    qkv, key_bias = res
+    _, vjp = jax.vjp(
+        lambda q, kb: xla_attention_packed(q, num_heads, kb), qkv, key_bias)
+    return vjp(g)
+
+
+_flash_packed_bias_diff.defvjp(_flash_packed_bias_fwd, _flash_packed_bias_bwd)
+
+
 def _fp32_block_heads(num_heads: int, hd: int, s: int) -> int | None:
     """Largest head-group size whose fp32 working set fits comfortably
     in VMEM (double-buffered in/out blocks + score/exp temps <= ~12 MB
@@ -229,7 +323,8 @@ def _fp32_block_heads(num_heads: int, hd: int, s: int) -> int | None:
     return best
 
 
-def attention_packed(qkv: jnp.ndarray, num_heads: int, impl: str | None = None) -> jnp.ndarray:
+def attention_packed(qkv: jnp.ndarray, num_heads: int, impl: str | None = None,
+                     key_bias: jnp.ndarray | None = None) -> jnp.ndarray:
     impl = impl or _default_impl()
     # Mosaic requires the kernel's last block dim (the head group's
     # packed qkv column slice) to be a lane multiple — small-D models
@@ -237,17 +332,22 @@ def attention_packed(qkv: jnp.ndarray, num_heads: int, impl: str | None = None) 
     # heads in one program (measured fastest); fp32's bigger working set
     # blows the 16 MB VMEM scope full-width, so it runs the SAME kernel
     # head-grouped (grid over head groups) — parity mode and production
-    # share one kernel path.
+    # share one kernel path. ``key_bias`` (B, S): per-key additive score
+    # bias (ToMe proportional attention) via the bias kernel variant.
     d = qkv.shape[-1] // 3
     hd = d // num_heads
     if impl == "pallas" and pltpu is not None:
         if qkv.dtype == jnp.bfloat16 and d % 128 == 0:
+            if key_bias is not None:
+                return _flash_packed_bias_diff(qkv, key_bias, num_heads)
             return _flash_packed_diff(qkv, num_heads)
         if qkv.dtype == jnp.float32:
             bh = _fp32_block_heads(num_heads, hd, qkv.shape[1])
             if bh is not None:
+                if key_bias is not None:
+                    return _flash_packed_bias_diff(qkv, key_bias, num_heads, bh)
                 return _flash_packed_diff(qkv, num_heads, bh)
-    return xla_attention_packed(qkv, num_heads)
+    return xla_attention_packed(qkv, num_heads, key_bias)
 
 
 def _default_impl() -> str:

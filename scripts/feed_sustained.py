@@ -1,0 +1,115 @@
+"""Sustained-throughput harness (VERDICT r3 #5): stream pre-decoded
+in-RAM uint8 frames through the REAL `DepthVideoRunner.depth_stream`
+loop on the real TPU for ~60 s and report
+
+  - sustained fps (runner machinery + device compute end-to-end),
+  - host-stall fraction vs the pure-jit kernel rate (bench.py's 6.15
+    fps/chip): stall% = 1 - sustained/pure,
+  - per-worker decode scaling of the runner's bounded decode pool
+    (JPEG bytes -> arrays at 1/2/4/8 workers; on this 1-core VM the
+    scaling is flat BY CONSTRUCTION — the point is the measured
+    ms/frame per worker so real multi-core hosts can be sized:
+    cores_needed = decode_ms_per_frame * target_fps / 1000).
+
+Env: FEED_SECONDS (default 60), FEED_BATCH (default 8).
+Writes scripts/feed_sustained.out.
+"""
+import io
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+OUT = open("/root/repo/scripts/feed_sustained.out", "w")
+
+
+def log(m):
+    print(m)
+    OUT.write(m + "\n")
+    OUT.flush()
+
+
+def main():
+    import jax
+
+    from ml_depth_pro_video_tpu.video.runner import DepthVideoRunner
+
+    seconds = float(os.environ.get("FEED_SECONDS", "60"))
+    batch = int(os.environ.get("FEED_BATCH", "8"))
+    log(f"devices: {jax.devices()}  batch={batch}  window={seconds:.0f}s")
+
+    runner = DepthVideoRunner(batch_size=batch, precision="bf16")
+    s = runner.cfg.img_size
+
+    # ring of pre-decoded frames (distinct contents so nothing caches)
+    rng = np.random.default_rng(0)
+    ring = [rng.integers(0, 255, (s, s, 3), dtype=np.uint8) for _ in range(16)]
+
+    def frames(n):
+        for i in range(n):
+            yield ring[i % len(ring)]
+
+    # warmup: compile + first batches through the full loop
+    for _ in runner.depth_stream(frames(2 * batch)):
+        pass
+
+    # sustained window: run whole batches until the clock runs out
+    done = 0
+    t0 = time.perf_counter()
+    stream = runner.depth_stream(frames(10 ** 9))
+    for r in stream:
+        done += 1
+        if done % batch == 0 and time.perf_counter() - t0 > seconds:
+            break
+    dt = time.perf_counter() - t0
+    stream.close()  # shut the prefetch thread down cleanly
+    fps = done / dt
+    log(f"sustained: {done} frames in {dt:.1f}s = {fps:.2f} fps")
+
+    # pure-kernel rate for the stall fraction (same batch, same params,
+    # no runner machinery): reuse the runner's own jitted fn
+    x = np.stack([ring[i % len(ring)] for i in range(batch)])
+    import jax.numpy as jnp
+
+    xd = jnp.asarray(x)
+    r = runner._infer(xd, None) if hasattr(runner, "_infer") else None
+    if r is None:
+        log("pure-jit reference unavailable (runner internals changed); "
+            "compare against bench.py")
+        pure = None
+    else:
+        jax.tree.leaves(r)[0].block_until_ready()
+        t0 = time.perf_counter()
+        iters = max(3, int(seconds / 4 * fps / batch))
+        for _ in range(iters):
+            r = runner._infer(xd, None)
+        float(jnp.mean(jax.tree.leaves(r)[0]).astype(jnp.float32))
+        pure = batch * iters / (time.perf_counter() - t0)
+        log(f"pure-jit: {pure:.2f} fps -> host-stall "
+            f"{max(0.0, 1 - fps / pure) * 100:.1f}%")
+
+    # decode scaling: the runner pool's JPEG decode ms/frame per worker
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(ring[0]).save(buf, format="JPEG", quality=90)
+    jpg = buf.getvalue()
+    n = 32
+    for workers in (1, 2, 4, 8):
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(workers) as ex:
+            t0 = time.perf_counter()
+            list(ex.map(lambda b: np.asarray(Image.open(io.BytesIO(b))), [jpg] * n))
+            dt = (time.perf_counter() - t0) / n
+        log(f"decode pool {workers} workers: {dt * 1000:.1f} ms/frame "
+            f"({1 / dt:.1f} fps decode ceiling)")
+    log("DONE")
+
+
+if __name__ == "__main__":
+    main()
+    OUT.close()

@@ -1,0 +1,186 @@
+"""ToMe quality gate WITHOUT real weights (VERDICT r3 #2).
+
+Random-init deviation numbers are meaningless (random features have no
+spatial redundancy, so merging averages unrelated tokens — the measured
+0.29-0.50 envelope is pessimistic by construction). This script makes a
+model whose features DO exhibit spatial redundancy by fitting a
+mid-size proxy config on synthetic structured scenes (the real training
+loop, on the real chip), then measures the merge-ratio deviation curve
+on held-out scenes — with the round-4 proportional-attention bias
+active — plus the same curve at random init for contrast.
+
+Proxy model: 8-block ViT (embed 128) at 512 px network resolution —
+same topology as the flagship (pyramid, hooks, merge point after 2
+blocks, 22/24 = 6/8 of blocks run on the merged sequence).
+
+Run (TPU): python scripts/tome_quality_gate.py
+Env: TOME_STEPS (default 480), TOME_SCENES (default 96).
+Writes scripts/tome_quality_gate.out.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+OUT = open("/root/repo/scripts/tome_quality_gate.out", "w")
+
+
+def log(m):
+    print(m)
+    OUT.write(m + "\n")
+    OUT.flush()
+
+
+# ---------------------------------------------------------------------------
+# synthetic structured scenes: shaded boxes in a room, correlated RGB/depth
+
+
+def make_scene(rng: np.random.Generator, size: int = 512):
+    """Raycast a room (floor + back wall + 2-4 boxes) through a pinhole
+    camera; RGB = per-surface albedo * Lambert shading; depth = ray z.
+    Large smooth regions + sharp depth edges = the spatial redundancy
+    real images have."""
+    f = size * 0.9
+    ys, xs = np.mgrid[0:size, 0:size]
+    dx = (xs - size / 2) / f
+    dy = -(ys - size / 2) / f
+    d = np.stack([dx, dy, np.ones_like(dx)], axis=-1)
+
+    t_hit = np.full((size, size), np.inf)
+    normal = np.zeros((size, size, 3))
+    albedo = np.zeros((size, size, 3))
+
+    def register(t, cond, n, alb):
+        nonlocal t_hit, normal, albedo
+        ok = cond & (t > 0.1) & (t < t_hit)
+        t_hit = np.where(ok, t, t_hit)
+        normal[ok] = n
+        albedo[ok] = alb
+
+    floor_y = -1.0 - rng.uniform(0, 0.5)
+    zb = rng.uniform(4.0, 7.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tf = floor_y / d[..., 1]
+        register(tf, d[..., 1] < 0, [0, 1, 0], rng.uniform(0.3, 0.9, 3))
+        tb = zb / d[..., 2]
+        register(tb, np.isfinite(tb), [0, 0, -1], rng.uniform(0.3, 0.9, 3))
+        for _ in range(rng.integers(2, 5)):
+            cx = rng.uniform(-1.5, 1.5)
+            cz = rng.uniform(1.5, zb - 0.5)
+            w, h = rng.uniform(0.2, 0.8, 2)
+            top = floor_y + h
+            alb = rng.uniform(0.2, 1.0, 3)
+            # front face z = cz
+            tz = cz / d[..., 2]
+            p = d * tz[..., None]
+            register(tz, (np.abs(p[..., 0] - cx) < w) & (p[..., 1] > floor_y)
+                     & (p[..., 1] < top), [0, 0, -1], alb)
+            # top face y = top
+            ty = top / d[..., 1]
+            p = d * ty[..., None]
+            register(ty, (d[..., 1] < 0) & (np.abs(p[..., 0] - cx) < w)
+                     & (p[..., 2] > cz) & (p[..., 2] < cz + 2 * w),
+                     [0, 1, 0], alb)
+
+    t_hit = np.where(np.isfinite(t_hit), t_hit, zb)
+    light = np.asarray([0.5, 0.8, -0.3])
+    light = light / np.linalg.norm(light)
+    lam = np.clip((normal * light).sum(-1), 0.15, 1.0)[..., None]
+    img = np.clip(albedo * lam * 255 * rng.uniform(0.8, 1.2), 0, 255).astype(np.uint8)
+    depth = (t_hit * np.linalg.norm(d, axis=-1)).astype(np.float32)
+    return img, depth
+
+
+def write_dataset(root: str, n: int, seed: int = 0, size: int = 512):
+    from PIL import Image
+
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    for i in range(n):
+        img, depth = make_scene(rng, size)
+        Image.fromarray(img).save(os.path.join(root, f"scene_{i:04d}.png"))
+        np.save(os.path.join(root, f"scene_{i:04d}_depth.npy"), depth)
+
+
+# ---------------------------------------------------------------------------
+
+
+def main():
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from ml_depth_pro_video_tpu.core.precision import Precision
+    from ml_depth_pro_video_tpu.models.depth_pro import (
+        DepthProConfig, infer_fn, init_depth_pro)
+    from ml_depth_pro_video_tpu.models.vit import ViTConfig
+    from ml_depth_pro_video_tpu.train.loop import fit
+
+    steps = int(os.environ.get("TOME_STEPS", "480"))
+    n_scenes = int(os.environ.get("TOME_SCENES", "96"))
+    log(f"devices: {jax.devices()}")
+
+    proxy = DepthProConfig(
+        vit=ViTConfig(img_size=128, patch_size=16, embed_dim=128, depth=8,
+                      num_heads=4, mlp_ratio=4),
+        decoder_features=32,
+        dims_encoder=(32, 64, 128, 128),
+        hook_block_ids=(1, 3),
+        use_fov_head=False,
+        checkpoint_uri=None,
+    )
+
+    root = "/tmp/tome_scenes"
+    if not os.path.exists(os.path.join(root, f"scene_{n_scenes - 1:04d}.png")):
+        t0 = time.perf_counter()
+        write_dataset(root, n_scenes, size=proxy.img_size)
+        log(f"dataset: {n_scenes} scenes in {time.perf_counter() - t0:.0f}s")
+
+    batch = 8
+    epochs = max(1, steps * batch // n_scenes)
+    t0 = time.perf_counter()
+    state = fit(root, cfg=proxy, batch_size=batch, epochs=epochs, lr=3e-4,
+                holdout=8, log_every=50)
+    log(f"trained {epochs} epochs (~{epochs * (n_scenes - 8) // batch} steps) "
+        f"in {time.perf_counter() - t0:.0f}s")
+    params = jax.tree.map(np.asarray, state.params)
+
+    # deviation curves on held-out scenes (the LAST 8 of the dataset are
+    # fit()'s holdout by construction — it reserves the tail)
+    rng = np.random.default_rng(123)
+    eval_imgs = []
+    for _ in range(batch):
+        img, _ = make_scene(rng, proxy.img_size)
+        eval_imgs.append(img)
+    x = jnp.asarray((np.stack(eval_imgs).astype(np.float32) / 127.5) - 1.0)
+
+    def curve(tag, p):
+        fns = {}
+        base = None
+        for ratio in (0.0, 0.25, 0.4, 0.5):
+            cfg_r = dataclasses.replace(proxy, token_merge_ratio=ratio)
+            fn = jax.jit(lambda pp, xx, c=cfg_r: infer_fn(
+                pp, xx, None, c, Precision.bf16())["depth"])
+            inv = 1.0 / np.maximum(np.asarray(fn(p, x)), 1e-6)
+            if ratio == 0.0:
+                base = inv
+                log(f"{tag} ratio 0.00: exact baseline")
+                continue
+            rel = np.abs(inv - base) / (np.abs(base) + 1e-9)
+            log(f"{tag} ratio {ratio:.2f}: inv-depth dev mean "
+                f"{rel.mean():.4f}, p95 {np.percentile(rel, 95):.4f}, "
+                f"max {rel.max():.4f}")
+
+    curve("trained", params)
+    curve("random ", jax.tree.map(np.asarray,
+                                  init_depth_pro(jax.random.PRNGKey(0), proxy)))
+    log("DONE")
+
+
+if __name__ == "__main__":
+    main()
+    OUT.close()

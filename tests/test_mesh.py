@@ -90,7 +90,7 @@ def test_poisson_depth9_dispatches_to_sparse(monkeypatch):
 
     called = {}
 
-    def fake_sparse(pts, nrm, depth, density_quantile, cg_iters):
+    def fake_sparse(pts, nrm, depth, density_quantile, cg_iters, screen):
         called["depth"] = depth
         return TriangleMesh(np.zeros((0, 3)), np.zeros((0, 3), np.int64))
 
@@ -381,3 +381,36 @@ def test_poisson_cg_fallback_warns(monkeypatch, caplog):
         mesh = mesh_mod.poisson_reconstruct(pts, -normals, depth=4, cg_iters=60)
     assert len(mesh.vertices) > 0  # host CG still reconstructs
     assert any("host numpy CG" in r.message for r in caplog.records)
+
+
+def test_screened_poisson_room_scene():
+    """Screened Poisson (the reference's Open3D behavior) must beat the
+    plain equation on a depth-map-like ROOM cloud — dense foreground,
+    sparse background, occlusion shadows, open boundaries — where the
+    unscreened solve over-smooths and bulges (VERDICT r3 #4). Metric:
+    scene distance of mesh vertices near observed samples."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from scipy.spatial import cKDTree
+
+    from scripts.poisson_room_validation import room_depth_cloud, scene_distance
+    from ml_depth_pro_video_tpu.geom.mesh import poisson_reconstruct
+
+    pts, _ = room_depth_cloud(h=96, w=120, f=110.0)
+    rng = np.random.default_rng(0)
+    pts = pts + rng.normal(scale=2e-3, size=pts.shape)
+    normals = estimate_normals(pts, radius=0.2, camera=(0.0, 0.0, 0.0))
+
+    stats = {}
+    tree = cKDTree(pts)
+    for screen in (0.0, 4.0):
+        mesh = poisson_reconstruct(pts, -normals, depth=6, screen=screen)
+        assert len(mesh.faces) > 500
+        near = tree.query(mesh.vertices, k=1, workers=-1)[0] < 0.15
+        v2s = scene_distance(mesh.vertices[near])
+        stats[screen] = (float(np.mean(v2s)), float(np.quantile(v2s, 0.95)))
+
+    # screening must not lose on mean and must win on the bulge tail
+    assert stats[4.0][0] <= stats[0.0][0] * 1.1, stats
+    assert stats[4.0][1] < stats[0.0][1], stats

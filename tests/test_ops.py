@@ -219,3 +219,22 @@ def test_fp32_block_heads_budget():
     assert bh < 16  # full-width fp32 would exceed the budget
     # tiny configs (hd too small for lane alignment) -> None -> XLA path
     assert _fp32_block_heads(2, 32, 65) is None
+
+
+def test_flash_attention_packed_bias_interpret_matches_xla():
+    """The bias-kernel variant (ToMe proportional attention, round 4) in
+    interpret mode vs the XLA reference, full-width AND head-grouped."""
+    from ml_depth_pro_video_tpu.ops.attention import (
+        flash_attention_packed_bias,
+        xla_attention_packed,
+    )
+
+    qkv = RNG.standard_normal((2, 33, 3 * 64)).astype(np.float32)
+    bias = (RNG.random((2, 33)) * 2).astype(np.float32)  # log-size-like
+    ref = xla_attention_packed(jnp.asarray(qkv), 4, key_bias=jnp.asarray(bias))
+    got = flash_attention_packed_bias(jnp.asarray(qkv), jnp.asarray(bias), 4,
+                                      interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+    got2 = flash_attention_packed_bias(jnp.asarray(qkv), jnp.asarray(bias), 4,
+                                       interpret=True, block_heads=2)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref), rtol=2e-4, atol=2e-4)

@@ -116,7 +116,7 @@ def test_token_merge_roundtrip_properties():
     b, s, d = 3, 17, 8  # 16 patch tokens: na=8, nb=8
     x = jnp.asarray(rng.standard_normal((b, s, d)).astype(np.float32))
     ratio = 0.25  # r = 4
-    merged, gmap = compute_token_merge(x, ratio)
+    merged, gmap, log_sizes = compute_token_merge(x, ratio)
     r = 4
     assert merged.shape == (b, s - r, d)
     assert gmap.shape == (b, s)
@@ -144,7 +144,7 @@ def test_token_merge_duplicates_are_lossless():
     x = base.copy()
     for a, bb in ((1, 2), (3, 4), (5, 6), (7, 8)):
         x[:, a] = x[:, bb]
-    merged, gmap = compute_token_merge(jnp.asarray(x), 0.5)  # r = 4 = all of A
+    merged, gmap, _ = compute_token_merge(jnp.asarray(x), 0.5)  # r = 4 = all of A
     full = unmerge_tokens(merged, gmap)
     np.testing.assert_allclose(np.asarray(full), x, rtol=1e-6, atol=1e-6)
 
@@ -155,7 +155,7 @@ def test_token_merge_full_a_set_edge():
 
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.standard_normal((2, 17, 8)).astype(np.float32))
-    merged, gmap = compute_token_merge(x, 0.99)  # r = min(15, na=8) = 8
+    merged, gmap, _ = compute_token_merge(x, 0.99)  # r = min(15, na=8) = 8
     assert merged.shape == (2, 9, 8)  # cls + 8 b tokens
     assert unmerge_tokens(merged, gmap).shape == (2, 17, 8)
 
@@ -251,3 +251,79 @@ def test_merge_after_last_block_is_skipped():
     # ... while a merge point with blocks remaining does approximate
     out2, _ = vit_apply(params, x, cfg, merge_ratio=0.5, merge_block=1)
     assert np.abs(np.asarray(out2) - np.asarray(exact)).max() > 0
+
+
+def test_token_merge_log_sizes():
+    """log_sizes: cls/kept-A are log(1)=0; each B token's size is 1 +
+    (number of A tokens merged into it); sum of sizes == original count."""
+    from ml_depth_pro_video_tpu.models.vit import compute_token_merge
+
+    rng = np.random.default_rng(4)
+    b, s, d = 2, 17, 8
+    x = jnp.asarray(rng.standard_normal((b, s, d)).astype(np.float32))
+    merged, gmap, log_sizes = compute_token_merge(x, 0.25)  # r = 4
+    sizes = np.exp(np.asarray(log_sizes))
+    assert log_sizes.shape == merged.shape[:2]
+    np.testing.assert_allclose(sizes[:, :1 + 8 - 4], 1.0, atol=1e-6)
+    # total represented tokens = original patch+cls count
+    np.testing.assert_allclose(sizes.sum(axis=1), s, rtol=1e-6)
+
+
+def test_proportional_attention_bias_equals_duplicate_keys():
+    """The per-key log-size bias must make attention over a merged
+    sequence EXACTLY equal attention over the sequence with that key
+    physically duplicated size-times (the identity proportional
+    attention rests on: exp(s + log n) = n * exp(s))."""
+    from ml_depth_pro_video_tpu.ops.attention import xla_attention_packed
+
+    rng = np.random.default_rng(5)
+    b, s, nh, hd = 1, 6, 2, 4
+    d = nh * hd
+    qkv = rng.standard_normal((b, s, 3 * d)).astype(np.float32)
+
+    # duplicate key/value of token 3 (sequence s+1, query set unchanged):
+    # attention FROM each original query must match the biased version.
+    dup = np.concatenate([qkv, qkv[:, 3:4]], axis=1)
+    out_dup = np.asarray(xla_attention_packed(jnp.asarray(dup), nh))[:, :s]
+
+    bias = np.zeros((b, s), np.float32)
+    bias[:, 3] = np.log(2.0)
+    out_bias = np.asarray(
+        xla_attention_packed(jnp.asarray(qkv), nh, key_bias=jnp.asarray(bias)))
+
+    # query rows other than the duplicated token's own row see identical
+    # distributions; row 3 differs only through its own (identical) value
+    np.testing.assert_allclose(out_bias, out_dup, rtol=1e-5, atol=1e-6)
+
+
+def test_vit_apply_merge_proportional_attention_changes_output():
+    """With merging active the proportional-attention bias is applied
+    (output differs from a bias-less merged pass) and stays finite."""
+    import unittest.mock as mock
+
+    import jax
+
+    from ml_depth_pro_video_tpu.models import vit as vit_mod
+    from ml_depth_pro_video_tpu.models.vit import init_vit
+
+    cfg = ViTConfig(img_size=64, patch_size=16, embed_dim=32, depth=4,
+                    num_heads=4, mlp_ratio=2)
+    params = init_vit(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+
+    with_bias, _ = vit_mod.vit_apply(params, x, cfg, merge_ratio=0.5)
+
+    orig = vit_mod.compute_token_merge
+
+    def no_sizes(tokens, ratio):
+        m = orig(tokens, ratio)
+        if m is None:
+            return None
+        return m[0], m[1], jnp.zeros_like(m[2])  # zero bias
+
+    with mock.patch.object(vit_mod, "compute_token_merge", no_sizes):
+        no_bias, _ = vit_mod.vit_apply(params, x, cfg, merge_ratio=0.5)
+
+    assert np.isfinite(np.asarray(with_bias)).all()
+    assert np.abs(np.asarray(with_bias) - np.asarray(no_bias)).max() > 1e-6
