@@ -221,11 +221,12 @@ def encoder_apply(params: dict, x: jnp.ndarray, cfg: DepthProConfig,
 
 
 def _residual(p: dict, x: jnp.ndarray) -> jnp.ndarray:
-    h = jax.nn.relu(x)
-    h = conv2d(h, p["w1"], p["b1"], padding=1)
-    h = jax.nn.relu(h)
-    h = conv2d(h, p["w2"], p["b2"], padding=1)
-    return x + h
+    # fused Pallas resblock on TPU bf16 (one HBM round-trip instead of
+    # five; the small pyramid levels run far below the MXU ceiling as
+    # XLA convs — ops/resblock.py); XLA composition elsewhere
+    from ..ops.resblock import residual_block
+
+    return residual_block(x, p["w1"], p["b1"], p["w2"], p["b2"])
 
 
 def _fusion_apply(p: dict, x0: jnp.ndarray, x1: jnp.ndarray | None) -> jnp.ndarray:

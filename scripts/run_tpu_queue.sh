@@ -1,0 +1,22 @@
+#!/bin/bash
+# Sequential TPU work queue with wedge protection: ping (fast, safe to
+# kill) gates every heavy job so a wedged tunnel never gets a heavy job
+# killed mid-op (which re-wedges it ~15 min).
+cd /root/repo
+set -u
+run() {
+  local script="$1" tmo="$2"
+  if ! timeout 90 python scripts/tpu_ping.py > /dev/null 2>&1; then
+    echo "TUNNEL WEDGED before $script — aborting queue"
+    exit 2
+  fi
+  echo "=== $script (timeout ${tmo}s) ==="
+  timeout "$tmo" python -u "scripts/$script" > "scripts/${script%.py}.log" 2>&1
+  echo "=== $script rc=$? ==="
+  sleep 20
+}
+for job in "$@"; do
+  IFS=: read -r s t <<< "$job"
+  run "$s" "${t:-580}"
+done
+echo "QUEUE DONE"

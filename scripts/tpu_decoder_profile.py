@@ -136,5 +136,44 @@ for res, cin in ((96, 1024), (48, 1024), (192, 512)):
     t(f"proj XLA {cin}->256 @{res}^2", lambda fp=fp, x=x, w=w: fp(x, w), flops=fl)
     t(f"proj im2col {cin}->256 @{res}^2", lambda fq=fq, x=x, w=w: fq(x, w), flops=fl)
 
-log("DONE")
+log("DONE1")
+
+
+# ---- 5. fused Pallas resblock vs XLA/im2col at b8 ----
+from ml_depth_pro_video_tpu.ops.resblock import residual_block  # noqa: E402
+
+for res in (96, 48, 192, 384):
+    x = rnd(B, res, res, 256)
+    fl = 2 * 2 * B * res * res * 256 * 256 * 9
+    f_bf = jax.jit(lambda x, w1, b1, w2, b2: residual_block(
+        x, w1, b1, w2, b2, impl="pallas"))
+    f_f32 = jax.jit(lambda x, w1, b1, w2, b2: residual_block(
+        x, w1, b1, w2, b2, impl="pallas", acc_f32=True))
+    w3 = w256.reshape(3, 3, 256, 256)
+    w4 = w2_.reshape(3, 3, 256, 256)
+    try:
+        t(f"resblock PALLAS bf16acc b8 @{res}^2",
+          lambda f=f_bf, x=x: f(x, w3, b256, w4, b256), flops=fl)
+    except Exception as e:
+        log(f"resblock PALLAS bf16acc @{res}^2 FAILED: {type(e).__name__}: {str(e)[:200]}")
+    try:
+        t(f"resblock PALLAS f32acc b8 @{res}^2",
+          lambda f=f_f32, x=x: f(x, w3, b256, w4, b256), flops=fl)
+    except Exception as e:
+        log(f"resblock PALLAS f32acc @{res}^2 FAILED: {type(e).__name__}: {str(e)[:200]}")
+
+# numerical check on-chip
+x = rnd(2, 96, 96, 256)
+w3 = w256.reshape(3, 3, 256, 256)
+w4 = w2_.reshape(3, 3, 256, 256)
+try:
+    a = jax.jit(lambda x: residual_block(x, w3, b256, w4, b256, impl="xla"))(x)
+    c = jax.jit(lambda x: residual_block(x, w3, b256, w4, b256, impl="pallas"))(x)
+    scale = float(jnp.max(jnp.abs(a.astype(jnp.float32))))
+    log(f"resblock pallas vs xla max rel err: "
+        f"{float(jnp.max(jnp.abs((a - c).astype(jnp.float32)))) / scale:.5f}")
+except Exception as e:
+    log(f"resblock check FAILED: {type(e).__name__}: {str(e)[:200]}")
+
+log("DONE2")
 OUT.close()

@@ -238,3 +238,67 @@ def test_flash_attention_packed_bias_interpret_matches_xla():
     got2 = flash_attention_packed_bias(jnp.asarray(qkv), jnp.asarray(bias), 4,
                                        interpret=True, block_heads=2)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_fused_resblock_interpret_matches_xla():
+    """The fused decoder resblock kernel (round 4) in interpret mode vs
+    the XLA composition, including image borders (zero-padded h) and
+    multi-tile row splits."""
+    from ml_depth_pro_video_tpu.ops.resblock import _pick_tile, residual_block
+
+    rng = np.random.default_rng(7)
+    for (B, H, W, C) in [(2, 16, 16, 128), (1, 24, 20, 128)]:
+        x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32) * 0.1,
+                        jnp.bfloat16)
+        w1 = jnp.asarray(rng.standard_normal((3, 3, C, C)).astype(np.float32) * 0.05,
+                         jnp.bfloat16)
+        w2 = jnp.asarray(rng.standard_normal((3, 3, C, C)).astype(np.float32) * 0.05,
+                         jnp.bfloat16)
+        b1 = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1, jnp.bfloat16)
+        b2 = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1, jnp.bfloat16)
+        ref = residual_block(x, w1, b1, w2, b2, impl="xla")
+        got = residual_block(x, w1, b1, w2, b2, interpret=True)
+        scale = float(jnp.max(jnp.abs(ref.astype(jnp.float32))))
+        err = float(jnp.max(jnp.abs((got - ref).astype(jnp.float32)))) / scale
+        assert err < 0.02, (B, H, W, C, err)  # bf16 tap-accumulation band
+
+    # tile split exercised explicitly: T chosen < H
+    assert _pick_tile(96, 96, 256) < 96
+
+
+def test_fused_resblock_gradient_via_xla_backward():
+    """The custom VJP recomputes through the XLA math — grads must match
+    the pure-XLA composition's."""
+    import jax
+
+    from ml_depth_pro_video_tpu.ops import resblock as rb
+
+    rng = np.random.default_rng(8)
+    C = 128
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, C)).astype(np.float32) * 0.1,
+                    jnp.bfloat16)
+    w1 = jnp.asarray(rng.standard_normal((3, 3, C, C)).astype(np.float32) * 0.05,
+                     jnp.bfloat16)
+    w2 = jnp.asarray(rng.standard_normal((3, 3, C, C)).astype(np.float32) * 0.05,
+                     jnp.bfloat16)
+    b1 = jnp.zeros((C,), jnp.bfloat16)
+    b2 = jnp.zeros((C,), jnp.bfloat16)
+
+    # route through the diff wrapper with the kernel monkeypatched to the
+    # XLA reference (the kernel itself needs a TPU; interpret mode inside
+    # grad is what the wrapper avoids) — this checks the VJP plumbing
+    import unittest.mock as mock
+
+    def fake_pallas(x, w1f, b1r, w2f, b2r, interpret=False):
+        return rb._xla_residual(x, w1f.reshape(3, 3, C, C), b1r[0],
+                                w2f.reshape(3, 3, C, C), b2r[0])
+
+    with mock.patch.object(rb, "_resblock_pallas", fake_pallas):
+        g1 = jax.grad(lambda x: rb._resblock_diff(
+            x, w1.reshape(9, C, C), b1[None], w2.reshape(9, C, C),
+            b2[None]).astype(jnp.float32).sum())(x)
+    g2 = jax.grad(lambda x: rb._xla_residual(
+        x, w1, b1, w2, b2).astype(jnp.float32).sum())(x)
+    np.testing.assert_allclose(np.asarray(g1.astype(jnp.float32)),
+                               np.asarray(g2.astype(jnp.float32)),
+                               rtol=2e-2, atol=2e-2)
