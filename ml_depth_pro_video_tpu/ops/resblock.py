@@ -205,11 +205,13 @@ def residual_block(x, w1, b1, w2, b2, impl: str | None = None,
     x: (B, H, W, C); w: (3, 3, C, C) HWIO; b: (C,). Uses the fused
     Pallas kernel on TPU for bf16 square-channel blocks at the SMALL
     pyramid levels (W <= 96) — measured on v5e b8
-    (scripts/tpu_decoder_profile.out): the 48^2 XLA residual hits a
-    pathological ~40 ms/batch fusion (0.9 TF) that the kernel runs in
-    ~0.2 ms, and 96^2 ties XLA while saving the intermediate HBM
-    round-trips. At 192^2+ XLA convs approach the ceiling and the
-    kernel's halo+pad FLOP overhead (x1.4 at tile 8) loses — XLA path.
+    (scripts/tpu_decoder_profile.out, tpu_resblock_check.out): the
+    kernel ties XLA per-op at 48^2/96^2 while removing the intermediate
+    HBM round-trips (whole decoder 204 vs 211 ms/b8). At 192^2+ XLA
+    convs approach the ceiling and the kernel's halo+pad FLOP overhead
+    (x1.4 at tile 8) loses — XLA path. (An early batch-1 probe showed a
+    ~40 ms 48^2 XLA pathology that did NOT reproduce at batch 8 in
+    context — recorded honestly in docs/PERFORMANCE.md.)
     Everything else (CPU tests, fp32 parity mode, odd shapes) also
     takes the XLA composition.
     """

@@ -50,6 +50,7 @@ class DepthVideoRunner:
         parallel: str = "dp",
         speed: str = "exact",
         decode_workers: int | None = None,
+        pipeline_depth: int = 2,
     ):
         if parallel not in ("dp", "latency"):
             raise ValueError(f"parallel must be 'dp' or 'latency', got {parallel!r}")
@@ -84,6 +85,13 @@ class DepthVideoRunner:
         if decode_workers is None:
             decode_workers = min(8, os.cpu_count() or 1)
         self.decode_workers = max(int(decode_workers), 1)
+        # batches dispatched ahead of the blocking fetch: depth 1 is the
+        # classic double-buffer (fetch N while N+1 computes); depth 2
+        # additionally overlaps N+2's host->device upload with both — on
+        # slow links (the axon tunnel here) transfers rival compute, so
+        # keeping an upload, a compute, and a download concurrently in
+        # flight is what hides them (scripts/feed_sustained.out)
+        self.pipeline_depth = max(int(pipeline_depth), 1)
 
         params = load_checkpoint(cfg)
         if params is None:
@@ -255,10 +263,14 @@ class DepthVideoRunner:
         t = threading.Thread(target=loader, daemon=True)
         t.start()
 
+        from collections import deque
+
         pending = []
         raw_images = []
-        # (keys, raw_images, device_out, n, inputs) — one-deep pipeline
-        in_flight = None
+        # (keys, raw_images, device_out, n, inputs) flights, oldest
+        # first; up to ``pipeline_depth`` stay dispatched before the
+        # oldest is fetched
+        in_flight: deque = deque()
 
         def dispatch():
             """Launch the pending batch on the device (async)."""
@@ -326,24 +338,19 @@ class DepthVideoRunner:
             if pending and x.shape != pending[0][1].shape:
                 # resolution change mid-stream: flush the homogeneous
                 # batch first (np.stack needs one shape per batch)
-                flight = dispatch()
-                if in_flight is not None:
-                    yield from collect(in_flight)
-                in_flight = flight
+                in_flight.append(dispatch())
+                while len(in_flight) > self.pipeline_depth:
+                    yield from collect(in_flight.popleft())
             pending.append((key, x, f))
             raw_images.append(x)
             if len(pending) >= self.batch_size:
-                flight = dispatch()  # device starts batch N+1 ...
-                if in_flight is not None:
-                    yield from collect(in_flight)  # ... while batch N is fetched
-                in_flight = flight
+                in_flight.append(dispatch())  # device starts batch N+k ...
+                while len(in_flight) > self.pipeline_depth:
+                    yield from collect(in_flight.popleft())  # ... during batch N's fetch
         if pending:
-            flight = dispatch()
-            if in_flight is not None:
-                yield from collect(in_flight)
-            in_flight = flight
-        if in_flight is not None:
-            yield from collect(in_flight)
+            in_flight.append(dispatch())
+        while in_flight:
+            yield from collect(in_flight.popleft())
 
     def infer_one(self, item) -> dict:
         for result in self.depth_stream([item]):

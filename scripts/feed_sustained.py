@@ -56,18 +56,28 @@ def main():
     for _ in runner.depth_stream(frames(2 * batch)):
         pass
 
+    def window(secs):
+        done = 0
+        t0 = time.perf_counter()
+        stream = runner.depth_stream(frames(10 ** 9))
+        for r in stream:
+            done += 1
+            if done % batch == 0 and time.perf_counter() - t0 > secs:
+                break
+        dt = time.perf_counter() - t0
+        stream.close()  # shut the prefetch thread down cleanly
+        return done, dt
+
     # sustained window: run whole batches until the clock runs out
-    done = 0
-    t0 = time.perf_counter()
-    stream = runner.depth_stream(frames(10 ** 9))
-    for r in stream:
-        done += 1
-        if done % batch == 0 and time.perf_counter() - t0 > seconds:
-            break
-    dt = time.perf_counter() - t0
-    stream.close()  # shut the prefetch thread down cleanly
+    done, dt = window(seconds)
     fps = done / dt
-    log(f"sustained: {done} frames in {dt:.1f}s = {fps:.2f} fps")
+    log(f"sustained (pipeline_depth={runner.pipeline_depth}): "
+        f"{done} frames in {dt:.1f}s = {fps:.2f} fps")
+    runner.pipeline_depth = 1
+    d1, t1 = window(seconds / 2)
+    log(f"sustained (pipeline_depth=1): {d1} frames in {t1:.1f}s "
+        f"= {d1 / t1:.2f} fps")
+    runner.pipeline_depth = 2
 
     # pure-kernel rate for the stall fraction (same batch, same params,
     # no runner machinery): reuse the runner's own jitted fn
@@ -90,6 +100,31 @@ def main():
         pure = batch * iters / (time.perf_counter() - t0)
         log(f"pure-jit: {pure:.2f} fps -> host-stall "
             f"{max(0.0, 1 - fps / pure) * 100:.1f}%")
+
+    # stall attribution: raw per-frame transfer terms over this host's
+    # link (the axon tunnel caps host<->device at ~70 MB/s; a real
+    # TPU-VM PCIe link moves these in ~1 ms)
+    up = jnp.asarray(ring[0])  # warm path
+    up.block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(8):
+        jnp.asarray(ring[i % len(ring)]).block_until_ready()
+    up_ms = (time.perf_counter() - t0) / 8 * 1000
+    log(f"uint8 frame upload: {up_ms:.0f} ms/frame "
+        f"({ring[0].nbytes / 1e6:.1f} MB)")
+    d = runner._infer(jnp.asarray(np.stack(ring[:batch])), None)
+    depth_dev = d["depth"] if isinstance(d, dict) else jax.tree.leaves(d)[0]
+    depth_dev.block_until_ready()
+    t0 = time.perf_counter()
+    host = np.asarray(depth_dev)
+    fetch_ms = (time.perf_counter() - t0) * 1000 / batch
+    log(f"depth batch fetch: {fetch_ms:.0f} ms/frame "
+        f"({host.nbytes / batch / 1e6:.1f} MB)")
+    if pure:
+        serial = up_ms + fetch_ms + 1000.0 / pure
+        log(f"serial bound (upload + compute + fetch, no overlap): "
+            f"{serial:.0f} ms/frame = {1000 / serial:.2f} fps -> runner "
+            f"machinery + unoverlapped share: {1000 / fps - serial:+.0f} ms/frame")
 
     # decode scaling: the runner pool's JPEG decode ms/frame per worker
     from PIL import Image

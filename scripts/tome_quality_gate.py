@@ -144,7 +144,8 @@ def main():
     epochs = max(1, steps * batch // n_scenes)
     t0 = time.perf_counter()
     state = fit(root, cfg=proxy, batch_size=batch, epochs=epochs, lr=3e-4,
-                holdout=8, log_every=50)
+                holdout=8, log_every=50,
+                checkpoint_dir="/tmp/tome_ckpt", save_every=100)
     log(f"trained {epochs} epochs (~{epochs * (n_scenes - 8) // batch} steps) "
         f"in {time.perf_counter() - t0:.0f}s")
     params = jax.tree.map(np.asarray, state.params)
@@ -158,14 +159,16 @@ def main():
         eval_imgs.append(img)
     x = jnp.asarray((np.stack(eval_imgs).astype(np.float32) / 127.5) - 1.0)
 
+    # the proxy has no FOV head -> f_px must be supplied (nominal focal)
+    f_px = jnp.full((batch,), float(proxy.img_size), jnp.float32)
+
     def curve(tag, p):
-        fns = {}
         base = None
         for ratio in (0.0, 0.25, 0.4, 0.5):
             cfg_r = dataclasses.replace(proxy, token_merge_ratio=ratio)
-            fn = jax.jit(lambda pp, xx, c=cfg_r: infer_fn(
-                pp, xx, None, c, Precision.bf16())["depth"])
-            inv = 1.0 / np.maximum(np.asarray(fn(p, x)), 1e-6)
+            fn = jax.jit(lambda pp, xx, ff, c=cfg_r: infer_fn(
+                pp, xx, ff, c, Precision.bf16())["depth"])
+            inv = 1.0 / np.maximum(np.asarray(fn(p, x, f_px)), 1e-6)
             if ratio == 0.0:
                 base = inv
                 log(f"{tag} ratio 0.00: exact baseline")

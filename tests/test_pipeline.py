@@ -254,6 +254,31 @@ def test_depth_stream_mixed_resolutions_batched():
     assert results[2]["depth"].shape == (40, 32)
 
 
+def test_depth_stream_pipeline_depths_equivalent():
+    """pipeline_depth only changes host/device overlap, never results
+    or ordering: depths 1/2/3 over 9 frames (full, partial, and
+    resolution-change batches) yield identical streams."""
+    from ml_depth_pro_video_tpu.models.depth_pro import tiny_config
+    from ml_depth_pro_video_tpu.video.runner import DepthVideoRunner
+
+    rng = np.random.default_rng(1)
+    frames = [(rng.random((64, 48, 3)) * 255).astype(np.uint8) for _ in range(7)]
+    frames.insert(4, (rng.random((40, 32, 3)) * 255).astype(np.uint8))
+    frames.append((rng.random((40, 32, 3)) * 255).astype(np.uint8))
+
+    outs = {}
+    for depth in (1, 2, 3):
+        runner = DepthVideoRunner(cfg=tiny_config(), precision="fp32",
+                                  batch_size=2, pipeline_depth=depth)
+        outs[depth] = list(runner.depth_stream(frames))
+        assert len(outs[depth]) == len(frames)
+        for r, f in zip(outs[depth], frames):
+            assert r["depth"].shape == f.shape[:2]
+    for depth in (2, 3):
+        for a, b in zip(outs[1], outs[depth]):
+            np.testing.assert_array_equal(a["depth"], b["depth"])
+
+
 def test_resume_retries_failed_frames(tmp_path, monkeypatch, tiny_runner):
     """Only SUCCESSFUL frames land in processing_progress.json
     (reference schema) — a failed frame is retried on --resume instead
