@@ -120,8 +120,10 @@ def main(argv=None) -> None:
     ap.add_argument("--full_precision", dest="half_precision", action="store_false",
                     help="fp32 compute (the reference's default)")
     ap.add_argument("--batch_size", type=int, default=1)
-    ap.add_argument("--speed", choices=["exact", "fast"], default="exact",
-                    help="fast = ToMe token-merge approximation tier")
+    from ..models.depth_pro import SPEED_PRESETS as _SP
+    ap.add_argument("--speed", choices=sorted(_SP), default="exact",
+                    help="ToMe token-merge approximation tiers "
+                         "(balanced=0.25, fast=0.5 merge ratio)")
     ap.add_argument("--save_npz", action="store_true")
     ap.add_argument("--pattern", default="*.png")
     args = ap.parse_args(argv)

@@ -114,8 +114,10 @@ def main(argv=None) -> None:
                     help="bfloat16 compute (default)")
     ap.add_argument("--fp32", dest="half", action="store_false")
     ap.add_argument("--batch-size", type=int, default=1)
-    ap.add_argument("--speed", choices=["exact", "fast"], default="exact",
-                    help="fast = ToMe token-merge approximation tier")
+    from ..models.depth_pro import SPEED_PRESETS as _SP
+    ap.add_argument("--speed", choices=sorted(_SP), default="exact",
+                    help="ToMe token-merge approximation tiers "
+                         "(balanced=0.25, fast=0.5 merge ratio)")
     ap.add_argument("-v", "--verbose", action="store_true")
     ap.add_argument("--skip-display", action="store_true", default=False,
                     help="do not open the live matplotlib view")

@@ -73,17 +73,28 @@ class DepthProConfig:
 
 DEFAULT_MONODEPTH_CONFIG = DepthProConfig()
 
-# --speed presets (runner / CLIs / serve): "fast" trades a bounded
-# output deviation for throughput via token merging (measured on-chip,
-# docs/PERFORMANCE.md; quality sign-off vs real weights deferred to
-# weights day)
-SPEED_PRESETS = {"exact": 0.0, "fast": 0.5}
+# --speed presets (runner / CLIs / serve): the non-exact tiers trade a
+# bounded output deviation for throughput via ToMe token merging with
+# proportional attention. Measured bounds (docs/PERFORMANCE.md "Speed
+# tiers"): fps on-chip at full config; deviation envelope on a
+# structured-feature proxy trained with the real fit() loop (random
+# weights have no spatial redundancy, so their envelope is meaninglessly
+# pessimistic). Final sign-off vs the real checkpoint is a weights-day
+# item — apply_speed logs a notice until then.
+SPEED_PRESETS = {"exact": 0.0, "balanced": 0.25, "fast": 0.5}
 
 
 def apply_speed(cfg: "DepthProConfig", speed: str) -> "DepthProConfig":
     """Return ``cfg`` with the named speed preset's merge ratio set."""
     if speed not in SPEED_PRESETS:
         raise ValueError(f"speed must be one of {sorted(SPEED_PRESETS)}, got {speed!r}")
+    if SPEED_PRESETS[speed] > 0:
+        logging.getLogger(__name__).warning(
+            "--speed %s is an APPROXIMATE tier (token merge ratio %.2f): "
+            "deviation bounds in docs/PERFORMANCE.md are from a "
+            "structured-feature proxy model; sign-off vs the real "
+            "checkpoint pending (use --speed exact for reference parity)",
+            speed, SPEED_PRESETS[speed])
     return dataclasses.replace(cfg, token_merge_ratio=SPEED_PRESETS[speed])
 
 

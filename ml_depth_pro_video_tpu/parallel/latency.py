@@ -22,6 +22,11 @@ hardware) to turn the ~105 ms patch-ViT into ~15 ms + gather and the
 ~45 ms decoder into ~8 ms + halos, bounding single-stream latency at
 roughly the replicated remainder — the video pipeline can then hit
 camera rate on ONE stream instead of needing 8 parallel streams.
+What IS certified without 8 chips: `__graft_entry__.dryrun_multichip`
+AOT-compiles the production-dims (ViT-L, 1536²) sp program on an
+8-device mesh and audits its HLO — only the 3 intended token
+all-gathers appear; everything else moves via collective-permute
+(halo exchange), no accidental weight or activation regathers.
 
 **Padding waste**: the 35-patch axis must pad up to a multiple of the
 mesh size — on 8 devices that is 40 slots, i.e. 12.5% of the patch-ViT

@@ -244,8 +244,10 @@ def main(argv=None):  # pragma: no cover
     ap.add_argument("--warmup", default=None,
                     help="HxW to pre-compile before serving, e.g. 1536x1536")
     ap.add_argument("--parallel", choices=["none", "dp", "latency"], default="none")
-    ap.add_argument("--speed", choices=["exact", "fast"], default="exact",
-                    help="fast = ToMe token-merge approximation tier")
+    from ..models.depth_pro import SPEED_PRESETS as _SP
+    ap.add_argument("--speed", choices=sorted(_SP), default="exact",
+                    help="ToMe token-merge approximation tiers "
+                         "(balanced=0.25, fast=0.5 merge ratio)")
     args = ap.parse_args(argv)
     warm = tuple(int(v) for v in args.warmup.split("x")) if args.warmup else None
     server = create_server(args.host, args.port, max_batch=args.max_batch,

@@ -380,8 +380,10 @@ def main(argv=None):  # pragma: no cover - CLI shim, exercised via cli tests
     ap.add_argument("--force_reprocess", action="store_true")
     ap.add_argument("--batch_size", type=int, default=1)
     ap.add_argument("--renderer", choices=["matplotlib", "fast"], default="matplotlib")
-    ap.add_argument("--speed", choices=["exact", "fast"], default="exact",
-                    help="fast = ToMe token-merge approximation tier")
+    from ..models.depth_pro import SPEED_PRESETS as _SP
+    ap.add_argument("--speed", choices=sorted(_SP), default="exact",
+                    help="ToMe token-merge approximation tiers "
+                         "(balanced=0.25, fast=0.5 merge ratio)")
     ap.add_argument("--parallel", choices=["none", "dp", "latency"], default="none",
                     help="multi-chip mode: dp shards frame batches, latency "
                          "shards the MODEL for single-stream speed")

