@@ -231,16 +231,21 @@ def encoder_apply(params: dict, x: jnp.ndarray, cfg: DepthProConfig,
 # decoder
 
 
-def _residual(p: dict, x: jnp.ndarray) -> jnp.ndarray:
-    # fused Pallas resblock on TPU bf16 (one HBM round-trip instead of
-    # five; the small pyramid levels run far below the MXU ceiling as
-    # XLA convs — ops/resblock.py); XLA composition elsewhere
+def _residual(p: dict, x: jnp.ndarray, impl: str | None = None) -> jnp.ndarray:
+    # fused Pallas resblock on TPU bf16 at the small (<=96^2) pyramid
+    # levels: one HBM round-trip instead of five, ties XLA per-op
+    # (ops/resblock.py — at 192^2+ XLA convs win and keep the path);
+    # XLA composition elsewhere. ``impl="xla"`` forces the composition —
+    # REQUIRED inside GSPMD-partitioned programs (latency row-sharding,
+    # jit-with-sharded-params TP), where a Mosaic custom call cannot be
+    # auto-partitioned (same constraint as the attention kernel).
     from ..ops.resblock import residual_block
 
-    return residual_block(x, p["w1"], p["b1"], p["w2"], p["b2"])
+    return residual_block(x, p["w1"], p["b1"], p["w2"], p["b2"], impl=impl)
 
 
-def _fusion_apply(p: dict, x0: jnp.ndarray, x1: jnp.ndarray | None) -> jnp.ndarray:
+def _fusion_apply(p: dict, x0: jnp.ndarray, x1: jnp.ndarray | None,
+                  conv_impl: str | None = None) -> jnp.ndarray:
     """FeatureFusionBlock2d (`decoder.py:121-180`).
 
     When the 2x upsample is present, the trailing 1x1 out_conv is folded
@@ -248,8 +253,8 @@ def _fusion_apply(p: dict, x0: jnp.ndarray, x1: jnp.ndarray | None) -> jnp.ndarr
     matmul + a full-map 1x1 conv at the upsampled resolution."""
     x = x0
     if x1 is not None:
-        x = x + _residual(p["res1"], x1)
-    x = _residual(p["res2"], x)
+        x = x + _residual(p["res1"], x1, conv_impl)
+    x = _residual(p["res2"], x, conv_impl)
     if p["deconv_w"] is not None:
         wd = p["deconv_w"]  # (C, 4*M) packed (a, b, m)
         wo = p["out"]["w"][0, 0]  # (M, O)
@@ -260,17 +265,19 @@ def _fusion_apply(p: dict, x0: jnp.ndarray, x1: jnp.ndarray | None) -> jnp.ndarr
     return conv2d(x, p["out"]["w"], p["out"]["b"])
 
 
-def decoder_apply(params: dict, encodings: list[jnp.ndarray]) -> tuple[jnp.ndarray, jnp.ndarray]:
+def decoder_apply(params: dict, encodings: list[jnp.ndarray],
+                  conv_impl: str | None = None) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fuse low->high resolution (`decoder.py:74-93`). Returns
-    (features, lowres_features); the latter feeds the FOV head."""
+    (features, lowres_features); the latter feeds the FOV head.
+    ``conv_impl="xla"`` disables the Pallas resblock (GSPMD programs)."""
     convs = params["convs"]
     fusions = params["fusions"]
     proj = [e if w is None else conv2d(e, w, padding=1) for e, w in zip(encodings, convs)]
     features = proj[-1]
     lowres = features
-    features = _fusion_apply(fusions[-1], features, None)
+    features = _fusion_apply(fusions[-1], features, None, conv_impl)
     for i in range(len(proj) - 2, -1, -1):
-        features = _fusion_apply(fusions[i], features, proj[i])
+        features = _fusion_apply(fusions[i], features, proj[i], conv_impl)
     return features, lowres
 
 
@@ -370,7 +377,8 @@ def forward(params: dict, x: jnp.ndarray, cfg: DepthProConfig,
             compute_fov: bool = True,
             remat: bool = False,
             patch_vit_fn=None,
-            constrain=None) -> tuple[jnp.ndarray, jnp.ndarray | None]:
+            constrain=None,
+            conv_impl: str | None = None) -> tuple[jnp.ndarray, jnp.ndarray | None]:
     """(B, img, img, 3) -> (canonical inverse depth (B, img, img, 1),
     fov_deg (B,) or None). Mirrors `depth_pro.py:218-241`.
 
@@ -379,7 +387,10 @@ def forward(params: dict, x: jnp.ndarray, cfg: DepthProConfig,
     ``patch_vit_fn`` / ``constrain`` are the latency-parallel hooks
     (parallel/latency.py): the former replaces the 35-patch backbone
     call, the latter applies sharding constraints to the conv-trunk
-    activations so GSPMD row-shards the decoder/head."""
+    activations so GSPMD row-shards the decoder/head. ``conv_impl``
+    routes the decoder resblocks ("xla" forces the plain composition);
+    when ``constrain`` shards the decoder it defaults to "xla", since a
+    Mosaic kernel cannot be GSPMD-partitioned."""
     if x.shape[1] != cfg.img_size or x.shape[2] != cfg.img_size:
         raise ValueError(
             f"forward expects {cfg.img_size}x{cfg.img_size} input, got {x.shape}; "
@@ -389,7 +400,9 @@ def forward(params: dict, x: jnp.ndarray, cfg: DepthProConfig,
                               remat, patch_vit_fn=patch_vit_fn)
     if constrain is not None:
         encodings = [constrain(e) for e in encodings]
-    features, lowres = decoder_apply(params["decoder"], encodings)
+        if conv_impl is None:
+            conv_impl = "xla"
+    features, lowres = decoder_apply(params["decoder"], encodings, conv_impl)
     if constrain is not None:
         features = constrain(features)
     canonical = head_apply(params["head"], features, precision)
@@ -405,7 +418,8 @@ def infer_fn(params: dict, x: jnp.ndarray, f_px: jnp.ndarray | None, cfg: DepthP
              interpolation_mode: str = "bilinear",
              derive_missing: bool = False,
              patch_vit_fn=None,
-             constrain=None) -> dict:
+             constrain=None,
+             conv_impl: str | None = None) -> dict:
     """The `infer()` contract (`depth_pro.py:243-298`), NHWC.
 
     x: (B, H, W, 3) normalized; f_px: (B,) or None.
@@ -413,6 +427,8 @@ def infer_fn(params: dict, x: jnp.ndarray, f_px: jnp.ndarray | None, cfg: DepthP
     FOV head runs and only those entries are replaced by the derived
     focal length — a mixed-EXIF batch keeps the provided focals instead
     of forcing the whole batch through FOV derivation.
+    ``conv_impl`` (like ``attn_impl``) must be "xla" inside
+    GSPMD-partitioned programs — see ``forward``.
     Returns {"depth": (B, H, W) fp32 [m], "focallength_px": (B,)}.
     """
     b, h, w = x.shape[0], x.shape[1], x.shape[2]
@@ -428,7 +444,8 @@ def infer_fn(params: dict, x: jnp.ndarray, f_px: jnp.ndarray | None, cfg: DepthP
         )
     canonical, fov_deg = forward(params, xi, cfg, precision, attn_impl,
                                  compute_fov=need_fov,
-                                 patch_vit_fn=patch_vit_fn, constrain=constrain)
+                                 patch_vit_fn=patch_vit_fn, constrain=constrain,
+                                 conv_impl=conv_impl)
     canonical = canonical[..., 0].astype(jnp.float32)  # (B, s, s)
 
     if need_fov:

@@ -15,6 +15,14 @@ ViT block params are stacked (L, ...) so the rules apply to the
 trailing dims. Everything not matched (convs, norms, embeddings,
 decoder/head/fov) is replicated — the conv trunk is <10% of FLOPs and
 DP-parallel over frames anyway.
+
+GSPMD contract: a plain-jit program over TP-sharded params must route
+every Mosaic kernel through its XLA fallback — pass ``attn_impl="xla"``
+AND ``conv_impl="xla"`` to ``infer_fn``/``forward`` (a pallas_call
+custom call cannot be auto-partitioned). `make_sharded_train_step` and
+`__graft_entry__.dryrun_multichip`'s TP programs do this; shard_map
+paths (DP inference, the latency patch-ViT) keep the Pallas kernels
+because each device traces a complete per-shard program.
 """
 
 from __future__ import annotations

@@ -71,9 +71,12 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-2,
 def loss_fn(params, images, target_depth, cfg: DepthProConfig, precision: Precision,
             attn_impl: str | None = None):
     # rematerialize ViT blocks in the backward pass (1536px activations
-    # don't fit otherwise); FOV head isn't part of the depth loss
+    # don't fit otherwise); FOV head isn't part of the depth loss.
+    # attn_impl doubles as the resblock routing: "xla" means "this is a
+    # GSPMD program — no Mosaic kernels anywhere"
     canonical, _ = forward(params, images, cfg, precision,
-                           attn_impl=attn_impl, compute_fov=False, remat=True)
+                           attn_impl=attn_impl, compute_fov=False, remat=True,
+                           conv_impl=attn_impl)
     return silog_loss(canonical[..., 0].astype(jnp.float32), target_depth)
 
 
@@ -107,8 +110,9 @@ def make_sharded_train_step(params, cfg: DepthProConfig, mesh, lr: float = 1e-4,
 
     # a Mosaic pallas_call is not GSPMD-auto-partitionable (the same
     # reason parallel/spmd.py wraps inference in shard_map) — force the
-    # XLA attention path whenever this plain-jit step actually spans
-    # multiple devices
+    # XLA attention AND resblock paths whenever this plain-jit step
+    # actually spans multiple devices (loss_fn forwards attn_impl as
+    # conv_impl too)
     attn_impl = "xla" if mesh.devices.size > 1 else None
     step = jax.jit(
         functools.partial(train_step, cfg=cfg, optimizer=optimizer,

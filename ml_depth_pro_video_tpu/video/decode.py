@@ -67,6 +67,13 @@ def extract_frames(path: str, output_dir: str, pattern: str = "output_{:06d}.png
     from PIL import Image
 
     os.makedirs(output_dir, exist_ok=True)
+    # drop any STALE marker first: if this (re-)extraction is itself
+    # interrupted, a leftover marker from a previous complete decode
+    # would validate the now-mixed/truncated frame set on resume
+    try:
+        os.unlink(os.path.join(output_dir, DECODE_COMPLETE_MARKER))
+    except FileNotFoundError:
+        pass
     written = []
     for i, (_, frame) in enumerate(video_frames(path, start, end, stride)):
         out = os.path.join(output_dir, pattern.format(i))

@@ -2,6 +2,13 @@
 # Sequential TPU work queue with wedge protection: ping (fast, safe to
 # kill) gates every heavy job so a wedged tunnel never gets a heavy job
 # killed mid-op (which re-wedges it ~15 min).
+#
+# The per-job `timeout` is a LAST RESORT against a hung job blocking
+# the queue forever — if it fires, the SIGTERM lands mid-TPU-op and the
+# tunnel will wedge ~15 min (the next job's ping gate then aborts the
+# queue instead of compounding). Size timeouts >=3x the expected
+# runtime so they only fire on genuine hangs; jobs themselves must be
+# self-terminating (CLAUDE.md environment rules).
 cd /root/repo
 set -u
 run() {

@@ -227,3 +227,36 @@ def test_latency_infer_honors_speed_fast():
     out = lat(params, x)
     np.testing.assert_allclose(np.asarray(out["depth"]), np.asarray(ref["depth"]),
                                rtol=2e-3, atol=1e-5)
+
+
+def test_gspmd_paths_route_resblock_to_xla(monkeypatch):
+    """A Mosaic pallas_call cannot be GSPMD-partitioned, so every
+    program that row-shards or TP-shards the decoder must route the
+    fused resblock to the XLA composition: forward() defaults
+    conv_impl="xla" whenever the latency ``constrain`` hook is active
+    (and the GSPMD train step passes it explicitly)."""
+    from ml_depth_pro_video_tpu.models import depth_pro as dp_mod
+    from ml_depth_pro_video_tpu.ops import resblock as rb_mod
+
+    seen = []
+    real = rb_mod.residual_block
+
+    def spy(x, w1, b1, w2, b2, impl=None, **kw):
+        seen.append(impl)
+        return real(x, w1, b1, w2, b2, impl=impl, **kw)
+
+    monkeypatch.setattr(rb_mod, "residual_block", spy)
+
+    cfg = DRY_CFG
+    params = init_depth_pro(jax.random.PRNGKey(0), cfg)
+    x = jnp.zeros((1, cfg.img_size, cfg.img_size, 3), jnp.float32)
+
+    # plain single-device forward: auto (None) — Pallas allowed on TPU
+    dp_mod.forward(params, x, cfg, Precision.fp32(), compute_fov=False)
+    assert seen and all(i is None for i in seen)
+
+    # GSPMD-sharded decoder (latency hook active): forced to "xla"
+    seen.clear()
+    dp_mod.forward(params, x, cfg, Precision.fp32(), compute_fov=False,
+                   constrain=lambda t: t)
+    assert seen and all(i == "xla" for i in seen)

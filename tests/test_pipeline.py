@@ -409,3 +409,42 @@ def test_stream_iterator_failure_raises(tiny_runner):
 
     with pytest.raises(RuntimeError, match="frame source iterator failed"):
         list(tiny_runner.depth_stream(bad_gen()))
+
+
+def test_extract_frames_clears_stale_marker(tmp_path):
+    """Re-extraction removes the previous decode-complete marker BEFORE
+    decoding: if the new run is interrupted, the old marker must not
+    validate the now-mixed/truncated frame set on resume (review r4)."""
+    from ml_depth_pro_video_tpu.effects.parallax import write_video
+    from ml_depth_pro_video_tpu.video.decode import (
+        DECODE_COMPLETE_MARKER,
+        extract_frames,
+    )
+
+    rng = np.random.default_rng(0)
+    frames = (rng.random((4, 32, 40, 3)) * 255).astype(np.uint8)
+    vid = str(tmp_path / "clip.mp4")
+    write_video(vid, frames, fps=4)
+    out_dir = str(tmp_path / "frames")
+    marker = os.path.join(out_dir, DECODE_COMPLETE_MARKER)
+
+    extract_frames(vid, out_dir)
+    assert os.path.exists(marker)
+
+    # simulate an interrupted re-extraction: the marker must already be
+    # gone by the time the first frame decodes
+    import ml_depth_pro_video_tpu.video.decode as dec
+
+    def boom(*a, **k):
+        assert not os.path.exists(marker), "stale marker survived into decode"
+        raise RuntimeError("interrupted")
+        yield  # pragma: no cover - make it a generator
+
+    orig = dec.video_frames
+    dec.video_frames = boom
+    try:
+        with pytest.raises(RuntimeError):
+            extract_frames(vid, out_dir)
+    finally:
+        dec.video_frames = orig
+    assert not os.path.exists(marker)
