@@ -45,15 +45,29 @@ def fit(
     log_every: int = 10,
     seed: int = 0,
     dp: int | None = None,
+    pp: int = 1,
+    microbatches: int = 5,
 ):
     """Fine-tune Depth Pro on a directory of (image, depth) pairs.
 
     Returns the final TrainState. ``holdout`` reserves that many pairs
     for validation (SILog on the canonical head, reported at every
     checkpoint). Resumes from ``checkpoint_dir`` when it has a step.
+    ``pp > 1`` pipelines the ViT depth GPipe-style over a (dp, pp) mesh
+    (`parallel/pipeline.py`) instead of DP×TP; ``microbatches`` sets
+    the pipeline's microbatch count (must divide 35 × batch/dp — the
+    default 5 always does).
     """
     precision = precision or Precision.bf16()
-    mesh = make_mesh(dp=dp, tp=tp)
+    if pp > 1:
+        if tp > 1:
+            raise ValueError("pp and tp cannot be combined (pick one of "
+                             "the ViT sharding modes)")
+        from ..parallel.pipeline import make_pp_mesh
+
+        mesh = make_pp_mesh(dp=dp or len(jax.devices()) // pp, pp=pp)
+    else:
+        mesh = make_mesh(dp=dp, tp=tp)
     # P("dp") sharding needs batch divisible by dp — round up like the
     # inference runner (video/runner.py) instead of crashing at the
     # first device_put minutes into startup
@@ -79,10 +93,19 @@ def fit(
     if params is None:
         log.warning("no model checkpoint (%s); training from random init", cfg.checkpoint_uri)
         params = init_depth_pro(jax.random.PRNGKey(seed), cfg)
-    state, step_fn = make_sharded_train_step(
-        params, cfg, mesh, lr=lr, precision=precision, tensor_parallel=tp > 1,
-        warmup_steps=warmup_steps, total_steps=total_steps, clip_norm=clip_norm,
-    )
+    if pp > 1:
+        from ..parallel.pipeline import make_pp_train_step
+
+        state, step_fn = make_pp_train_step(
+            params, cfg, mesh, microbatches=microbatches, lr=lr,
+            precision=precision, warmup_steps=warmup_steps,
+            total_steps=total_steps, clip_norm=clip_norm,
+        )
+    else:
+        state, step_fn = make_sharded_train_step(
+            params, cfg, mesh, lr=lr, precision=precision, tensor_parallel=tp > 1,
+            warmup_steps=warmup_steps, total_steps=total_steps, clip_norm=clip_norm,
+        )
     if checkpoint_dir:
         restored = restore_train_state(checkpoint_dir, state)
         if restored is not None:
@@ -158,6 +181,11 @@ def main(argv=None) -> None:
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--warmup_steps", type=int, default=100)
     ap.add_argument("--tp", type=int, default=1, help="tensor-parallel degree")
+    ap.add_argument("--pp", type=int, default=1,
+                    help="pipeline-parallel degree (GPipe over the ViT "
+                         "depth; exclusive with --tp)")
+    ap.add_argument("--microbatches", type=int, default=5,
+                    help="GPipe microbatch count (pp > 1)")
     ap.add_argument("--checkpoint_dir", default=None)
     ap.add_argument("--save_every", type=int, default=500)
     ap.add_argument("--holdout", type=int, default=0)
@@ -175,7 +203,7 @@ def main(argv=None) -> None:
     fit(args.data_root, cfg, batch_size=args.batch_size, epochs=args.epochs,
         lr=args.lr, warmup_steps=args.warmup_steps, tp=args.tp,
         checkpoint_dir=args.checkpoint_dir, save_every=args.save_every,
-        holdout=args.holdout)
+        holdout=args.holdout, pp=args.pp, microbatches=args.microbatches)
 
 
 if __name__ == "__main__":  # pragma: no cover

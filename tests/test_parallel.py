@@ -260,3 +260,130 @@ def test_gspmd_paths_route_resblock_to_xla(monkeypatch):
     dp_mod.forward(params, x, cfg, Precision.fp32(), compute_fov=False,
                    constrain=lambda t: t)
     assert seen and all(i == "xla" for i in seen)
+
+
+def test_pipeline_blocks_match_serial_scan():
+    """GPipe trunk inside shard_map == plain lax.scan over all blocks,
+    including the hook captures."""
+    from jax import shard_map
+
+    from ml_depth_pro_video_tpu.models.vit import (
+        _scan_blocks,
+        init_vit,
+        vit_apply,
+    )
+    from ml_depth_pro_video_tpu.parallel.pipeline import (
+        make_pp_mesh,
+        pipeline_blocks,
+    )
+
+    cfg = DRY_CFG.vit  # depth=2
+    mesh = make_pp_mesh(dp=1, pp=2, devices=jax.devices()[:2])
+    params = init_vit(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(2)
+    tokens = jnp.asarray(
+        rng.standard_normal((6, cfg.num_tokens, cfg.embed_dim)).astype(np.float32))
+
+    def body(tok, blocks_local):
+        out, caps = pipeline_blocks(tok, blocks_local, cfg, pp=2,
+                                    microbatches=3, capture_blocks=(0, 1))
+        return out, tuple(caps)
+
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(P(), jax.tree.map(lambda _: P("pp"),
+                                               params["blocks"])),
+                   out_specs=(P(), (P(), P())), check_vma=False)
+    with mesh:
+        out, caps = jax.jit(fn)(tokens, params["blocks"])
+
+    ref0 = _scan_blocks(tokens, params["blocks"], 0, 1, cfg, None)
+    ref1 = _scan_blocks(ref0, params["blocks"], 1, 2, cfg, None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(caps[0]), np.asarray(ref0),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(caps[1]), np.asarray(ref1),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_pp_train_step_matches_plain():
+    """One pipeline-parallel (dp=2 x pp=2) train step reproduces the
+    single-device step: same loss, same updated params — proving the
+    GPipe schedule, the stage-masked gradient routing, and the psum
+    reconstitution are exact."""
+    import optax
+
+    from ml_depth_pro_video_tpu.parallel.pipeline import (
+        make_pp_mesh,
+        make_pp_train_step,
+    )
+    from ml_depth_pro_video_tpu.train.step import TrainState, loss_fn
+
+    cfg = DRY_CFG
+    params = init_depth_pro(jax.random.PRNGKey(0), cfg)
+    # CONDITION the loss landscape: scale the head's output conv down
+    # and bias it to 0.5 so canonical inverse depth sits near 0.5
+    # everywhere. At raw random init many pixels land in (0, ~1e-3),
+    # where silog's 1/x log gradient amplifies harmless ~3e-7 forward
+    # reassociation noise into O(1) per-pixel gradient differences —
+    # meaninglessly ill-conditioned for an exactness test (the forward
+    # itself matches to 3e-7).
+    params["head"]["conv_out"]["w"] = params["head"]["conv_out"]["w"] * 0.01
+    params["head"]["conv_out"]["b"] = jnp.full((1,), 0.5, jnp.float32)
+    params0 = jax.device_get(params)  # host snapshot (donation survives)
+    rng = np.random.default_rng(0)
+    s = cfg.img_size
+    images = jnp.asarray(rng.random((2, s, s, 3), np.float32))
+    depth = jnp.full((2, s, s), 2.0, jnp.float32)
+
+    # plain SGD: updates are exactly -lr * grad, so this certifies the
+    # GRADIENTS themselves (Adam's per-element normalization would mask
+    # a uniform grad-scaling bug, e.g. a missed psum factor)
+    optimizer = optax.sgd(0.1)
+
+    # plain single-device reference step FIRST — the pp step's buffer
+    # donation may free the original param buffers (device_put can alias
+    # the donor on replicated placement)
+    ref_state = TrainState(params, optimizer.init(params),
+                           jnp.zeros((), jnp.int32))
+    loss_ref, grads = jax.value_and_grad(loss_fn)(
+        ref_state.params, images, depth, cfg, Precision.fp32())
+    updates, _ = optimizer.update(grads, ref_state.opt_state, ref_state.params)
+    ref_params = jax.device_get(optax.apply_updates(ref_state.params, updates))
+
+    mesh = make_pp_mesh(dp=2, pp=2, devices=jax.devices()[:4])
+    with mesh:
+        state, step = make_pp_train_step(params, cfg, mesh, microbatches=5,
+                                         precision=Precision.fp32(),
+                                         optimizer=optimizer)
+        state, loss_pp = step(state, images, depth)
+        pp_params = jax.device_get(state.params)
+
+    assert abs(float(loss_pp) - float(loss_ref)) < 1e-5, (loss_pp, loss_ref)
+    # compare the UPDATES (-lr * grad), not the params: rtol against the
+    # (much larger) param values would let a grad-scaling bug on small
+    # gradients slip through
+    upd_pp = jax.tree.map(lambda a, b: np.asarray(a) - np.asarray(b),
+                          pp_params, params0)
+    upd_ref = jax.tree.map(lambda a, b: np.asarray(a) - np.asarray(b),
+                           ref_params, params0)
+    for a, b in zip(jax.tree.leaves(upd_pp), jax.tree.leaves(upd_ref)):
+        # atol 2e-7: extracting updates by subtracting O(1)-scale params
+        # floors the measurement at the fp32 ULP (~6e-8); any scaling or
+        # routing bug moves updates by their full 1e-5..1e-3 magnitude
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-7)
+
+
+def test_pp_train_step_rejects_merge_tier():
+    import dataclasses
+
+    from ml_depth_pro_video_tpu.parallel.pipeline import (
+        make_pp_mesh,
+        make_pp_train_step,
+    )
+
+    cfg = dataclasses.replace(DRY_CFG, token_merge_ratio=0.5)
+    mesh = make_pp_mesh(dp=1, pp=2, devices=jax.devices()[:2])
+    params = init_depth_pro(jax.random.PRNGKey(0), cfg)
+    with pytest.raises(ValueError, match="exact path"):
+        make_pp_train_step(params, cfg, mesh)
