@@ -1,0 +1,175 @@
+"""Ahead-of-time export of the compiled inference program.
+
+The reference re-builds its torch model and re-traces on every process
+start (`/root/reference/src/depth_pro/depth_pro.py:49-151` via each
+script's `create_model_and_transforms` call). On TPU the equivalent
+cost is the first jit of the 1536² ViT-L program: ~20-40 s of XLA
+compile per fresh process. ``jax.export`` serializes the LOWERED
+StableHLO — including the Pallas Mosaic kernels as custom calls — so a
+production server deserializes and runs without re-tracing the Python
+model at all, and the artifact pins platform, shapes, dtypes and the
+exact program that was validated.
+
+Contract: the exported callable is exactly the video runner's hot
+inference program — ``fn(params, frames_uint8) -> {"depth",
+"focallength_px", ...}`` at a FIXED (batch, H, W, 3) uint8 input with
+on-device normalization (`video/runner.py::_infer`), params FOLDED
+(``fold_head_params``). Weights are an argument, not baked in: one
+artifact serves any checkpoint with the same architecture.
+
+Platform notes: the program is exported for the platform it was traced
+on (the attention/resblock impls auto-select per platform at trace
+time) — export on the machine class you deploy. Shapes are static; the
+serving layer already canonicalizes every request to one resolution
+(`serve/server.py::_Batcher`), so one artifact covers production.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+
+from ..core.precision import Precision, resolve_precision
+from ..models.depth_pro import (
+    DepthProConfig,
+    fold_head_params,
+    infer_fn,
+    init_depth_pro,
+)
+
+LOGGER = logging.getLogger(__name__)
+
+
+def _runner_fn(cfg: DepthProConfig, precision: Precision):
+    """The runner's single-device batch program: uint8 frames in,
+    normalization on-device (`video/runner.py::_infer`, f_px derived)."""
+
+    def fn(p, x):
+        return infer_fn(p, x.astype(jnp.float32) / 127.5 - 1.0, None, cfg,
+                        precision)
+
+    return fn
+
+
+def _abstract_params(cfg: DepthProConfig):
+    """Abstract (shape/dtype only) FOLDED param tree — export never
+    needs real weights."""
+    shapes = jax.eval_shape(
+        lambda: fold_head_params(init_depth_pro(jax.random.PRNGKey(0), cfg)))
+    return jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), shapes)
+
+
+def export_infer(cfg: DepthProConfig, precision="bf16", batch_size: int = 1,
+                 path: str | None = None):
+    """Export the inference program for ``batch_size`` uint8 frames at
+    the model's native resolution. Returns the ``jax.export.Exported``;
+    writes the serialized artifact to ``path`` when given."""
+    from jax import export as jex
+
+    precision = resolve_precision(precision)
+    fn = jax.jit(_runner_fn(cfg, precision))
+    x = jax.ShapeDtypeStruct((batch_size, cfg.img_size, cfg.img_size, 3),
+                             jnp.uint8)
+    # Mosaic kernels lower to the "tpu_custom_call" target, which export
+    # refuses without an explicit opt-in (it cannot verify stability
+    # guarantees of arbitrary custom calls; Mosaic's is fine on the
+    # matching libtpu)
+    exported = jex.export(
+        fn, disabled_checks=[jex.DisabledSafetyCheck.custom_call("tpu_custom_call")],
+    )(_abstract_params(cfg), x)
+    if path is not None:
+        data = exported.serialize()
+        with open(path, "wb") as f:
+            f.write(data)
+        # sidecar manifest: the artifact itself carries no model-config
+        # identity, and serving a program exported for a different
+        # merge ratio / precision / size would be a SILENT quality bug —
+        # the runner cross-checks this at load time
+        import json
+
+        with open(path + ".json", "w") as f:
+            json.dump({
+                "img_size": cfg.img_size,
+                "batch_size": batch_size,
+                "compute_dtype": jnp.dtype(precision.compute_dtype).name,
+                "token_merge_ratio": cfg.token_merge_ratio,
+                "token_merge_block": cfg.token_merge_block,
+                "platforms": list(exported.platforms),
+            }, f, indent=1)
+        LOGGER.info("exported %s (%d bytes, platforms=%s, batch=%d, %dpx)",
+                    path, len(data), exported.platforms, batch_size,
+                    cfg.img_size)
+    return exported
+
+
+def load_exported(path: str, cfg: DepthProConfig | None = None,
+                  precision=None):
+    """Deserialize an artifact; returns the ``Exported`` (use
+    ``.call(params, frames_uint8)``). Raises on platform mismatch at
+    call time, not load time.
+
+    When ``cfg``/``precision`` are given and a sidecar manifest exists
+    (written by ``export_infer``), mismatched model identity raises —
+    an artifact exported for a different merge ratio, precision or
+    resolution would otherwise serve silently wrong programs."""
+    import json
+    import os
+
+    from jax import export as jex
+
+    manifest_path = path + ".json"
+    if cfg is not None and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            m = json.load(f)
+        want = {"img_size": cfg.img_size,
+                "token_merge_ratio": cfg.token_merge_ratio,
+                "token_merge_block": cfg.token_merge_block}
+        if precision is not None:
+            want["compute_dtype"] = jnp.dtype(
+                resolve_precision(precision).compute_dtype).name
+        bad = {k: (m.get(k), v) for k, v in want.items() if m.get(k) != v}
+        if bad:
+            raise ValueError(
+                f"exported artifact {path} does not match the model config: "
+                + ", ".join(f"{k}: artifact={a!r} vs wanted={w!r}"
+                            for k, (a, w) in bad.items()))
+    elif cfg is not None:
+        LOGGER.warning("no manifest %s — cannot verify the artifact matches "
+                       "the model config", manifest_path)
+
+    with open(path, "rb") as f:
+        return jex.deserialize(bytearray(f.read()))
+
+
+def main(argv=None) -> None:  # pragma: no cover - thin CLI, tested via lib
+    import argparse
+
+    from ..models.depth_pro import DEFAULT_MONODEPTH_CONFIG, tiny_config
+
+    ap = argparse.ArgumentParser(
+        description="AOT-export the compiled depth inference program "
+                    "(skip the per-process XLA compile in production)")
+    ap.add_argument("-o", "--output", required=True, help="artifact path")
+    ap.add_argument("--batch_size", type=int, default=1)
+    ap.add_argument("--precision", choices=["bf16", "fp32"], default="bf16")
+    ap.add_argument("--speed", default="exact",
+                    help="speed preset baked into the exported program")
+    ap.add_argument("--tiny", action="store_true",
+                    help="miniature config (smoke tests)")
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
+    cfg = tiny_config() if args.tiny else DEFAULT_MONODEPTH_CONFIG
+    if args.speed != "exact":
+        from ..models.depth_pro import apply_speed
+
+        cfg = apply_speed(cfg, args.speed)
+    exported = export_infer(cfg, args.precision, args.batch_size, args.output)
+    print(f"exported platforms={exported.platforms} "
+          f"in={[str(a) for a in exported.in_avals[-1:]]} -> {args.output}")
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -192,7 +192,8 @@ def create_server(host: str = "127.0.0.1", port: int = 8500, runner=None,
                   max_batch: int = 4, max_wait_ms: float = 30.0,
                   warmup_shape: tuple | None = None,
                   parallel: str = "none",
-                  speed: str = "exact") -> ThreadingHTTPServer:
+                  speed: str = "exact",
+                  exported_path: str | None = None) -> ThreadingHTTPServer:
     """``warmup_shape=(H, W)`` compiles the full-batch program before the
     server accepts traffic — the first real request then runs at steady-
     state latency instead of paying the ~40 s XLA compile. ``parallel``:
@@ -213,7 +214,7 @@ def create_server(host: str = "127.0.0.1", port: int = 8500, runner=None,
     runner = runner or DepthVideoRunner(
         precision="bf16", batch_size=max_batch, mesh=mesh,
         parallel=parallel if parallel in ("dp", "latency") else "dp",
-        speed=speed)
+        speed=speed, exported_path=exported_path)
     # the runner may have rounded batch_size up to a dp multiple; the
     # batcher must coalesce up to THAT size or every batch gets padded
     max_batch = max(max_batch, runner.batch_size)
@@ -248,11 +249,16 @@ def main(argv=None):  # pragma: no cover
     ap.add_argument("--speed", choices=sorted(_SP), default="exact",
                     help="ToMe token-merge approximation tiers "
                          "(balanced=0.25, fast=0.5 merge ratio)")
+    ap.add_argument("--exported", default=None,
+                    help="AOT artifact from depth-pro-export: serve the "
+                         "full-batch canonical program with zero startup "
+                         "compile (single-device; manifest-checked)")
     args = ap.parse_args(argv)
     warm = tuple(int(v) for v in args.warmup.split("x")) if args.warmup else None
     server = create_server(args.host, args.port, max_batch=args.max_batch,
                            max_wait_ms=args.max_wait_ms, warmup_shape=warm,
-                           parallel=args.parallel, speed=args.speed)
+                           parallel=args.parallel, speed=args.speed,
+                           exported_path=args.exported)
     print(f"serving on {args.host}:{args.port}")
     server.serve_forever()
 

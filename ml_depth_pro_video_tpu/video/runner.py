@@ -51,6 +51,7 @@ class DepthVideoRunner:
         speed: str = "exact",
         decode_workers: int | None = None,
         pipeline_depth: int = 2,
+        exported_path: str | None = None,
     ):
         if parallel not in ("dp", "latency"):
             raise ValueError(f"parallel must be 'dp' or 'latency', got {parallel!r}")
@@ -113,10 +114,32 @@ class DepthVideoRunner:
 
             self.params = shard_params(self.params, mesh, tensor_parallel=False)
         self._jit = {}
+        # AOT-exported program (ckpt/export.py): serves the hot path —
+        # single-device, no-EXIF uint8 batches at the artifact's exact
+        # shape — with ZERO per-process XLA compile; everything else
+        # (mixed f_px, odd tail shapes, meshes) falls back to jit
+        self._exported = None
+        if exported_path is not None:
+            if mesh is not None:
+                raise ValueError("exported_path serves the single-device "
+                                 "path; mesh programs must jit")
+            if quantize:
+                raise ValueError("exported_path and quantize are exclusive "
+                                 "(the artifact's param tree is unquantized)")
+            from ..ckpt.export import load_exported
+
+            self._exported = load_exported(exported_path, cfg, self.precision)
+            self._exported_shape = tuple(self._exported.in_avals[-1].shape)
 
     # ------------------------------------------------------------------
     def _infer(self, batch: jnp.ndarray, f_px: np.ndarray | None, mixed: bool = False):
         key = (batch.shape, f_px is not None, mixed)
+        if (self._exported is not None and f_px is None and not mixed
+                and tuple(batch.shape) == self._exported_shape
+                and batch.dtype == jnp.uint8):
+            # pre-compiled artifact serves this exact program; shares
+            # the retry loop below like any jitted path
+            self._jit.setdefault(key, self._exported.call)
         if key not in self._jit:
             cfg, prec = self.cfg, self.precision
 

@@ -1,0 +1,102 @@
+"""AOT export of the compiled inference program (ckpt/export.py):
+serialize/deserialize roundtrip, manifest identity checks, and the
+runner/serve integration."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ml_depth_pro_video_tpu.ckpt.export import (
+    export_infer,
+    load_exported,
+)
+from ml_depth_pro_video_tpu.core.precision import Precision
+from ml_depth_pro_video_tpu.models.depth_pro import (
+    fold_head_params,
+    infer_fn,
+    init_depth_pro,
+    tiny_config,
+)
+
+CFG = tiny_config()
+
+
+def _params():
+    return fold_head_params(init_depth_pro(jax.random.PRNGKey(0), CFG))
+
+
+def test_export_roundtrip_matches_direct_inference(tmp_path):
+    path = str(tmp_path / "model.jaxexp")
+    export_infer(CFG, "fp32", batch_size=2, path=path)
+    exported = load_exported(path, CFG, "fp32")
+
+    params = _params()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, 256, (2, CFG.img_size, CFG.img_size, 3),
+                                 dtype=np.uint8))
+    out = exported.call(params, x)
+
+    ref = infer_fn(params, x.astype(jnp.float32) / 127.5 - 1.0, None, CFG,
+                   Precision.fp32())
+    # the StableHLO roundtrip may recompile with different fusion
+    # rounding — measured max 3e-6 relative; NOT bit-exactness
+    np.testing.assert_allclose(np.asarray(out["depth"]),
+                               np.asarray(ref["depth"]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["focallength_px"]),
+                               np.asarray(ref["focallength_px"]), rtol=1e-5)
+
+
+def test_export_manifest_rejects_config_mismatch(tmp_path):
+    path = str(tmp_path / "model.jaxexp")
+    export_infer(CFG, "fp32", batch_size=1, path=path)
+    # wrong speed tier: the artifact would silently serve the exact
+    # program while the caller believes it merged tokens
+    fast = dataclasses.replace(CFG, token_merge_ratio=0.5)
+    with pytest.raises(ValueError, match="token_merge_ratio"):
+        load_exported(path, fast, "fp32")
+    with pytest.raises(ValueError, match="compute_dtype"):
+        load_exported(path, CFG, "bf16")
+    # no cfg given: loads without checks
+    assert load_exported(path) is not None
+
+
+def test_runner_serves_exported_artifact(tmp_path):
+    from ml_depth_pro_video_tpu.video.runner import DepthVideoRunner
+
+    path = str(tmp_path / "model.jaxexp")
+    export_infer(CFG, "fp32", batch_size=2, path=path)
+
+    runner = DepthVideoRunner(cfg=CFG, precision="fp32", batch_size=2,
+                              exported_path=path)
+    rng = np.random.default_rng(1)
+    s = CFG.img_size
+    frames = [(rng.random((s, s, 3)) * 255).astype(np.uint8) for _ in range(2)]
+    results = list(runner.depth_stream(frames))
+    assert len(results) == 2
+    # the full batch at native size hits the artifact: no jit compiled
+    # for that key
+    key = ((2, s, s, 3), False, False)
+    assert getattr(runner._jit[key], "__self__", None) is runner._exported
+
+    plain = DepthVideoRunner(cfg=CFG, precision="fp32", batch_size=2)
+    plain.params = runner.params
+    ref = list(plain.depth_stream(frames))
+    np.testing.assert_array_equal(results[0]["depth"], ref[0]["depth"])
+    np.testing.assert_array_equal(results[1]["depth"], ref[1]["depth"])
+
+
+def test_runner_exported_guards():
+    from ml_depth_pro_video_tpu.parallel.mesh import make_mesh
+    from ml_depth_pro_video_tpu.video.runner import DepthVideoRunner
+
+    with pytest.raises(ValueError, match="single-device"):
+        DepthVideoRunner(cfg=CFG, batch_size=2,
+                         mesh=make_mesh(dp=2, tp=1, devices=jax.devices()[:2]),
+                         exported_path="/nonexistent")
+    with pytest.raises(ValueError, match="quantize"):
+        DepthVideoRunner(cfg=CFG, batch_size=2, quantize=True,
+                         exported_path="/nonexistent")
