@@ -203,10 +203,24 @@ def make_pp_train_step(params: dict, cfg: DepthProConfig, mesh: Mesh,
     if optimizer is None:
         optimizer = make_optimizer(lr, warmup_steps=warmup_steps,
                                    total_steps=total_steps, clip_norm=clip_norm)
-    params = shard_pp_params(params, mesh)
-    opt_state = optimizer.init(params)  # moments inherit the shardings
-    state = TrainState(params, opt_state, jnp.zeros((), jnp.int32))
     specs = _param_specs(params)
+    if any(isinstance(l, jax.ShapeDtypeStruct) for l in jax.tree.leaves(params)):
+        # ABSTRACT mode (AOT compile certification): attach the pp
+        # shardings to the avals and eval_shape the optimizer state —
+        # the returned step can be .lower()ed/compiled but not run.
+        # Stateless optimizers (sgd) keep opt_state array-free; stateful
+        # ones would need concrete init for correct moment shardings.
+        params = jax.tree.map(
+            lambda a, s: jax.ShapeDtypeStruct(
+                a.shape, a.dtype, sharding=NamedSharding(mesh, s)),
+            params, specs)
+        opt_state = jax.eval_shape(optimizer.init, params)
+        step0 = jax.ShapeDtypeStruct((), jnp.int32)
+    else:
+        params = shard_pp_params(params, mesh)
+        opt_state = optimizer.init(params)  # moments inherit the shardings
+        step0 = jnp.zeros((), jnp.int32)
+    state = TrainState(params, opt_state, step0)
 
     def global_silog(pred_inv_depth, target_depth, eps=1e-6, lam=0.85):
         """``train.step.silog_loss`` with the batch-mean reductions
