@@ -22,6 +22,13 @@ on (the attention/resblock impls auto-select per platform at trace
 time) — export on the machine class you deploy. Shapes are static; the
 serving layer already canonicalizes every request to one resolution
 (`serve/server.py::_Batcher`), so one artifact covers production.
+
+Numerics: deserialization re-COMPILES the StableHLO. On TPU the result
+is BIT-IDENTICAL to the in-process jit (scripts/tpu_export_check.out:
+max rel diff 0.0e+00 on the real chip); on CPU fusion-level rounding
+may differ by ~3e-6 relative. Do not compare against EAGER execution —
+op-by-op dispatch on TPU rounds differently from any fused program
+(measured 2e-2 apart at random init through the 1/clamp pole).
 """
 
 from __future__ import annotations

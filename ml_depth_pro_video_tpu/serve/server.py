@@ -7,6 +7,8 @@ into one device batch (the TPU-idiomatic way to serve many streams).
 
 Endpoints:
   GET  /healthz          -> {"status": "ok", "device": ...}
+  GET  /metrics          -> Prometheus text: request/error/batch
+                            counters, batch fill ratio, latency histogram
   POST /v1/depth         -> body: PNG/JPEG bytes; returns JSON
                             {depth_shape, focallength_px, min, max} plus
                             base64 npz when ?return=npz, or a 16-bit
@@ -28,6 +30,69 @@ import numpy as np
 
 LOGGER = logging.getLogger(__name__)
 
+# request-latency histogram bucket upper bounds (seconds): spans the
+# ~0.2 s tiny-config path through multi-batch queueing on a cold server
+_LATENCY_BUCKETS = (0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0, 30.0, 60.0)
+
+
+class _Metrics:
+    """Thread-safe counters + fixed-bucket latency histogram, rendered
+    in the Prometheus text exposition format (GET /metrics). Kept
+    dependency-free like the rest of the serving layer."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.requests = 0
+        self.errors = 0
+        self.batches = 0
+        self.frames = 0
+        self.lat_sum = 0.0
+        self.lat_buckets = [0] * (len(_LATENCY_BUCKETS) + 1)  # +inf tail
+
+    def record_request(self, seconds: float, error: bool):
+        with self._lock:
+            self.requests += 1
+            self.errors += int(error)
+            self.lat_sum += seconds
+            for i, ub in enumerate(_LATENCY_BUCKETS):
+                if seconds <= ub:
+                    self.lat_buckets[i] += 1
+                    break
+            else:
+                self.lat_buckets[-1] += 1
+
+    def record_batch(self, size: int):
+        with self._lock:
+            self.batches += 1
+            self.frames += size
+
+    def render(self, max_batch: int) -> str:
+        with self._lock:
+            lines = [
+                "# TYPE depthpro_requests_total counter",
+                f"depthpro_requests_total {self.requests}",
+                "# TYPE depthpro_request_errors_total counter",
+                f"depthpro_request_errors_total {self.errors}",
+                "# TYPE depthpro_batches_total counter",
+                f"depthpro_batches_total {self.batches}",
+                "# TYPE depthpro_batch_frames_total counter",
+                f"depthpro_batch_frames_total {self.frames}",
+                "# TYPE depthpro_batch_fill_ratio gauge",
+                "depthpro_batch_fill_ratio "
+                f"{self.frames / max(self.batches * max_batch, 1):.4f}",
+                "# TYPE depthpro_request_latency_seconds histogram",
+            ]
+            acc = 0
+            for ub, n in zip(_LATENCY_BUCKETS, self.lat_buckets):
+                acc += n
+                lines.append('depthpro_request_latency_seconds_bucket'
+                             f'{{le="{ub}"}} {acc}')
+            acc += self.lat_buckets[-1]
+            lines.append(f'depthpro_request_latency_seconds_bucket{{le="+Inf"}} {acc}')
+            lines.append(f"depthpro_request_latency_seconds_sum {self.lat_sum:.6f}")
+            lines.append(f"depthpro_request_latency_seconds_count {self.requests}")
+        return "\n".join(lines) + "\n"
+
 
 class _Batcher:
     """Coalesce concurrent requests into device batches.
@@ -48,11 +113,24 @@ class _Batcher:
         self.canonical = canonical
         self.size = int(runner.cfg.img_size)
         self.timeout_s = timeout_s
+        self.metrics = _Metrics()
         self.queue: queue.Queue = queue.Queue()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
     def infer(self, image: np.ndarray) -> dict:
+        import time as _time
+
+        t0 = _time.perf_counter()
+        try:
+            result = self._infer(image)
+        except Exception:
+            self.metrics.record_request(_time.perf_counter() - t0, error=True)
+            raise
+        self.metrics.record_request(_time.perf_counter() - t0, error=False)
+        return result
+
+    def _infer(self, image: np.ndarray) -> dict:
         from PIL import Image as PILImage
 
         h, w = image.shape[:2]
@@ -93,6 +171,7 @@ class _Batcher:
             except queue.Empty:
                 pass
             images = [b[0] for b in batch]
+            self.metrics.record_batch(len(batch))
             try:
                 results = list(self.runner.depth_stream(images))
                 for (_, slot, done), res in zip(batch, results):
@@ -122,11 +201,15 @@ def make_handler(batcher: _Batcher):
             pass
 
         def do_GET(self):
-            if urlparse(self.path).path == "/healthz":
+            path = urlparse(self.path).path
+            if path == "/healthz":
                 import jax
 
                 info = {"status": "ok", "device": str(jax.devices()[0])}
                 self._send(200, json.dumps(info).encode())
+            elif path == "/metrics":
+                body = batcher.metrics.render(batcher.max_batch).encode()
+                self._send(200, body, ctype="text/plain; version=0.0.4")
             else:
                 self._send(404, b'{"error": "not found"}')
 

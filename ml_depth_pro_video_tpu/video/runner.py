@@ -130,6 +130,14 @@ class DepthVideoRunner:
 
             self._exported = load_exported(exported_path, cfg, self.precision)
             self._exported_shape = tuple(self._exported.in_avals[-1].shape)
+            if self._exported_shape[0] != self.batch_size:
+                # shape-mismatched batches fall back to jit SILENTLY per
+                # call — if the artifact can never match, say so now
+                logging.getLogger(__name__).warning(
+                    "exported artifact batch=%d but runner batch_size=%d: "
+                    "full batches will jit-compile instead of using the "
+                    "artifact (re-export with --batch_size %d)",
+                    self._exported_shape[0], self.batch_size, self.batch_size)
 
     # ------------------------------------------------------------------
     def _infer(self, batch: jnp.ndarray, f_px: np.ndarray | None, mixed: bool = False):

@@ -113,3 +113,34 @@ def test_concurrent_mixed_resolution_requests(server_url):
         res = list(pool.map(post, bodies))
     assert res[0]["depth_shape"] == [80, 100]
     assert res[1]["depth_shape"] == [64, 48]
+
+
+def test_metrics_endpoint(server_url):
+    """/metrics exposes Prometheus counters that actually move."""
+    # at least one successful request so counters are nonzero
+    req = urllib.request.Request(server_url + "/v1/depth", data=_png_bytes(7),
+                                 headers={"Content-Type": "image/png"})
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 200
+    with urllib.request.urlopen(server_url + "/metrics") as r:
+        assert r.headers["Content-Type"].startswith("text/plain")
+        text = r.read().decode()
+    metrics = {}
+    for line in text.splitlines():
+        if line.startswith("#") or "{" in line:
+            continue
+        name, val = line.rsplit(" ", 1)
+        metrics[name] = float(val)
+    assert metrics["depthpro_requests_total"] >= 1
+    assert metrics["depthpro_batches_total"] >= 1
+    assert metrics["depthpro_batch_frames_total"] >= metrics["depthpro_batches_total"]
+    assert 0 < metrics["depthpro_batch_fill_ratio"] <= 1
+    assert metrics["depthpro_request_latency_seconds_count"] == metrics[
+        "depthpro_requests_total"]
+    assert metrics["depthpro_request_latency_seconds_sum"] > 0
+    # histogram buckets are cumulative and end at +Inf == count
+    bucket_lines = [l for l in text.splitlines()
+                    if l.startswith("depthpro_request_latency_seconds_bucket")]
+    counts = [float(l.rsplit(" ", 1)[1]) for l in bucket_lines]
+    assert counts == sorted(counts)
+    assert counts[-1] == metrics["depthpro_requests_total"]
