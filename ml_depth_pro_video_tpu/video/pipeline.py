@@ -191,6 +191,7 @@ def process_images_to_floor_plans(
     runner: DepthVideoRunner | None = None,
     parallel: str = "none",
     speed: str = "exact",
+    temporal_smooth: float = 0.0,
 ):
     """Process a frame directory into per-frame floor plans."""
     output_dir = output_dir or frames_dir
@@ -243,6 +244,7 @@ def process_images_to_floor_plans(
         mesh=mesh,
         parallel=parallel if parallel in ("dp", "latency") else "dp",
         speed=speed,
+        temporal_smooth=temporal_smooth,
     )
 
     try:
@@ -387,6 +389,10 @@ def main(argv=None):  # pragma: no cover - CLI shim, exercised via cli tests
     ap.add_argument("--parallel", choices=["none", "dp", "latency"], default="none",
                     help="multi-chip mode: dp shards frame batches, latency "
                          "shards the MODEL for single-stream speed")
+    ap.add_argument("--temporal_smooth", type=float, default=0.0,
+                    help="EMA weight (0=off) for flicker-free video depth: "
+                         "scale-aligned blending on static pixels, motion "
+                         "passes through (video/temporal.py)")
     ap.add_argument("--x_limits", type=float, nargs=2, default=None)
     ap.add_argument("--z_limits", type=float, nargs=2, default=None)
     # reference-style individual bound flags (`pointcloud_pipeline.py`)
@@ -447,6 +453,7 @@ def main(argv=None):  # pragma: no cover - CLI shim, exercised via cli tests
         output_all_files=args.output_all_files, resume=args.resume,
         force_reprocess=args.force_reprocess, batch_size=args.batch_size,
         renderer=args.renderer, parallel=args.parallel, speed=args.speed,
+        temporal_smooth=args.temporal_smooth,
         x_limits=tuple(args.x_limits) if args.x_limits else None,
         z_limits=tuple(args.z_limits) if args.z_limits else None,
     )

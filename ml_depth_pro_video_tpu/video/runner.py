@@ -52,6 +52,7 @@ class DepthVideoRunner:
         decode_workers: int | None = None,
         pipeline_depth: int = 2,
         exported_path: str | None = None,
+        temporal_smooth: float = 0.0,
     ):
         if parallel not in ("dp", "latency"):
             raise ValueError(f"parallel must be 'dp' or 'latency', got {parallel!r}")
@@ -93,6 +94,9 @@ class DepthVideoRunner:
         # keeping an upload, a compute, and a download concurrently in
         # flight is what hides them (scripts/feed_sustained.out)
         self.pipeline_depth = max(int(pipeline_depth), 1)
+        # temporal EMA weight for video streams (0 = off, the reference
+        # behavior: every frame independent — video/temporal.py)
+        self.temporal_smooth = float(temporal_smooth)
 
         params = load_checkpoint(cfg)
         if params is None:
@@ -249,7 +253,14 @@ class DepthVideoRunner:
         Frames are grouped into device batches of ``batch_size`` (all
         frames in a stream must share a resolution for one compiled
         program; mixed sizes trigger recompiles, which still work).
+        With ``temporal_smooth > 0`` each stream gets its own fresh
+        smoother state (video/temporal.py) applied in playback order.
         """
+        smoother = None
+        if self.temporal_smooth > 0.0:
+            from .temporal import TemporalSmoother
+
+            smoother = TemporalSmoother(alpha=self.temporal_smooth)
         q: queue.Queue = queue.Queue(maxsize=self.prefetch * max(self.batch_size, 1))
         sentinel = object()
 
@@ -353,6 +364,10 @@ class DepthVideoRunner:
                     delay = min(delay * 2, 60.0)
                     xs, f_arr, mixed = inputs
                     out = self._infer(jnp.asarray(xs), f_arr, mixed=mixed)
+            if smoother is not None:
+                # playback order is guaranteed here (flights collect
+                # oldest-first); a resolution change auto-reseeds
+                depth = np.stack([smoother.update(depth[i]) for i in range(n)])
             return [
                 {"key": keys[i], "depth": depth[i], "focallength_px": float(fl[i]),
                  "image": imgs[i]}

@@ -1,0 +1,98 @@
+"""Temporal depth smoothing for video streams (beyond the reference).
+
+The reference's video pipeline runs every frame independently
+(`/root/reference/pointcloud_pipeline.py:473-890`), so monocular depth
+flickers frame to frame: global scale jitter (each frame re-derives its
+own metric scale through the FOV head) plus per-pixel estimation noise.
+This module adds an opt-in, device-side smoother:
+
+1. work in INVERSE depth (noise is closer to uniform there, and it is
+   the model's native output domain);
+2. robustly align the incoming frame to the running state with a global
+   scale+shift fit over temporally-static pixels (closed-form weighted
+   least squares) — kills scale flicker without touching structure;
+3. EMA-blend ONLY where the aligned frame agrees with the state
+   (relative change below ``tau``); everything else (real motion,
+   disocclusions) passes through UNTOUCHED and re-seeds the state — no
+   ghosting trails.
+
+The update is one tiny jitted program per frame (a few fused
+elementwise passes + two reductions — microseconds at 1536² next to
+the ~160 ms model). State lives on the device; nothing extra crosses
+the host boundary.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("alpha", "tau", "align"))
+def _update(state: jnp.ndarray, depth: jnp.ndarray, *, alpha: float,
+            tau: float, align: bool):
+    """One smoothing step. state/depth: (H, W) metric depth maps.
+    Returns (new_state, smoothed_depth), both (H, W) fp32."""
+    eps = 1e-6
+    s = 1.0 / jnp.clip(depth.astype(jnp.float32), eps, 1e6)   # inverse depth
+    ref = 1.0 / jnp.clip(state.astype(jnp.float32), eps, 1e6)
+
+    if align:
+        # static-pixel mask for the FIT (pre-alignment, loose 2*tau band)
+        w = (jnp.abs(s - ref) / (jnp.abs(ref) + eps) < 2.0 * tau).astype(
+            jnp.float32)
+        n = jnp.sum(w)
+        sw_ss = jnp.sum(w * s * s)
+        sw_s = jnp.sum(w * s)
+        sw_sr = jnp.sum(w * s * ref)
+        sw_r = jnp.sum(w * ref)
+        det = sw_ss * n - sw_s * sw_s
+        a = (sw_sr * n - sw_s * sw_r) / jnp.where(det > eps, det, 1.0)
+        b = (sw_r - a * sw_s) / jnp.maximum(n, 1.0)
+        # degenerate fit (too few static pixels / flat scene): identity.
+        # A scale fit far from 1 is a scene cut, not flicker — identity
+        # there too, and the per-pixel gate below re-seeds the state.
+        ok = (det > eps) & (n > 0.01 * s.size) & (a > 0.5) & (a < 2.0)
+        s = jnp.where(ok, a * s + b, s)
+
+    static = jnp.abs(s - ref) / (jnp.abs(ref) + eps) < tau
+    blended = jnp.where(static, alpha * ref + (1.0 - alpha) * s, s)
+    return 1.0 / jnp.clip(blended, eps, 1e6), 1.0 / jnp.clip(blended, eps, 1e6)
+
+
+class TemporalSmoother:
+    """Streaming wrapper: feed metric depth maps in playback order.
+
+    ``alpha``: EMA weight of the history on static pixels (0 disables
+    blending; 0.8 ≈ 5-frame memory). ``tau``: relative inverse-depth
+    change above which a pixel counts as real motion and passes
+    through. ``align``: fit the global scale+shift each frame.
+    A resolution change (or ``reset()``) re-seeds the state.
+    """
+
+    def __init__(self, alpha: float = 0.8, tau: float = 0.05,
+                 align: bool = True):
+        if not 0.0 <= alpha < 1.0:
+            raise ValueError(f"alpha must be in [0, 1), got {alpha}")
+        self.alpha = float(alpha)
+        self.tau = float(tau)
+        self.align = bool(align)
+        self._state = None
+
+    def reset(self) -> None:
+        self._state = None
+
+    def update(self, depth) -> np.ndarray:
+        """depth: (H, W) metric depth (numpy or jax). Returns the
+        smoothed (H, W) fp32 numpy map."""
+        d = jnp.asarray(depth)
+        if self._state is None or self._state.shape != d.shape:
+            self._state = jnp.asarray(d, jnp.float32)
+            return np.asarray(self._state)
+        self._state, out = _update(self._state, d, alpha=self.alpha,
+                                   tau=self.tau, align=self.align)
+        return np.asarray(out)
