@@ -165,10 +165,15 @@ def main(argv=None) -> None:  # pragma: no cover - thin CLI, tested via lib
                     help="speed preset baked into the exported program")
     ap.add_argument("--tiny", action="store_true",
                     help="miniature config (smoke tests)")
+    from ..models.depth_pro import MODEL_PRESETS as _MP
+    ap.add_argument("--model", choices=list(_MP), default="large",
+                    help="model family member to export")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
-    cfg = tiny_config() if args.tiny else DEFAULT_MONODEPTH_CONFIG
+    from ..models.depth_pro import model_preset
+
+    cfg = tiny_config() if args.tiny else model_preset(args.model)
     if args.speed != "exact":
         from ..models.depth_pro import apply_speed
 

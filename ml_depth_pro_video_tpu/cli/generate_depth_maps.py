@@ -70,6 +70,7 @@ def generate_depth_maps(
     pattern: str = "*.png",
     runner=None,
     speed: str = "exact",
+    model: str = "large",
 ) -> list[str]:
     """Run depth over a file or directory; returns written paths."""
     from ..video.runner import DepthVideoRunner
@@ -82,7 +83,10 @@ def generate_depth_maps(
         raise FileNotFoundError(f"no inputs under {input_path}")
     os.makedirs(output_dir, exist_ok=True)
 
+    from ..models.depth_pro import model_preset
+
     runner = runner or DepthVideoRunner(
+        cfg=model_preset(model),
         precision="bf16" if half_precision else "fp32",
         batch_size=batch_size,
         downscale_factor=downscale_factor,
@@ -164,6 +168,7 @@ def generate_depth_video(
     stride: int = 1,
     pattern: str = "*.png",
     runner=None,
+    model: str = "large",
 ) -> int:
     """Video file (or frame directory) -> colormapped depth VIDEO.
 
@@ -200,7 +205,10 @@ def generate_depth_video(
         items = (frame for _, frame in video_frames(input_path, start=start,
                                                     end=end, stride=stride))
 
+    from ..models.depth_pro import model_preset
+
     runner = runner or DepthVideoRunner(
+        cfg=model_preset(model),
         precision="bf16" if half_precision else "fp32",
         batch_size=batch_size,
         downscale_factor=downscale_factor,
@@ -268,6 +276,10 @@ def main(argv=None) -> None:
                          "(balanced=0.25, fast=0.5 merge ratio)")
     ap.add_argument("--save_npz", action="store_true")
     ap.add_argument("--pattern", default="*.png")
+    from ..models.depth_pro import MODEL_PRESETS as _MP
+    ap.add_argument("--model", choices=list(_MP), default="large",
+                    help="model family member (base/small need a "
+                         "trained/distilled checkpoint — depth-pro-distill)")
     args = ap.parse_args(argv)
     is_video = os.path.splitext(args.input)[1].lower() in VIDEO_EXTS
     if args.video_out:
@@ -279,7 +291,7 @@ def main(argv=None) -> None:
             side_by_side=args.side_by_side,
             depth_range=tuple(args.depth_range) if args.depth_range else None,
             fps=args.fps, start=args.start, end=args.end, stride=args.stride,
-            pattern=args.pattern)
+            pattern=args.pattern, model=args.model)
         return
     if is_video:
         ap.error(f"{args.input} is a video file — pass --video_out OUT.mp4, "
@@ -291,7 +303,7 @@ def main(argv=None) -> None:
                         downscale_factor=args.downscale_factor,
                         half_precision=args.half_precision,
                         batch_size=args.batch_size, save_npz=args.save_npz,
-                        pattern=args.pattern)
+                        pattern=args.pattern, model=args.model)
 
 
 if __name__ == "__main__":  # pragma: no cover

@@ -33,7 +33,7 @@ def colorize(values: np.ndarray, cmap: str = "turbo") -> np.ndarray:
 def run(args) -> None:
     from PIL import Image
 
-    from ..models.depth_pro import DEFAULT_MONODEPTH_CONFIG
+    from ..models.depth_pro import model_preset
     from ..video.runner import DepthVideoRunner
 
     if args.verbose:
@@ -50,7 +50,7 @@ def run(args) -> None:
         raise SystemExit(f"No images found at {image_path}")
 
     runner = DepthVideoRunner(
-        cfg=DEFAULT_MONODEPTH_CONFIG,
+        cfg=model_preset(getattr(args, "model", "large")),
         precision="bf16" if args.half else "fp32",
         batch_size=args.batch_size,
         speed=args.speed,
@@ -118,6 +118,10 @@ def main(argv=None) -> None:
     ap.add_argument("--speed", choices=sorted(_SP), default="exact",
                     help="ToMe token-merge approximation tiers "
                          "(balanced=0.25, fast=0.5 merge ratio)")
+    from ..models.depth_pro import MODEL_PRESETS as _MP
+    ap.add_argument("--model", choices=list(_MP), default="large",
+                    help="model family member (base/small need a "
+                         "trained/distilled checkpoint — depth-pro-distill)")
     ap.add_argument("-v", "--verbose", action="store_true")
     ap.add_argument("--skip-display", action="store_true", default=False,
                     help="do not open the live matplotlib view")

@@ -98,6 +98,49 @@ def apply_speed(cfg: "DepthProConfig", speed: str) -> "DepthProConfig":
     return dataclasses.replace(cfg, token_merge_ratio=SPEED_PRESETS[speed])
 
 
+def model_preset(name: str = "large") -> DepthProConfig:
+    """The Depth Pro model family.
+
+    ``large`` is the reference architecture (ViT-L backbone — the only
+    member with a published checkpoint,
+    `/root/reference/src/depth_pro/depth_pro.py:26-46`). ``base`` and
+    ``small`` keep the exact graph topology (same 1536² network
+    resolution, 35-patch pyramid, DPT decoder, FOV head) at DINOv2
+    B/S backbone dims — ~3×/14× fewer trunk FLOPs — as fine-tune or
+    distillation targets (`train/distill.py`); their checkpoints come
+    from ``depth-pro-train`` / ``depth-pro-distill``, not from Apple.
+    Encoder dims follow the reference's (embed/4, embed/2, embed,
+    embed) ratio; hook blocks sit at the same 1/4 and 1/2 trunk depth.
+    """
+    from .vit import VIT_CONFIG_DICT
+
+    presets = {
+        "large": ("dinov2l16_384", None),  # reference config verbatim
+        "base": ("dinov2b16_384", "./checkpoints/depth_pro_tpu_base.npz"),
+        "small": ("dinov2s16_384", "./checkpoints/depth_pro_tpu_small.npz"),
+    }
+    if name == "tiny":
+        return tiny_config()
+    if name not in presets:
+        raise ValueError(f"model must be one of {sorted(presets) + ['tiny']}, "
+                         f"got {name!r}")
+    if name == "large":
+        return DEFAULT_MONODEPTH_CONFIG
+    vit_name, ckpt = presets[name]
+    vit = VIT_CONFIG_DICT[vit_name]
+    d = vit.embed_dim
+    return DepthProConfig(
+        vit=vit,
+        decoder_features=d // 4,
+        dims_encoder=(d // 4, d // 2, d, d),
+        hook_block_ids=(vit.depth // 4 - 1, vit.depth // 2 - 1),
+        checkpoint_uri=ckpt,
+    )
+
+
+MODEL_PRESETS = ("large", "base", "small", "tiny")
+
+
 def tiny_config(use_fov_head: bool = True) -> DepthProConfig:
     """A miniature config for CPU tests and multi-chip dry runs: same
     graph topology, 512px network resolution, 2-block ViT."""

@@ -59,6 +59,18 @@ VIT_CONFIG_DICT = {
     "dinov2l16_384": ViTConfig(
         img_size=384, patch_size=16, embed_dim=1024, depth=24, num_heads=16, mlp_ratio=4
     ),
+    # DINOv2 base/small at the same 384/16 geometry — backbones for the
+    # smaller Depth Pro family (models/depth_pro.py::model_preset).
+    # No public Depth Pro checkpoint exists for these; they are
+    # fine-tune/distillation targets (train/distill.py). timm dinov2
+    # vit_base/vit_small checkpoints convert through the same
+    # ckpt/convert.py schema (key names are size-independent).
+    "dinov2b16_384": ViTConfig(
+        img_size=384, patch_size=16, embed_dim=768, depth=12, num_heads=12, mlp_ratio=4
+    ),
+    "dinov2s16_384": ViTConfig(
+        img_size=384, patch_size=16, embed_dim=384, depth=12, num_heads=6, mlp_ratio=4
+    ),
 }
 
 

@@ -276,7 +276,8 @@ def create_server(host: str = "127.0.0.1", port: int = 8500, runner=None,
                   warmup_shape: tuple | None = None,
                   parallel: str = "none",
                   speed: str = "exact",
-                  exported_path: str | None = None) -> ThreadingHTTPServer:
+                  exported_path: str | None = None,
+                  model: str = "large") -> ThreadingHTTPServer:
     """``warmup_shape=(H, W)`` compiles the full-batch program before the
     server accepts traffic — the first real request then runs at steady-
     state latency instead of paying the ~40 s XLA compile. ``parallel``:
@@ -294,7 +295,10 @@ def create_server(host: str = "127.0.0.1", port: int = 8500, runner=None,
             mesh = make_mesh(tp=1)
         else:
             parallel = "none"
+    from ..models.depth_pro import model_preset
+
     runner = runner or DepthVideoRunner(
+        cfg=model_preset(model),
         precision="bf16", batch_size=max_batch, mesh=mesh,
         parallel=parallel if parallel in ("dp", "latency") else "dp",
         speed=speed, exported_path=exported_path)
@@ -336,12 +340,16 @@ def main(argv=None):  # pragma: no cover
                     help="AOT artifact from depth-pro-export: serve the "
                          "full-batch canonical program with zero startup "
                          "compile (single-device; manifest-checked)")
+    from ..models.depth_pro import MODEL_PRESETS as _MP
+    ap.add_argument("--model", choices=list(_MP), default="large",
+                    help="model family member (base/small need a "
+                         "trained/distilled checkpoint)")
     args = ap.parse_args(argv)
     warm = tuple(int(v) for v in args.warmup.split("x")) if args.warmup else None
     server = create_server(args.host, args.port, max_batch=args.max_batch,
                            max_wait_ms=args.max_wait_ms, warmup_shape=warm,
                            parallel=args.parallel, speed=args.speed,
-                           exported_path=args.exported)
+                           exported_path=args.exported, model=args.model)
     print(f"serving on {args.host}:{args.port}")
     server.serve_forever()
 

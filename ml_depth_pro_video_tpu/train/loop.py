@@ -191,15 +191,16 @@ def main(argv=None) -> None:
     ap.add_argument("--holdout", type=int, default=0)
     ap.add_argument("--tiny", action="store_true",
                     help="miniature model config (smoke tests / CI)")
+    from ..models.depth_pro import MODEL_PRESETS as _MP
+    ap.add_argument("--model", choices=list(_MP), default="large",
+                    help="model family member to train "
+                         "(models/depth_pro.py::model_preset)")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
-    if args.tiny:
-        from ..models.depth_pro import tiny_config
+    from ..models.depth_pro import model_preset
 
-        cfg = tiny_config()
-    else:
-        cfg = DEFAULT_MONODEPTH_CONFIG
+    cfg = model_preset("tiny" if args.tiny else args.model)
     fit(args.data_root, cfg, batch_size=args.batch_size, epochs=args.epochs,
         lr=args.lr, warmup_steps=args.warmup_steps, tp=args.tp,
         checkpoint_dir=args.checkpoint_dir, save_every=args.save_every,

@@ -192,6 +192,7 @@ def process_images_to_floor_plans(
     parallel: str = "none",
     speed: str = "exact",
     temporal_smooth: float = 0.0,
+    model: str = "large",
 ):
     """Process a frame directory into per-frame floor plans."""
     output_dir = output_dir or frames_dir
@@ -237,7 +238,10 @@ def process_images_to_floor_plans(
         else:
             print(f"--parallel {parallel}: single device, running unsharded")
             parallel = "none"
+    from ..models.depth_pro import model_preset
+
     runner = runner or DepthVideoRunner(
+        cfg=model_preset(model),
         precision="bf16" if half_precision else "fp32",
         batch_size=batch_size,
         downscale_factor=downscale_factor,
@@ -393,6 +397,10 @@ def main(argv=None):  # pragma: no cover - CLI shim, exercised via cli tests
                     help="EMA weight (0=off) for flicker-free video depth: "
                          "scale-aligned blending on static pixels, motion "
                          "passes through (video/temporal.py)")
+    from ..models.depth_pro import MODEL_PRESETS as _MP
+    ap.add_argument("--model", choices=list(_MP), default="large",
+                    help="model family member (base/small need a "
+                         "trained/distilled checkpoint — depth-pro-distill)")
     ap.add_argument("--x_limits", type=float, nargs=2, default=None)
     ap.add_argument("--z_limits", type=float, nargs=2, default=None)
     # reference-style individual bound flags (`pointcloud_pipeline.py`)
@@ -453,7 +461,7 @@ def main(argv=None):  # pragma: no cover - CLI shim, exercised via cli tests
         output_all_files=args.output_all_files, resume=args.resume,
         force_reprocess=args.force_reprocess, batch_size=args.batch_size,
         renderer=args.renderer, parallel=args.parallel, speed=args.speed,
-        temporal_smooth=args.temporal_smooth,
+        temporal_smooth=args.temporal_smooth, model=args.model,
         x_limits=tuple(args.x_limits) if args.x_limits else None,
         z_limits=tuple(args.z_limits) if args.z_limits else None,
     )
