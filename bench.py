@@ -26,6 +26,10 @@ def main() -> None:
     import dataclasses
 
     cfg = DEFAULT_MONODEPTH_CONFIG
+    if os.environ.get("BENCH_MODEL"):  # family member: base/small
+        from ml_depth_pro_video_tpu.models.depth_pro import model_preset
+
+        cfg = model_preset(os.environ["BENCH_MODEL"])
     if os.environ.get("BENCH_SPEED"):  # "fast" = ToMe token-merge tier
         from ml_depth_pro_video_tpu.models.depth_pro import apply_speed
 
@@ -72,6 +76,8 @@ def main() -> None:
     # non-default modes must be distinguishable downstream: the exact
     # default keeps the canonical metric name, env-knob variants tag it
     suffix = ""
+    if os.environ.get("BENCH_MODEL"):
+        suffix += f"_model_{os.environ['BENCH_MODEL']}"
     if os.environ.get("BENCH_SPEED"):
         suffix += f"_speed_{os.environ['BENCH_SPEED']}"
     if os.environ.get("BENCH_QUANT"):
