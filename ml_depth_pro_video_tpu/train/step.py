@@ -99,6 +99,14 @@ def make_sharded_train_step(params, cfg: DepthProConfig, mesh, lr: float = 1e-4,
     """Build (state, jitted step) with params TP-sharded and the batch
     DP-sharded over ``mesh``. Gradients reduce over dp automatically via
     GSPMD; TP all-reduces ride the tp axis."""
+    tp = mesh.shape.get("tp", 1)
+    if tensor_parallel and tp > 1 and cfg.vit.num_heads % tp:
+        # the head-contiguous qkv packing hands each tp shard WHOLE
+        # heads (parallel/sharding.py); a non-divisor silently degrades
+        # to gather-heavy GSPMD instead
+        raise ValueError(
+            f"tp={tp} must divide num_heads={cfg.vit.num_heads} "
+            f"(e.g. the 'small' preset has 6 heads: use tp in (2, 3, 6))")
     optimizer = make_optimizer(lr, warmup_steps=warmup_steps,
                                total_steps=total_steps, clip_norm=clip_norm)
     params = shard_params(params, mesh, tensor_parallel)

@@ -55,6 +55,17 @@ def test_model_family_full_graph_traces(name):
     assert out["focallength_px"].shape == (1,)
 
 
+def test_tp_head_divisibility_guard():
+    """6-head family members must reject tp sizes that would split a
+    head across shards (silent gather-heavy GSPMD otherwise)."""
+    from ml_depth_pro_video_tpu.parallel.mesh import make_mesh
+    from ml_depth_pro_video_tpu.train.step import make_sharded_train_step
+
+    mesh = make_mesh(tp=4)  # small has 6 heads: 6 % 4 != 0
+    with pytest.raises(ValueError, match="must divide num_heads"):
+        make_sharded_train_step({}, model_preset("small"), mesh)
+
+
 @pytest.fixture(scope="module")
 def teacher():
     return DepthVideoRunner(cfg=tiny_config(), precision="fp32", batch_size=2)
