@@ -197,7 +197,12 @@ class DepthVideoRunner:
         if self.mesh is not None and self.parallel == "dp":
             from ..parallel.mesh import batch_sharding
 
-            batch = jax.device_put(batch, batch_sharding(self.mesh))
+            sh = batch_sharding(self.mesh)
+            # multihost batches arrive pre-assembled as global arrays
+            # (jax.make_array_from_process_local_data) — re-device_put
+            # would fail on non-addressable shards
+            if not (isinstance(batch, jax.Array) and batch.sharding == sh):
+                batch = jax.device_put(batch, sh)
         args = (self.params, batch) if f_px is None else (
             self.params, batch, jnp.asarray(f_px, jnp.float32))
         # bounded retries with backoff on transient device/transport
@@ -397,6 +402,114 @@ class DepthVideoRunner:
             in_flight.append(dispatch())
         while in_flight:
             yield from collect(in_flight.popleft())
+
+    def depth_stream_multihost(self, items) -> Iterator[dict]:
+        """Pod-slice streaming (parallel/multihost.py).
+
+        Every host calls this with the SAME ordered sequence of items
+        (paths / (path, f_px) / arrays); each host decodes only the
+        global batch rows that live on its local chips, the batches are
+        assembled into global sharded arrays with zero cross-host data
+        movement, ONE SPMD program spans the pod, and each host yields
+        only its own rows' results — with ``"index"`` carrying the
+        global frame number so callers write the right outputs.
+
+        Contract (asserted): a dp mesh; one resolution for the whole
+        stream (hosts cannot observe each other's frame shapes to agree
+        on a flush); ``temporal_smooth`` off (frames interleave across
+        hosts, a per-host EMA would skip frames). Single-process it
+        degenerates to the deterministic-batching path over all rows.
+        Frames without EXIF focal length get it from the FOV head, as
+        in :meth:`depth_stream` (the mixed program runs unconditionally
+        so every host traces identical code).
+        """
+        from ..parallel import multihost as mh
+        from ..parallel.mesh import batch_sharding
+
+        if self.mesh is None or self.parallel != "dp":
+            raise ValueError("multihost streaming requires a dp mesh")
+        if self.temporal_smooth > 0.0:
+            raise ValueError("temporal_smooth needs every frame in "
+                             "playback order on one host; run it as a "
+                             "post-pass instead (video/temporal.py)")
+        items = list(items)
+        n_total = len(items)
+        if n_total == 0:
+            return
+        B = self.batch_size
+        sh = batch_sharding(self.mesh)
+        # P("dp") constrains only the leading dim; trailing dims of the
+        # probe shape are irrelevant to the row split
+        rows = mh.local_rows(sh, (B, 1, 1, 1))
+        n_batches = (n_total + B - 1) // B
+
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        stream_shape = None
+
+        def decode_batch(g, ex):
+            """Decode this host's rows of global batch g (padded)."""
+            nonlocal stream_shape
+            base = g * B
+            idxs = [min(base + r, n_total - 1) for r in rows]  # pad=repeat last
+            loaded = list(ex.map(self._load_one, (items[i] for i in idxs)))
+            keys = [k for k, _, _ in loaded]
+            imgs = [x for _, x, _ in loaded]
+            xs = np.stack(imgs)
+            fs = np.asarray([np.nan if f is None else f for _, _, f in loaded],
+                            np.float32)
+            if stream_shape is not None and xs.shape[1:] != stream_shape:
+                raise ValueError(
+                    f"multihost streams need one resolution; got "
+                    f"{xs.shape[1:]} after {stream_shape}")
+            stream_shape = xs.shape[1:]
+            return keys, xs, fs, imgs
+
+        def dispatch(decoded):
+            keys, xs, fs, imgs = decoded
+            f_sh = jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec("dp"))
+            x_g = mh.global_batch(sh, xs, B)
+            f_g = mh.global_batch(f_sh, fs, B)
+            out = self._infer(x_g, f_g, mixed=True)
+            return keys, imgs, out
+
+        def collect(flight, g):
+            keys, imgs, out = flight
+            delay = 5.0
+            for attempt in range(self.max_retries + 1):
+                try:
+                    depth, drows = mh.local_output(out["depth"])
+                    fl, _ = mh.local_output(out["focallength_px"])
+                    break
+                except jax.errors.JaxRuntimeError as e:
+                    if attempt == self.max_retries:
+                        raise
+                    logging.getLogger(__name__).warning(
+                        "multihost fetch failed (attempt %d/%d): %s",
+                        attempt + 1, self.max_retries, e)
+                    import time as _time
+
+                    _time.sleep(delay)
+                    delay = min(delay * 2, 60.0)
+            assert drows == rows, (drows, rows)
+            base = g * B
+            for i, r in enumerate(rows):
+                if base + r >= n_total:
+                    continue  # padding row
+                yield {"key": keys[i], "index": base + r, "depth": depth[i],
+                       "focallength_px": float(fl[i]), "image": imgs[i]}
+
+        with ThreadPoolExecutor(self.decode_workers) as ex:
+            in_flight: deque = deque()
+            for g in range(n_batches):
+                in_flight.append((g, dispatch(decode_batch(g, ex))))
+                while len(in_flight) > self.pipeline_depth:
+                    og, fl = in_flight.popleft()
+                    yield from collect(fl, og)
+            while in_flight:
+                og, fl = in_flight.popleft()
+                yield from collect(fl, og)
 
     def infer_one(self, item) -> dict:
         for result in self.depth_stream([item]):

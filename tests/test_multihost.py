@@ -1,0 +1,237 @@
+"""Multi-host helpers (parallel/multihost.py).
+
+Single-process: every helper must be the identity split. Multi-process:
+a REAL 2-process JAX CPU cluster (gloo collectives) is spawned via
+subprocess and runs row assignment -> global_batch -> sharded jit ->
+local_output -> broadcast -> barrier end to end.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ml_depth_pro_video_tpu.parallel import multihost as mh
+from ml_depth_pro_video_tpu.parallel.mesh import make_mesh
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_single_process_identity():
+    mesh = make_mesh(dp=8, tp=1)
+    sh = NamedSharding(mesh, P("dp"))
+    assert mh.local_rows(sh, (16, 4)) == list(range(16))
+    # no other process holds anything
+    assert mh.rows_for_process(sh, (16, 4), process_index=1) == []
+    x = np.arange(32, dtype=np.float32).reshape(16, 2)
+    g = mh.global_batch(sh, x)
+    vals, rows = mh.local_output(g)
+    assert rows == list(range(16))
+    np.testing.assert_array_equal(vals, x)
+    assert mh.is_primary()
+    mh.barrier()  # no-op
+    assert mh.broadcast_from_primary({"a": 3})["a"] == 3
+
+
+def test_rows_respect_mesh_layout():
+    # tp replicates rows across the tp axis: dedup must collapse them
+    mesh = make_mesh(dp=4, tp=2)
+    sh = NamedSharding(mesh, P("dp"))
+    assert mh.local_rows(sh, (8, 3)) == list(range(8))
+    per_dev = {d: idx for d, idx in sh.devices_indices_map((8, 3)).items()}
+    assert len(per_dev) == 8  # every device holds a (replicated) slice
+
+
+def test_initialize_noop_single_host(monkeypatch):
+    for k in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+              "JAX_PROCESS_ID", "TPU_WORKER_HOSTNAMES",
+              "MEGASCALE_COORDINATOR_ADDRESS", "CLOUD_TPU_TASK_ID"):
+        monkeypatch.delenv(k, raising=False)
+    assert mh.initialize() is False
+    assert jax.process_count() == 1
+
+
+def test_make_pod_mesh_rejects_straddling_tp():
+    with pytest.raises(ValueError, match="straddle"):
+        mh.make_pod_mesh(dp=1, tp=3)  # 8 local devices, 3 does not tile
+
+
+def _synthetic_frames(n, h=48, w=64, seed=3):
+    rng = np.random.default_rng(seed)
+    base = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+    frames = []
+    for i in range(n):
+        f = base.copy()
+        f[10:20, 4 + 3 * i:14 + 3 * i] = 255
+        frames.append(f)
+    return frames
+
+
+def test_multihost_stream_single_process_matches_depth_stream():
+    """Single-process, depth_stream_multihost must yield every frame in
+    order with depths matching the plain streaming path."""
+    from ml_depth_pro_video_tpu.models.depth_pro import tiny_config
+    from ml_depth_pro_video_tpu.video.runner import DepthVideoRunner
+
+    mesh = make_mesh(dp=4, tp=1, devices=jax.devices()[:4])
+    frames = _synthetic_frames(6)
+    r = DepthVideoRunner(cfg=tiny_config(), precision="fp32",
+                         batch_size=4, mesh=mesh)
+    got = list(r.depth_stream_multihost(frames))
+    assert [g["index"] for g in got] == list(range(6))
+    ref = list(r.depth_stream(frames))
+    for g, rr in zip(got, ref):
+        np.testing.assert_allclose(g["depth"], rr["depth"],
+                                   rtol=1e-5, atol=1e-6)
+        assert np.isclose(g["focallength_px"], rr["focallength_px"],
+                          rtol=1e-5)
+
+
+def test_multihost_stream_contract_errors():
+    from ml_depth_pro_video_tpu.models.depth_pro import tiny_config
+    from ml_depth_pro_video_tpu.video.runner import DepthVideoRunner
+
+    r = DepthVideoRunner(cfg=tiny_config(), precision="fp32", batch_size=2)
+    with pytest.raises(ValueError, match="dp mesh"):
+        next(r.depth_stream_multihost([np.zeros((48, 64, 3), np.uint8)]))
+
+
+_WORKER = r"""
+import os, sys
+pid = int(sys.argv[1]); n = int(sys.argv[2]); port = sys.argv[3]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(f"localhost:{port}", n, pid)
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+sys.path.insert(0, sys.argv[4])
+from ml_depth_pro_video_tpu.parallel import multihost as mh
+from ml_depth_pro_video_tpu.parallel.mesh import make_mesh
+assert jax.process_count() == n
+mesh = make_mesh(dp=4, tp=1)
+sh = NamedSharding(mesh, P("dp"))
+rows = mh.local_rows(sh, (8, 3))
+assert len(rows) == 4 and mh.rows_for_process(sh, (8, 3), 1 - pid) != rows
+local = np.asarray([[r, r * 10.0, pid] for r in rows], dtype=np.float32)
+g = mh.global_batch(sh, local, global_batch_size=8)
+out = jax.jit(lambda x: x * 2.0, out_shardings=sh)(g)
+vals, orows = mh.local_output(out)
+assert orows == rows
+np.testing.assert_allclose(vals[:, 0], np.asarray(rows, np.float32) * 2)
+bc = mh.broadcast_from_primary(np.float32(7 + pid))
+assert float(bc) == 7.0  # primary's value everywhere
+mh.barrier("test")
+print(f"WORKER{pid}_OK", flush=True)
+"""
+
+
+_STREAM_WORKER = r"""
+import os, sys
+pid = int(sys.argv[1]); n = int(sys.argv[2]); port = sys.argv[3]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(f"localhost:{port}", n, pid)
+import numpy as np
+sys.path.insert(0, sys.argv[4])
+from ml_depth_pro_video_tpu.models.depth_pro import tiny_config
+from ml_depth_pro_video_tpu.parallel.mesh import make_mesh
+from ml_depth_pro_video_tpu.video.runner import DepthVideoRunner
+
+rng = np.random.default_rng(3)
+base = (rng.random((48, 64, 3)) * 255).astype(np.uint8)
+frames = []
+for i in range(6):
+    f = base.copy(); f[10:20, 4 + 3 * i:14 + 3 * i] = 255; frames.append(f)
+
+mesh = make_mesh(dp=4, tp=1)  # 4 global devices, 2 per host
+r = DepthVideoRunner(cfg=tiny_config(), precision="fp32",
+                     batch_size=4, mesh=mesh)
+for out in r.depth_stream_multihost(frames):
+    print(f"ROW {out['index']} {out['depth'].sum():.6e} "
+          f"{out['focallength_px']:.6e}", flush=True)
+print(f"WORKER{pid}_OK", flush=True)
+"""
+
+
+def test_two_process_stream(tmp_path):
+    """Full pod-slice streaming path: 2 hosts x 2 devices run the tiny
+    model over 6 frames; the union of yielded rows covers every frame
+    exactly once and the depths match a single-process dp=4 run."""
+    from ml_depth_pro_video_tpu.models.depth_pro import tiny_config
+    from ml_depth_pro_video_tpu.video.runner import DepthVideoRunner
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = str(s.getsockname()[1])
+    script = tmp_path / "stream_worker.py"
+    script.write_text(_STREAM_WORKER)
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(pid), "2", port, REPO],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for pid in (0, 1)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=480)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("2-process stream hung:\n" + "\n".join(outs))
+    rows = {}
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        assert f"WORKER{pid}_OK" in out
+        for line in out.splitlines():
+            if line.startswith("ROW "):
+                _, idx, dsum, fpx = line.split()
+                assert int(idx) not in rows, "row yielded twice"
+                rows[int(idx)] = (float(dsum), float(fpx))
+    assert sorted(rows) == list(range(6))
+    # reference: the same stream single-process on a dp=4 mesh
+    mesh = make_mesh(dp=4, tp=1, devices=jax.devices()[:4])
+    r = DepthVideoRunner(cfg=tiny_config(), precision="fp32",
+                         batch_size=4, mesh=mesh)
+    for out in r.depth_stream_multihost(_synthetic_frames(6)):
+        dsum, fpx = rows[out["index"]]
+        assert np.isclose(out["depth"].sum(), dsum, rtol=1e-4), out["index"]
+        assert np.isclose(out["focallength_px"], fpx, rtol=1e-4)
+
+
+def test_two_process_cluster(tmp_path):
+    """Spawn a real 2-process jax.distributed CPU cluster."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = str(s.getsockname()[1])
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(pid), "2", port, REPO],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for pid in (0, 1)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("2-process cluster hung:\n" + "\n".join(outs))
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        assert f"WORKER{pid}_OK" in out
