@@ -60,8 +60,11 @@ def initialize(coordinator_address: str | None = None,
     multi-process cluster was (or already had been) initialized, False
     when running single-process. Idempotent: a second call is a no-op.
     """
-    if jax.process_count() > 1:
-        return True  # already initialized
+    # must not touch jax.process_count()/jax.devices() here: they
+    # initialize the XLA backend, after which distributed.initialize
+    # refuses to run
+    if jax.distributed.is_initialized():
+        return jax.process_count() > 1
     coordinator_address = coordinator_address or os.environ.get(_ENV_COORD)
     if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
         num_processes = int(os.environ["JAX_NUM_PROCESSES"])
@@ -89,10 +92,14 @@ def initialize(coordinator_address: str | None = None,
 def _tpu_pod_autodetectable() -> bool:
     """True when jax.distributed.initialize() can self-configure (GKE /
     Cloud TPU metadata present). Kept conservative: never trigger a
-    blocking coordinator handshake on a plain single-host run."""
+    blocking coordinator handshake on a plain single-host run — note
+    single-host TPU plugins still set ``TPU_WORKER_HOSTNAMES`` (to one
+    entry), so only a multi-entry list counts."""
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if len([h for h in hosts.split(",") if h.strip()]) > 1:
+        return True
     return any(os.environ.get(k) for k in
-               ("TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS",
-                "CLOUD_TPU_TASK_ID"))
+               ("MEGASCALE_COORDINATOR_ADDRESS", "CLOUD_TPU_TASK_ID"))
 
 
 def add_multihost_args(parser) -> None:

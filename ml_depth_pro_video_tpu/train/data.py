@@ -63,14 +63,55 @@ class DepthDataset:
         return x, d
 
     def batches(self, batch_size: int, epochs: int = 1, sharding=None,
-                prefetch: int = 2, drop_remainder: bool = True, skip: int = 0):
+                prefetch: int = 2, drop_remainder: bool = True, skip: int = 0,
+                local_rows=None, assemble=None):
         """Yield (images (B,S,S,3), depth (B,S,S)) device arrays.
 
         ``skip`` advances past the first N batches WITHOUT loading them
         (deterministic stream replay for checkpoint resume: the shuffle
-        permutations are consumed, the images are not decoded)."""
+        permutations are consumed, the images are not decoded).
+
+        Multi-host mode (``local_rows`` + ``assemble``): every host runs
+        the SAME seeded permutation stream but decodes only the global
+        batch rows in ``local_rows`` (``parallel/multihost.local_rows``);
+        the stacked local slabs are passed through ``assemble`` (usually
+        ``multihost.global_batch``) to form the global sharded arrays.
+        Row alignment across hosts is load-bearing, so unlike the
+        single-host path an unreadable pair is substituted IN PLACE with
+        a zero-depth sample (zero loss/gradient under the silog mask)
+        rather than dropped-and-padded — dropping would shift every
+        later row on one host only. Assumes all hosts see the same
+        filesystem listing (``self.pairs`` order is globbed + sorted)."""
+        if (local_rows is None) != (assemble is None):
+            raise ValueError("local_rows and assemble must be given together")
         q: queue.Queue = queue.Queue(maxsize=prefetch)
         stop = object()
+
+        def load_local(sel):
+            """Multi-host decode: only this host's rows of the global
+            batch, in global-row order; pad/unreadable rows carry a
+            zero depth target (exactly zero loss+grad via silog mask)."""
+            import logging
+
+            data = []
+            for r in local_rows:
+                j = sel[r] if r < len(sel) else sel[-1]  # short tail: pad
+                zero_depth = r >= len(sel)
+                try:
+                    x, d = self._load(j)
+                except Exception as exc:  # noqa: BLE001
+                    logging.getLogger(__name__).warning(
+                        "unreadable pair %s: zero-weight substitute "
+                        "(multi-host rows must stay aligned)",
+                        self.pairs[j][0], exc_info=exc)
+                    s = self.image_size
+                    x, d = np.zeros((s, s, 3), np.float32), None
+                    zero_depth = True
+                if zero_depth:
+                    d = np.zeros((self.image_size, self.image_size),
+                                 np.float32)
+                data.append((x, d))
+            return data
 
         def producer():
             import logging
@@ -82,9 +123,15 @@ class DepthDataset:
                     for i in range(0, len(order), batch_size):
                         sel = order[i : i + batch_size]
                         if drop_remainder and len(sel) < batch_size:
-                            continue
+                            continue  # same tail drop on every host
                         n_out += 1
                         if n_out <= skip:
+                            continue
+                        if local_rows is not None:
+                            data = load_local(sel)
+                            xs = np.stack([d[0] for d in data])
+                            ds = np.stack([d[1] for d in data])
+                            q.put((xs, ds))
                             continue
                         data = []
                         for j in sel:
@@ -132,7 +179,9 @@ class DepthDataset:
             if item is stop:
                 return
             xs, ds = item
-            if sharding is not None:
+            if assemble is not None:
+                xs, ds = assemble(xs), assemble(ds)
+            elif sharding is not None:
                 xs = jax.device_put(xs, sharding)
                 ds = jax.device_put(ds, sharding)
             yield xs, ds

@@ -57,6 +57,13 @@ def fit(
     (`parallel/pipeline.py`) instead of DP×TP; ``microbatches`` sets
     the pipeline's microbatch count (must divide 35 × batch/dp — the
     default 5 always does).
+
+    Multi-host: after ``parallel.multihost.initialize()`` this same
+    function runs unmodified on every host of a pod slice — the mesh is
+    global, each host decodes only its own rows of every (seeded,
+    identical) shuffled batch, ONE SPMD step spans the pod, and orbax
+    checkpointing coordinates the distributed save. ``batch_size`` is
+    the GLOBAL batch. Requires a shared data/checkpoint filesystem.
     """
     precision = precision or Precision.bf16()
     if pp > 1:
@@ -113,6 +120,18 @@ def fit(
             log.info("resumed from %s at step %d", checkpoint_dir, int(state.step))
 
     data_sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        from ..parallel import multihost as mh
+
+        rows = mh.local_rows(data_sh, (batch_size, 1, 1, 1))
+        batch_kw = dict(
+            local_rows=rows,
+            assemble=lambda a: mh.global_batch(data_sh, a, batch_size))
+        log.info("multi-host fit: host %d/%d decodes %d/%d batch rows",
+                 jax.process_index(), jax.process_count(), len(rows),
+                 batch_size)
+    else:
+        batch_kw = dict(sharding=data_sh)
     start = int(state.step)
     losses: list[float] = []
     t0 = time.perf_counter()
@@ -120,7 +139,7 @@ def fit(
     # shuffle permutations are still consumed, so the stream position
     # matches the saved step deterministically
     for images, depth in dataset.batches(batch_size, epochs=epochs,
-                                         sharding=data_sh, skip=start):
+                                         skip=start, **batch_kw):
         state, loss = step_fn(state, images, depth)
         losses.append(float(loss))
         step = int(state.step)
@@ -144,13 +163,23 @@ def fit(
 
 
 @_functools.lru_cache(maxsize=4)
-def _jitted_loss(cfg, precision, attn_impl):
+def _jitted_loss(cfg, precision, attn_impl, mesh=None):
     from .step import loss_fn
 
     # cached so repeated validation rounds reuse one compiled program
-    # (Precision and DepthProConfig are frozen/hashable dataclasses)
+    # (Precision and DepthProConfig are frozen/hashable dataclasses).
+    # Multi-host: host-local val batches cannot mix with mesh-global
+    # params in one program — pin the inputs replicated over the global
+    # mesh (every host feeds the identical val pairs, so the implied
+    # same-value-on-all-hosts contract holds).
+    kw = {}
+    if mesh is not None and jax.process_count() > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+        kw = dict(in_shardings=(None, rep, rep))
     return jax.jit(_functools.partial(loss_fn, cfg=cfg, precision=precision,
-                                      attn_impl=attn_impl))
+                                      attn_impl=attn_impl), **kw)
 
 
 def _validate(params, pairs, cfg, precision, batch_size, mesh=None) -> float:
@@ -160,7 +189,7 @@ def _validate(params, pairs, cfg, precision, batch_size, mesh=None) -> float:
     # a Pallas-compiled validation program would fail on mesh-resident
     # params at the FIRST checkpoint, hours into a run)
     attn_impl = "xla" if mesh is not None and mesh.devices.size > 1 else None
-    jitted = _jitted_loss(cfg, precision, attn_impl)
+    jitted = _jitted_loss(cfg, precision, attn_impl, mesh)
     ds = DepthDataset.__new__(DepthDataset)
     ds.image_size = cfg.img_size
     ds.pairs = pairs
@@ -195,9 +224,12 @@ def main(argv=None) -> None:
     ap.add_argument("--model", choices=list(_MP), default="large",
                     help="model family member to train "
                          "(models/depth_pro.py::model_preset)")
+    from ..parallel.multihost import add_multihost_args, initialize_from_args
+    add_multihost_args(ap)
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    initialize_from_args(args)  # before any device use (no-op single-host)
     from ..models.depth_pro import model_preset
 
     cfg = model_preset("tiny" if args.tiny else args.model)

@@ -210,6 +210,89 @@ def test_two_process_stream(tmp_path):
         assert np.isclose(out["focallength_px"], fpx, rtol=1e-4)
 
 
+_TRAIN_WORKER = r"""
+import os, sys
+pid = int(sys.argv[1]); n = int(sys.argv[2]); port = sys.argv[3]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(f"localhost:{port}", n, pid)
+import numpy as np
+sys.path.insert(0, sys.argv[4])
+data_dir, ckpt_dir = sys.argv[5], sys.argv[6]
+from ml_depth_pro_video_tpu.models.depth_pro import tiny_config
+from ml_depth_pro_video_tpu.train.loop import fit
+
+state = fit(data_dir, tiny_config(), batch_size=4, epochs=2, lr=1e-3,
+            warmup_steps=1, checkpoint_dir=ckpt_dir, save_every=1,
+            holdout=2, seed=0)
+ck = sum(float(np.abs(np.asarray(l)).sum())
+         for l in jax.tree.leaves(state.params))
+print(f"STEP {int(state.step)} CHECKSUM {ck:.8e}", flush=True)
+print(f"WORKER{pid}_OK", flush=True)
+"""
+
+
+def test_two_process_train(tmp_path):
+    """Pod-slice training: 2 hosts x 2 devices run fit() end to end
+    (row-split data feed, SPMD step, orbax distributed checkpointing,
+    replicated-input validation); the resulting params match a
+    single-process dp=4 run on identical data bit-for-tolerance."""
+    from ml_depth_pro_video_tpu.models.depth_pro import tiny_config
+    from ml_depth_pro_video_tpu.train.loop import fit
+
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    data = tmp_path / "data"
+    data.mkdir()
+    for i in range(6):
+        Image.fromarray((rng.random((64, 64, 3)) * 255).astype(np.uint8)).save(
+            data / f"s{i}.png")
+        np.save(data / f"s{i}_depth.npy",
+                rng.uniform(1, 10, (64, 64)).astype(np.float32))
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = str(s.getsockname()[1])
+    script = tmp_path / "train_worker.py"
+    script.write_text(_TRAIN_WORKER)
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(pid), "2", port, REPO,
+         str(data), str(tmp_path / "ckpt_mh")],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for pid in (0, 1)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=540)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("2-process train hung:\n" + "\n".join(outs))
+    sums = {}
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        assert f"WORKER{pid}_OK" in out
+        for line in out.splitlines():
+            if line.startswith("STEP "):
+                _, step, _, ck = line.split()
+                sums[pid] = (int(step), float(ck))
+    assert sums[0][0] == 2 and sums[0] == sums[1], sums
+    # single-process reference on a dp=4 mesh over 4 local fake devices
+    state = fit(str(data), tiny_config(), batch_size=4, epochs=2, lr=1e-3,
+                warmup_steps=1, checkpoint_dir=str(tmp_path / "ckpt_sp"),
+                save_every=1, holdout=2, seed=0, dp=4)
+    ck = sum(float(np.abs(np.asarray(l)).sum())
+             for l in jax.tree.leaves(state.params))
+    assert int(state.step) == 2
+    assert np.isclose(ck, sums[0][1], rtol=1e-5), (ck, sums[0][1])
+
+
 def test_two_process_cluster(tmp_path):
     """Spawn a real 2-process jax.distributed CPU cluster."""
     with socket.socket() as s:
