@@ -448,12 +448,40 @@ class DepthVideoRunner:
 
         stream_shape = None
 
+        def load_isolated(i):
+            """Per-frame isolation, multihost flavor: an unreadable frame
+            must not kill THIS host's stream (the other hosts would then
+            block forever in the pod-wide collective). Failures return
+            None and are substituted with a zero frame below — the row
+            stays in the batch (alignment is load-bearing) but is never
+            yielded."""
+            try:
+                return self._load_one(items[i])
+            except Exception as exc:  # noqa: BLE001
+                logging.getLogger(__name__).warning(
+                    "unreadable frame %r: zero-frame substitute "
+                    "(multihost rows must stay aligned)", items[i],
+                    exc_info=exc)
+                return None
+
         def decode_batch(g, ex):
             """Decode this host's rows of global batch g (padded)."""
             nonlocal stream_shape
             base = g * B
             idxs = [min(base + r, n_total - 1) for r in rows]  # pad=repeat last
-            loaded = list(ex.map(self._load_one, (items[i] for i in idxs)))
+            loaded = list(ex.map(load_isolated, idxs))
+            shape = stream_shape
+            for entry in loaded:
+                if entry is not None:
+                    shape = entry[1].shape
+                    break
+            if shape is None:
+                raise ValueError(
+                    f"every frame of the first multihost batch on this host "
+                    f"is unreadable ({[items[i] for i in idxs]!r})")
+            bad = {r for r, entry in zip(rows, loaded) if entry is None}
+            loaded = [(None, np.zeros(shape, np.uint8), None)
+                      if entry is None else entry for entry in loaded]
             keys = [k for k, _, _ in loaded]
             imgs = [x for _, x, _ in loaded]
             xs = np.stack(imgs)
@@ -464,18 +492,18 @@ class DepthVideoRunner:
                     f"multihost streams need one resolution; got "
                     f"{xs.shape[1:]} after {stream_shape}")
             stream_shape = xs.shape[1:]
-            return keys, xs, fs, imgs
+            return keys, xs, fs, imgs, bad
 
         def dispatch(decoded):
-            keys, xs, fs, imgs = decoded
+            keys, xs, fs, imgs, bad = decoded
             f_sh = jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec("dp"))
             x_g = mh.global_batch(sh, xs, B)
             f_g = mh.global_batch(f_sh, fs, B)
             out = self._infer(x_g, f_g, mixed=True)
-            return keys, imgs, out
+            return keys, imgs, out, bad
 
         def collect(flight, g):
-            keys, imgs, out = flight
+            keys, imgs, out, bad = flight
             delay = 5.0
             for attempt in range(self.max_retries + 1):
                 try:
@@ -495,8 +523,8 @@ class DepthVideoRunner:
             assert drows == rows, (drows, rows)
             base = g * B
             for i, r in enumerate(rows):
-                if base + r >= n_total:
-                    continue  # padding row
+                if base + r >= n_total or r in bad:
+                    continue  # padding row / unreadable frame
                 yield {"key": keys[i], "index": base + r, "depth": depth[i],
                        "focallength_px": float(fl[i]), "image": imgs[i]}
 

@@ -93,6 +93,26 @@ def test_multihost_stream_single_process_matches_depth_stream():
                           rtol=1e-5)
 
 
+def test_multihost_stream_isolates_unreadable_frame():
+    """An unreadable frame must not kill the host's stream (the other
+    hosts would block forever in the pod-wide collective): its row is
+    zero-substituted to keep alignment and its result is not yielded."""
+    from ml_depth_pro_video_tpu.models.depth_pro import tiny_config
+    from ml_depth_pro_video_tpu.video.runner import DepthVideoRunner
+
+    mesh = make_mesh(dp=4, tp=1, devices=jax.devices()[:4])
+    frames = _synthetic_frames(4)
+    items = [frames[0], "/no/such/frame.png", frames[2], frames[3]]
+    r = DepthVideoRunner(cfg=tiny_config(), precision="fp32",
+                         batch_size=4, mesh=mesh)
+    got = list(r.depth_stream_multihost(items))
+    assert [g["index"] for g in got] == [0, 2, 3]
+    ref = {i: d for i, d in enumerate(r.depth_stream(frames))}
+    for g in got:
+        np.testing.assert_allclose(g["depth"], ref[g["index"]]["depth"],
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_multihost_stream_contract_errors():
     from ml_depth_pro_video_tpu.models.depth_pro import tiny_config
     from ml_depth_pro_video_tpu.video.runner import DepthVideoRunner
