@@ -72,7 +72,13 @@ def fit(
                              "the ViT sharding modes)")
         from ..parallel.pipeline import make_pp_mesh
 
-        mesh = make_pp_mesh(dp=dp or len(jax.devices()) // pp, pp=pp)
+        n_dev = len(jax.devices())
+        if pp > n_dev:
+            raise ValueError(f"pp={pp} needs at least {pp} devices, have "
+                             f"{n_dev}")
+        # dp=0 would build an empty mesh and die later with an opaque
+        # ZeroDivisionError; max(..., 1) keeps pp == n_dev meaning dp=1
+        mesh = make_pp_mesh(dp=dp or max(n_dev // pp, 1), pp=pp)
     else:
         mesh = make_mesh(dp=dp, tp=tp)
     # P("dp") sharding needs batch divisible by dp — round up like the

@@ -441,6 +441,15 @@ def main(argv=None):  # pragma: no cover - CLI shim, exercised via cli tests
                 except Exception:
                     expected = 0
                 complete = expected > 0 and len(have) >= expected
+                if complete:
+                    # CAP_PROP_FRAME_COUNT is container metadata — an
+                    # ESTIMATE (VFR/webm under-report), so this can
+                    # accept a truncated pre-marker frame set; say so
+                    print(f"NOTE: {len(have)} frames >= the container's "
+                          f"estimated count ({expected}) but no "
+                          "decode-complete marker exists — completeness "
+                          "is inferred from metadata; pass "
+                          "--force_reprocess if frames look truncated")
             if not complete:
                 print(f"{len(have)} frames in {args.frames_dir} look "
                       "incomplete (no decode-complete marker / fewer than "

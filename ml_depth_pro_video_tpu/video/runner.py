@@ -152,6 +152,17 @@ class DepthVideoRunner:
             # pre-compiled artifact serves this exact program; shares
             # the retry loop below like any jitted path
             self._jit.setdefault(key, self._exported.call)
+        elif self._exported is not None and key not in self._jit:
+            # the artifact exists but cannot serve this batch — without
+            # a notice, an H/W mismatch (e.g. downscale_factor, or
+            # frames at a non-canonical size) would silently pay the
+            # full XLA compile the artifact was meant to remove
+            logging.getLogger(__name__).warning(
+                "exported artifact does not serve this batch (shape %s "
+                "dtype %s, f_px=%s, mixed=%s; artifact wants %s uint8, "
+                "no per-frame f_px) — jit-compiling instead",
+                tuple(batch.shape), batch.dtype, f_px is not None, mixed,
+                self._exported_shape)
         if key not in self._jit:
             cfg, prec = self.cfg, self.precision
 
@@ -215,7 +226,6 @@ class DepthVideoRunner:
             except jax.errors.JaxRuntimeError as e:
                 if attempt == self.max_retries:
                     raise
-                import logging
                 import time as _time
 
                 logging.getLogger(__name__).warning(
@@ -422,6 +432,12 @@ class DepthVideoRunner:
         Frames without EXIF focal length get it from the FOV head, as
         in :meth:`depth_stream` (the mixed program runs unconditionally
         so every host traces identical code).
+
+        ``items`` is consumed INCREMENTALLY one global batch at a time
+        (O(batch) host memory — decoded-ndarray generators stream, they
+        are never materialized). An unreadable frame is zero-substituted
+        with a warning (row alignment across hosts is load-bearing) and
+        its result is not yielded.
         """
         from ..parallel import multihost as mh
         from ..parallel.mesh import batch_sharding
@@ -432,23 +448,20 @@ class DepthVideoRunner:
             raise ValueError("temporal_smooth needs every frame in "
                              "playback order on one host; run it as a "
                              "post-pass instead (video/temporal.py)")
-        items = list(items)
-        n_total = len(items)
-        if n_total == 0:
-            return
+        it = iter(items)
         B = self.batch_size
         sh = batch_sharding(self.mesh)
         # P("dp") constrains only the leading dim; trailing dims of the
         # probe shape are irrelevant to the row split
         rows = mh.local_rows(sh, (B, 1, 1, 1))
-        n_batches = (n_total + B - 1) // B
 
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
+        from itertools import islice
 
         stream_shape = None
 
-        def load_isolated(i):
+        def load_isolated(item):
             """Per-frame isolation, multihost flavor: an unreadable frame
             must not kill THIS host's stream (the other hosts would then
             block forever in the pod-wide collective). Failures return
@@ -456,20 +469,22 @@ class DepthVideoRunner:
             stays in the batch (alignment is load-bearing) but is never
             yielded."""
             try:
-                return self._load_one(items[i])
+                return self._load_one(item)
             except Exception as exc:  # noqa: BLE001
                 logging.getLogger(__name__).warning(
                     "unreadable frame %r: zero-frame substitute "
-                    "(multihost rows must stay aligned)", items[i],
+                    "(multihost rows must stay aligned)", item,
                     exc_info=exc)
                 return None
 
-        def decode_batch(g, ex):
-            """Decode this host's rows of global batch g (padded)."""
+        def decode_chunk(chunk, ex):
+            """Decode this host's rows of one global batch. ``chunk``
+            holds the batch's items (len in (0, B]); a short tail pads
+            by repeating the last item."""
             nonlocal stream_shape
-            base = g * B
-            idxs = [min(base + r, n_total - 1) for r in rows]  # pad=repeat last
-            loaded = list(ex.map(load_isolated, idxs))
+            n_here = len(chunk)
+            loaded = list(ex.map(load_isolated,
+                                 (chunk[min(r, n_here - 1)] for r in rows)))
             shape = stream_shape
             for entry in loaded:
                 if entry is not None:
@@ -477,8 +492,8 @@ class DepthVideoRunner:
                     break
             if shape is None:
                 raise ValueError(
-                    f"every frame of the first multihost batch on this host "
-                    f"is unreadable ({[items[i] for i in idxs]!r})")
+                    "every frame of the first multihost batch on this host "
+                    "is unreadable (see the warnings above)")
             bad = {r for r, entry in zip(rows, loaded) if entry is None}
             loaded = [(None, np.zeros(shape, np.uint8), None)
                       if entry is None else entry for entry in loaded]
@@ -492,18 +507,20 @@ class DepthVideoRunner:
                     f"multihost streams need one resolution; got "
                     f"{xs.shape[1:]} after {stream_shape}")
             stream_shape = xs.shape[1:]
-            return keys, xs, fs, imgs, bad
+            return keys, xs, fs, imgs, bad, n_here
 
-        def dispatch(decoded):
-            keys, xs, fs, imgs, bad = decoded
+        def launch(xs, fs):
             f_sh = jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec("dp"))
             x_g = mh.global_batch(sh, xs, B)
             f_g = mh.global_batch(f_sh, fs, B)
-            out = self._infer(x_g, f_g, mixed=True)
-            return keys, imgs, out, bad
+            return self._infer(x_g, f_g, mixed=True)
+
+        def dispatch(decoded):
+            keys, xs, fs, imgs, bad, n_here = decoded
+            return keys, imgs, launch(xs, fs), bad, n_here, (xs, fs)
 
         def collect(flight, g):
-            keys, imgs, out, bad = flight
+            keys, imgs, out, bad, n_here, inputs = flight
             delay = 5.0
             for attempt in range(self.max_retries + 1):
                 try:
@@ -520,24 +537,40 @@ class DepthVideoRunner:
 
                     _time.sleep(delay)
                     delay = min(delay * 2, 60.0)
+                    if attempt > 0:
+                        # the fetch reads only LOCAL shards, so the first
+                        # retry is a plain re-fetch (handles transport
+                        # blips without touching the collective). A
+                        # second failure means the dispatched computation
+                        # itself is poisoned — re-dispatch from the saved
+                        # host rows, which is pod-safe because a compute
+                        # failure surfaces at EVERY host's fetch, so all
+                        # hosts re-enter the SPMD launch together (a lone
+                        # re-dispatch would deadlock the pod).
+                        out = launch(*inputs)
             assert drows == rows, (drows, rows)
             base = g * B
             for i, r in enumerate(rows):
-                if base + r >= n_total or r in bad:
+                if r >= n_here or r in bad:
                     continue  # padding row / unreadable frame
                 yield {"key": keys[i], "index": base + r, "depth": depth[i],
                        "focallength_px": float(fl[i]), "image": imgs[i]}
 
         with ThreadPoolExecutor(self.decode_workers) as ex:
             in_flight: deque = deque()
-            for g in range(n_batches):
-                in_flight.append((g, dispatch(decode_batch(g, ex))))
+            g = 0
+            while True:
+                chunk = list(islice(it, B))
+                if not chunk:
+                    break
+                in_flight.append((g, dispatch(decode_chunk(chunk, ex))))
+                g += 1
                 while len(in_flight) > self.pipeline_depth:
-                    og, fl = in_flight.popleft()
-                    yield from collect(fl, og)
+                    og, flv = in_flight.popleft()
+                    yield from collect(flv, og)
             while in_flight:
-                og, fl = in_flight.popleft()
-                yield from collect(fl, og)
+                og, flv = in_flight.popleft()
+                yield from collect(flv, og)
 
     def infer_one(self, item) -> dict:
         for result in self.depth_stream([item]):

@@ -113,6 +113,33 @@ def test_multihost_stream_isolates_unreadable_frame():
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_multihost_stream_consumes_items_lazily():
+    """The stream must not materialize the whole input (O(batch) host
+    memory for decoded-frame generators): with pipeline_depth=1, at most
+    (depth+1) batches of items may be consumed before the first yield."""
+    from ml_depth_pro_video_tpu.models.depth_pro import tiny_config
+    from ml_depth_pro_video_tpu.video.runner import DepthVideoRunner
+
+    mesh = make_mesh(dp=4, tp=1, devices=jax.devices()[:4])
+    frames = _synthetic_frames(16)
+    consumed = []
+
+    def gen():
+        for i, f in enumerate(frames):
+            consumed.append(i)
+            yield f
+
+    r = DepthVideoRunner(cfg=tiny_config(), precision="fp32",
+                         batch_size=4, mesh=mesh, pipeline_depth=1)
+    stream = r.depth_stream_multihost(gen())
+    first = next(stream)
+    assert first["index"] == 0
+    # one in-flight batch + the one being decoded, never the whole list
+    assert len(consumed) <= 12, consumed
+    rest = list(stream)
+    assert [first["index"]] + [o["index"] for o in rest] == list(range(16))
+
+
 def test_multihost_stream_contract_errors():
     from ml_depth_pro_video_tpu.models.depth_pro import tiny_config
     from ml_depth_pro_video_tpu.video.runner import DepthVideoRunner
