@@ -72,7 +72,16 @@ def generate_depth_maps(
     speed: str = "exact",
     model: str = "large",
 ) -> list[str]:
-    """Run depth over a file or directory; returns written paths."""
+    """Run depth over a file or directory; returns written paths.
+
+    Multi-host (pod slices): after ``parallel.multihost.initialize()``
+    run the SAME command on every host — the frame list shards over the
+    pod's chips, ONE SPMD program spans all of them, and each host
+    writes only its own frames' outputs (shared or per-host output
+    filesystems both work; file names carry the frame stem either way).
+    """
+    import jax
+
     from ..video.runner import DepthVideoRunner
 
     if os.path.isdir(input_path):
@@ -85,6 +94,20 @@ def generate_depth_maps(
 
     from ..models.depth_pro import model_preset
 
+    pod = jax.process_count() > 1
+    if runner is None and pod:
+        from ..parallel.mesh import make_mesh
+
+        # one dp mesh over ALL hosts' chips; the runner rounds
+        # batch_size up to a dp multiple itself
+        runner = DepthVideoRunner(
+            cfg=model_preset(model),
+            precision="bf16" if half_precision else "fp32",
+            batch_size=max(batch_size, jax.device_count()),
+            downscale_factor=downscale_factor,
+            speed=speed,
+            mesh=make_mesh(),
+        )
     runner = runner or DepthVideoRunner(
         cfg=model_preset(model),
         precision="bf16" if half_precision else "fp32",
@@ -92,12 +115,14 @@ def generate_depth_maps(
         downscale_factor=downscale_factor,
         speed=speed,
     )
+    stream = (runner.depth_stream_multihost(paths) if pod
+              else runner.depth_stream(paths))
 
     written = []
     t0 = time.time()
     # per-image fault isolation (reference `generate_depth_maps.py:147-151,
     # 202-203`): one bad frame must not lose the rest of the batch
-    for i, result in enumerate(runner.depth_stream(paths)):
+    for i, result in enumerate(stream):
         stem = os.path.splitext(os.path.basename(result["key"]))[0]
         try:
             out = os.path.join(output_dir, f"{stem}_depth.png")
@@ -110,7 +135,11 @@ def generate_depth_maps(
             print(f"[{i+1}/{len(paths)}] {stem} ({(time.time()-t0)/(i+1):.2f}s/frame avg)")
         except Exception as exc:  # noqa: BLE001
             print(f"Error processing {stem}: {exc}")
-    print(f"Successfully wrote {len(written)}/{len(paths)} depth maps")
+    if pod:
+        print(f"[host {jax.process_index()}/{jax.process_count()}] wrote "
+              f"{len(written)} of this host's rows ({len(paths)} frames total)")
+    else:
+        print(f"Successfully wrote {len(written)}/{len(paths)} depth maps")
     return written
 
 
@@ -280,7 +309,17 @@ def main(argv=None) -> None:
     ap.add_argument("--model", choices=list(_MP), default="large",
                     help="model family member (base/small need a "
                          "trained/distilled checkpoint — depth-pro-distill)")
+    from ..parallel.multihost import add_multihost_args, initialize_from_args
+    add_multihost_args(ap)
     args = ap.parse_args(argv)
+    # before any device use (no-op single-host); with a pod joined, the
+    # frame directory shards over every host's chips and each host
+    # writes its own rows' PNGs
+    pod = initialize_from_args(args)
+    if pod and args.video_out:
+        ap.error("--video_out needs every frame in playback order on one "
+                 "host; run it single-host (or write PNGs multi-host and "
+                 "encode them afterwards)")
     is_video = os.path.splitext(args.input)[1].lower() in VIDEO_EXTS
     if args.video_out:
         generate_depth_video(

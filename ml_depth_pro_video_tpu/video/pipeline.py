@@ -194,7 +194,22 @@ def process_images_to_floor_plans(
     temporal_smooth: float = 0.0,
     model: str = "large",
 ):
-    """Process a frame directory into per-frame floor plans."""
+    """Process a frame directory into per-frame floor plans.
+
+    Multi-host (pod slices): after ``parallel.multihost.initialize()``
+    run the SAME call on every host — frames shard over the pod's chips
+    through ONE SPMD program, each host runs geometry/visualization for
+    (and writes) only its own frames, the ground plane is computed once
+    and broadcast from the primary, and each host keeps its own
+    ``processing_progress.p<rank>.json`` (resume reads the union).
+    Assumes a shared frames filesystem; SIGINT must be delivered to
+    every host (a lone interrupted host desyncs the pod's collectives).
+    """
+    import jax
+
+    pod = jax.process_count() > 1
+    if pod:
+        from ..parallel import multihost as mh
     output_dir = output_dir or frames_dir
     os.makedirs(output_dir, exist_ok=True)
 
@@ -210,16 +225,32 @@ def process_images_to_floor_plans(
         print("No images to process")
         return {}
 
-    # resume bookkeeping (processing_progress.json schema parity)
-    progress_file = os.path.join(output_dir, "processing_progress.json")
+    # resume bookkeeping (processing_progress.json schema parity).
+    # Multi-host: each rank owns its own progress file (concurrent JSON
+    # writes to one path would corrupt it) and the skip-completed filter
+    # reads the UNION, which every host computes identically from the
+    # shared filesystem — the filtered list must match across hosts
+    # because it determines the row split.
+    suffix = f".p{jax.process_index()}" if pod and jax.process_index() else ""
+    progress_file = os.path.join(output_dir, f"processing_progress{suffix}.json")
     completed: dict = {}
-    if resume and not force_reprocess and os.path.exists(progress_file):
-        try:
-            with open(progress_file) as f:
-                completed = json.load(f)
-        except Exception:
-            completed = {}
-        image_paths = [p for p in image_paths if os.path.basename(p) not in completed]
+    if resume and not force_reprocess:
+        all_done: dict = {}
+        for pf in sorted(glob.glob(os.path.join(
+                output_dir, "processing_progress*.json"))):
+            try:
+                with open(pf) as f:
+                    all_done.update(json.load(f))
+            except Exception:
+                pass
+            if pf == progress_file:
+                try:
+                    with open(pf) as f:
+                        completed = json.load(f)
+                except Exception:
+                    completed = {}
+        image_paths = [p for p in image_paths
+                       if os.path.basename(p) not in all_done]
         if not image_paths:
             print("All frames already processed.")
             return completed
@@ -228,9 +259,21 @@ def process_images_to_floor_plans(
     prev_handler = signal.signal(signal.SIGINT, lambda *_: stop.__setitem__("flag", True))
 
     mesh = None
-    if runner is None and parallel in ("dp", "latency"):
-        import jax
+    if pod and runner is None:
+        from ..parallel.mesh import make_mesh
 
+        # pod mode needs the global dp mesh regardless of --parallel
+        if parallel == "latency":
+            print("multi-host run: --parallel latency is single-host only; "
+                  "using pod-wide dp")
+        if temporal_smooth > 0.0:
+            raise ValueError(
+                "temporal_smooth is single-host only (frames interleave "
+                "across hosts); run it as a post-pass (video/temporal.py)")
+        parallel = "dp"
+        mesh = make_mesh(tp=1)
+        batch_size = max(batch_size, jax.device_count())
+    elif runner is None and parallel in ("dp", "latency"):
         from ..parallel.mesh import make_mesh
 
         if len(jax.devices()) > 1:
@@ -255,7 +298,38 @@ def process_images_to_floor_plans(
         # ground plane: load cached or compute once from the first frame
         first_result = None
         ground_model = load_ground_plane(frames_dir)
-        if ground_model is None:
+        if pod:
+            # collective protocol — every host must take the same branch
+            # (the frame-0 inference is a pod-wide SPMD program), so the
+            # PRIMARY's view of ground.json decides for everyone
+            have = bool(int(mh.broadcast_from_primary(
+                np.int32(1 if ground_model is not None else 0))))
+            if not have:
+                if mh.is_primary():
+                    print("Computing ground plane from first frame...")
+                first = None
+                for res in runner.depth_stream_multihost([image_paths[0]]):
+                    first = res  # only the row-0 host (the primary) yields
+                if mh.is_primary():
+                    if first is None:
+                        raise RuntimeError(
+                            "ground frame did not land on the primary host "
+                            "(unexpected mesh layout?) — compute ground.json "
+                            "single-host first and rerun")
+                    ground_model = compute_ground_from_frame(
+                        first["depth"], first["focallength_px"])
+                    save_ground_plane(ground_model, frames_dir)
+            tmpl = (ground_model if ground_model is not None else
+                    {"normal": np.zeros(3), "d": 0.0, "origin": np.zeros(3)})
+            vals = mh.broadcast_from_primary({
+                "normal": np.asarray(tmpl["normal"], np.float64),
+                "d": np.float64(tmpl["d"]),
+                "origin": np.asarray(tmpl["origin"], np.float64),
+            })
+            ground_model = {"normal": np.asarray(vals["normal"], np.float64),
+                            "d": float(vals["d"]),
+                            "origin": np.asarray(vals["origin"], np.float64)}
+        elif ground_model is None:
             print("Computing ground plane from first frame...")
             first_result = runner.infer_one(image_paths[0])
             ground_model = compute_ground_from_frame(
@@ -263,6 +337,12 @@ def process_images_to_floor_plans(
             save_ground_plane(ground_model, frames_dir)
 
         def result_stream():
+            if pod:
+                # frames shard over the pod; this host sees only its rows
+                # (frame 0 re-infers once — the reuse below is not worth a
+                # cross-host result shuffle)
+                yield from runner.depth_stream_multihost(image_paths)
+                return
             # reuse the ground-fit inference for frame 0 instead of
             # running it through the model a second time (the reference
             # double-infers EVERY frame, `pointcloud_cleaner.py:50-124`;
@@ -294,6 +374,14 @@ def process_images_to_floor_plans(
         t_start = time.time()
         n_done = 0
         total = len(image_paths)
+        if pod:
+            # this host handles only its own rows; size the ETA to them
+            from ..parallel.mesh import batch_sharding
+
+            B = runner.batch_size
+            rows = mh.local_rows(batch_sharding(runner.mesh), (B, 1, 1, 1))
+            total = sum(1 for g in range((len(image_paths) + B - 1) // B)
+                        for r in rows if g * B + r < len(image_paths))
         # a worker pool only helps with cores to spare: on a 1-core host
         # thread overlap measurably HURTS (GIL + memory contention —
         # 6.2 vs 3.0 s/frame measured), so clamp to the core count.
@@ -408,7 +496,13 @@ def main(argv=None):  # pragma: no cover - CLI shim, exercised via cli tests
     ap.add_argument("--x_max", type=float, default=None)
     ap.add_argument("--z_min", type=float, default=None)
     ap.add_argument("--z_max", type=float, default=None)
+    from ..parallel.multihost import add_multihost_args, initialize_from_args
+    add_multihost_args(ap)
     args = ap.parse_args(argv)
+    # before any device use (no-op single-host); with a pod joined,
+    # frames shard over every host's chips and each host writes its own
+    # frames' floor plans
+    pod = initialize_from_args(args)
     if args.x_limits is None and args.x_min is not None and args.x_max is not None:
         args.x_limits = [args.x_min, args.x_max]
     if args.z_limits is None and args.z_min is not None and args.z_max is not None:
@@ -454,9 +548,29 @@ def main(argv=None):  # pragma: no cover - CLI shim, exercised via cli tests
                 print(f"{len(have)} frames in {args.frames_dir} look "
                       "incomplete (no decode-complete marker / fewer than "
                       "the video's frame count); re-extracting")
+        if pod:
+            # collective decision: every host must take the same branch
+            # (the barrier below is pod-wide) and a non-primary host may
+            # see a stale shared-FS view — the primary's answer rules
+            from ..parallel.multihost import broadcast_from_primary
+
+            complete = bool(int(broadcast_from_primary(np.int32(complete))))
         if complete:
             print(f"{len(have)} frames already extracted in {args.frames_dir}; "
                   "skipping decode (--force_reprocess re-extracts)")
+        elif pod:
+            # one decoder per pod: the primary extracts onto the shared
+            # filesystem while the other hosts wait at the barrier, so
+            # every host then globs the identical complete frame set
+            from ..parallel.multihost import barrier, is_primary
+
+            if is_primary():
+                print(f"Decoding {args.video} -> {args.frames_dir}")
+                extract_frames(args.video, args.frames_dir)
+            else:
+                print("waiting for the primary host to decode "
+                      f"{args.video}...")
+            barrier("video-decode")
         else:
             print(f"Decoding {args.video} -> {args.frames_dir}")
             extract_frames(args.video, args.frames_dir)

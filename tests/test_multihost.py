@@ -340,6 +340,151 @@ def test_two_process_train(tmp_path):
     assert np.isclose(ck, sums[0][1], rtol=1e-5), (ck, sums[0][1])
 
 
+_MAPS_WORKER = r"""
+import os, sys
+pid = int(sys.argv[1]); n = int(sys.argv[2]); port = sys.argv[3]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, sys.argv[4])
+frames_dir, out_dir = sys.argv[5], sys.argv[6]
+from ml_depth_pro_video_tpu.cli.generate_depth_maps import main
+
+main([frames_dir, "-o", out_dir, "--model", "tiny", "--full_precision",
+      "--batch_size", "4", "--save_npz",
+      "--coordinator", f"localhost:{port}",
+      "--num_processes", str(n), "--process_id", str(pid)])
+print(f"WORKER{pid}_OK", flush=True)
+"""
+
+
+def test_two_process_maps_cli(tmp_path):
+    """depth-pro-maps across a 2-host pod: the frame directory shards
+    over the pod's chips and the union of the hosts' written PNGs
+    covers every frame exactly once."""
+    from PIL import Image
+
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    for i, f in enumerate(_synthetic_frames(6)):
+        Image.fromarray(f).save(frames / f"f{i:03d}.png")
+    out = tmp_path / "depth"
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = str(s.getsockname()[1])
+    script = tmp_path / "maps_worker.py"
+    script.write_text(_MAPS_WORKER)
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(pid), "2", port, REPO,
+         str(frames), str(out)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for pid in (0, 1)]
+    outs = []
+    try:
+        for p in procs:
+            o, _ = p.communicate(timeout=480)
+            outs.append(o)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("2-process maps CLI hung:\n" + "\n".join(outs))
+    for pid, (p, o) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{o}"
+        assert f"WORKER{pid}_OK" in o
+        assert "wrote" in o and f"[host {pid}/2]" in o
+    pngs = sorted(q.name for q in out.glob("*_depth.png"))
+    assert pngs == [f"f{i:03d}_depth.png" for i in range(6)], pngs
+    assert len(list(out.glob("*_depth.npz"))) == 6
+    # each host wrote a strict nonempty subset (the split really happened)
+    import re
+
+    counts = [int(re.search(r"wrote (\d+) of this host's rows", o).group(1))
+              for o in outs]
+    assert sorted(counts) == [2, 4] or sorted(counts) == [3, 3], counts
+    assert sum(counts) == 6
+
+
+_PIPELINE_WORKER = r"""
+import os, sys
+pid = int(sys.argv[1]); n = int(sys.argv[2]); port = sys.argv[3]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, sys.argv[4])
+frames_dir, out_dir = sys.argv[5], sys.argv[6]
+from ml_depth_pro_video_tpu.video.pipeline import main
+
+main(["--frames_dir", frames_dir, "--output_dir", out_dir,
+      "--model", "tiny", "--full_precision", "--batch_size", "4",
+      "--no_fit_shapes", "--output_main_only", "--renderer", "fast",
+      "--num_workers", "1",
+      "--coordinator", f"localhost:{port}",
+      "--num_processes", str(n), "--process_id", str(pid)])
+print(f"WORKER{pid}_OK", flush=True)
+"""
+
+
+def test_two_process_pipeline_cli(tmp_path):
+    """The floor-plan pipeline across a 2-host pod: ground fit once on
+    the primary (broadcast), frames shard over the pod's chips, each
+    host writes its own frames' floor plans and its own progress file;
+    the union covers every frame exactly once."""
+    import json
+
+    from PIL import Image
+
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        img = (rng.random((120, 160, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(frames / f"output_{i:04d}.png")
+    out = tmp_path / "plans"
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = str(s.getsockname()[1])
+    script = tmp_path / "pipeline_worker.py"
+    script.write_text(_PIPELINE_WORKER)
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(pid), "2", port, REPO,
+         str(frames), str(out)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for pid in (0, 1)]
+    outs = []
+    try:
+        for p in procs:
+            o, _ = p.communicate(timeout=540)
+            outs.append(o)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("2-process pipeline hung:\n" + "\n".join(outs))
+    for pid, (p, o) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{o}"
+        assert f"WORKER{pid}_OK" in o
+    # ground fit once, cached next to the frames
+    assert (frames / "ground.json").exists()
+    # every frame produced its floor plan (each written by exactly one host)
+    plans = sorted(q.name for q in out.glob("*_clean_simple_view.png"))
+    assert plans == [f"output_{i:04d}_clean_simple_view.png"
+                     for i in range(4)], plans
+    # per-host progress files whose union covers all frames, no overlap
+    with open(out / "processing_progress.json") as f:
+        done0 = set(json.load(f))
+    with open(out / "processing_progress.p1.json") as f:
+        done1 = set(json.load(f))
+    assert not (done0 & done1)
+    assert done0 | done1 == {f"output_{i:04d}.png" for i in range(4)}
+
+
 def test_two_process_cluster(tmp_path):
     """Spawn a real 2-process jax.distributed CPU cluster."""
     with socket.socket() as s:
