@@ -60,19 +60,31 @@ def _runner_fn(cfg: DepthProConfig, precision: Precision):
     return fn
 
 
-def _abstract_params(cfg: DepthProConfig):
+def _abstract_params(cfg: DepthProConfig, quantize: bool = False):
     """Abstract (shape/dtype only) FOLDED param tree — export never
-    needs real weights."""
+    needs real weights. ``quantize`` mirrors the runner's param prep
+    order (quantize THEN fold, `video/runner.py`), so the exported
+    program accepts the int8-weight tree."""
+
     shapes = jax.eval_shape(
         lambda: fold_head_params(init_depth_pro(jax.random.PRNGKey(0), cfg)))
-    return jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), shapes)
+    shapes = jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), shapes)
+    if quantize:
+        # quantize commutes with the head fold (disjoint subtrees: the
+        # fold touches the head convs, quantization the ViT matmuls)
+        from .quantize import quantize_vit_weights_abstract
+
+        shapes = quantize_vit_weights_abstract(shapes)
+    return shapes
 
 
 def export_infer(cfg: DepthProConfig, precision="bf16", batch_size: int = 1,
-                 path: str | None = None):
+                 path: str | None = None, quantize: bool = False):
     """Export the inference program for ``batch_size`` uint8 frames at
     the model's native resolution. Returns the ``jax.export.Exported``;
-    writes the serialized artifact to ``path`` when given."""
+    writes the serialized artifact to ``path`` when given.
+    ``quantize`` exports the int8-weight variant of the program (the
+    param argument then takes the `ckpt/quantize.py` tree)."""
     from jax import export as jex
 
     precision = resolve_precision(precision)
@@ -85,7 +97,7 @@ def export_infer(cfg: DepthProConfig, precision="bf16", batch_size: int = 1,
     # matching libtpu)
     exported = jex.export(
         fn, disabled_checks=[jex.DisabledSafetyCheck.custom_call("tpu_custom_call")],
-    )(_abstract_params(cfg), x)
+    )(_abstract_params(cfg, quantize=quantize), x)
     if path is not None:
         data = exported.serialize()
         with open(path, "wb") as f:
@@ -103,6 +115,7 @@ def export_infer(cfg: DepthProConfig, precision="bf16", batch_size: int = 1,
                 "compute_dtype": jnp.dtype(precision.compute_dtype).name,
                 "token_merge_ratio": cfg.token_merge_ratio,
                 "token_merge_block": cfg.token_merge_block,
+                "quantized": quantize,
                 "platforms": list(exported.platforms),
             }, f, indent=1)
         LOGGER.info("exported %s (%d bytes, platforms=%s, batch=%d, %dpx)",
@@ -112,15 +125,16 @@ def export_infer(cfg: DepthProConfig, precision="bf16", batch_size: int = 1,
 
 
 def load_exported(path: str, cfg: DepthProConfig | None = None,
-                  precision=None):
+                  precision=None, quantize: bool | None = None):
     """Deserialize an artifact; returns the ``Exported`` (use
     ``.call(params, frames_uint8)``). Raises on platform mismatch at
     call time, not load time.
 
-    When ``cfg``/``precision`` are given and a sidecar manifest exists
-    (written by ``export_infer``), mismatched model identity raises —
-    an artifact exported for a different merge ratio, precision or
-    resolution would otherwise serve silently wrong programs."""
+    When ``cfg``/``precision``/``quantize`` are given and a sidecar
+    manifest exists (written by ``export_infer``), mismatched model
+    identity raises — an artifact exported for a different merge ratio,
+    precision, resolution or weight format would otherwise serve
+    silently wrong programs."""
     import json
     import os
 
@@ -136,6 +150,10 @@ def load_exported(path: str, cfg: DepthProConfig | None = None,
         if precision is not None:
             want["compute_dtype"] = jnp.dtype(
                 resolve_precision(precision).compute_dtype).name
+        if quantize is not None:
+            # older manifests predate the key; treat absent as False
+            want["quantized"] = bool(quantize)
+            m.setdefault("quantized", False)
         bad = {k: (m.get(k), v) for k, v in want.items() if m.get(k) != v}
         if bad:
             raise ValueError(
@@ -163,6 +181,10 @@ def main(argv=None) -> None:  # pragma: no cover - thin CLI, tested via lib
     ap.add_argument("--precision", choices=["bf16", "fp32"], default="bf16")
     ap.add_argument("--speed", default="exact",
                     help="speed preset baked into the exported program")
+    ap.add_argument("--quantize", action="store_true",
+                    help="export the int8-weight program variant "
+                         "(serve it with a quantize_vit_weights param "
+                         "tree — 4x smaller ViT weight footprint)")
     ap.add_argument("--tiny", action="store_true",
                     help="miniature config (smoke tests)")
     from ..models.depth_pro import MODEL_PRESETS as _MP
@@ -178,7 +200,8 @@ def main(argv=None) -> None:  # pragma: no cover - thin CLI, tested via lib
         from ..models.depth_pro import apply_speed
 
         cfg = apply_speed(cfg, args.speed)
-    exported = export_infer(cfg, args.precision, args.batch_size, args.output)
+    exported = export_infer(cfg, args.precision, args.batch_size, args.output,
+                            quantize=args.quantize)
     print(f"exported platforms={exported.platforms} "
           f"in={[str(a) for a in exported.in_avals[-1:]]} -> {args.output}")
 

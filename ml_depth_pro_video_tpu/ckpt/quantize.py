@@ -36,14 +36,14 @@ def _quantize(w) -> dict:
     return {"q": jnp.asarray(q), "s": jnp.asarray(scale)}
 
 
-def quantize_vit_weights(params: dict) -> dict:
-    """Return params with every ViT block matmul weight int8-quantized
-    (encoder patch/image ViTs and the FOV ViT)."""
+def _map_vit_matmuls(params: dict, fn) -> dict:
+    """Apply ``fn`` to every ViT block matmul weight leaf (encoder
+    patch/image ViTs and the FOV ViT), leaving the rest untouched."""
 
     def quant_vit(vit_params: dict) -> dict:
         blocks = dict(vit_params["blocks"])
         for key in _QUANT_KEYS:
-            blocks[key] = _quantize(blocks[key])
+            blocks[key] = fn(blocks[key])
         out = dict(vit_params)
         out["blocks"] = blocks
         return out
@@ -58,6 +58,26 @@ def quantize_vit_weights(params: dict) -> dict:
         fov["vit"] = quant_vit(fov["vit"])
         out["fov"] = fov
     return out
+
+
+def quantize_vit_weights(params: dict) -> dict:
+    """Return params with every ViT block matmul weight int8-quantized
+    (encoder patch/image ViTs and the FOV ViT)."""
+    return _map_vit_matmuls(params, _quantize)
+
+
+def quantize_vit_weights_abstract(params: dict) -> dict:
+    """Shape/dtype-only variant of :func:`quantize_vit_weights` for
+    abstract param trees (AOT export never needs real weights; the
+    concrete quantizer runs through numpy, which cannot trace)."""
+    import jax
+
+    def q(w):
+        l, _, dout = w.shape
+        return {"q": jax.ShapeDtypeStruct(w.shape, jnp.int8),
+                "s": jax.ShapeDtypeStruct((l, 1, dout), jnp.float32)}
+
+    return _map_vit_matmuls(params, q)
 
 
 def materialize_weight(w, dtype):

@@ -127,12 +127,13 @@ class DepthVideoRunner:
             if mesh is not None:
                 raise ValueError("exported_path serves the single-device "
                                  "path; mesh programs must jit")
-            if quantize:
-                raise ValueError("exported_path and quantize are exclusive "
-                                 "(the artifact's param tree is unquantized)")
             from ..ckpt.export import load_exported
 
-            self._exported = load_exported(exported_path, cfg, self.precision)
+            # the artifact's weight format must match this runner's
+            # param prep: depth-pro-export --quantize pairs with
+            # quantize=True here (cross-checked via the manifest)
+            self._exported = load_exported(exported_path, cfg, self.precision,
+                                           quantize=quantize)
             self._exported_shape = tuple(self._exported.in_avals[-1].shape)
             if self._exported_shape[0] != self.batch_size:
                 # shape-mismatched batches fall back to jit SILENTLY per

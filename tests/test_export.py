@@ -97,6 +97,43 @@ def test_runner_exported_guards():
         DepthVideoRunner(cfg=CFG, batch_size=2,
                          mesh=make_mesh(dp=2, tp=1, devices=jax.devices()[:2]),
                          exported_path="/nonexistent")
-    with pytest.raises(ValueError, match="quantize"):
-        DepthVideoRunner(cfg=CFG, batch_size=2, quantize=True,
-                         exported_path="/nonexistent")
+
+
+def test_quantized_export_roundtrip_and_manifest(tmp_path):
+    """--quantize exports the int8-weight program: the artifact accepts
+    the quantize_vit_weights tree and matches the in-process quantized
+    jit; weight-format mismatches are caught by the manifest."""
+    from ml_depth_pro_video_tpu.ckpt.quantize import quantize_vit_weights
+    from ml_depth_pro_video_tpu.video.runner import DepthVideoRunner
+
+    path = str(tmp_path / "model_q.jaxexp")
+    export_infer(CFG, "fp32", batch_size=2, path=path, quantize=True)
+
+    # runner(quantize=True) serves the quantized artifact...
+    runner = DepthVideoRunner(cfg=CFG, precision="fp32", batch_size=2,
+                              quantize=True, exported_path=path)
+    rng = np.random.default_rng(2)
+    s = CFG.img_size
+    frames = [(rng.random((s, s, 3)) * 255).astype(np.uint8) for _ in range(2)]
+    results = list(runner.depth_stream(frames))
+    assert len(results) == 2
+    key = ((2, s, s, 3), False, False)
+    assert getattr(runner._jit[key], "__self__", None) is runner._exported
+
+    # ...and matches the in-process quantized jit exactly
+    plain = DepthVideoRunner(cfg=CFG, precision="fp32", batch_size=2,
+                             quantize=True)
+    plain.params = runner.params
+    ref = list(plain.depth_stream(frames))
+    np.testing.assert_array_equal(results[0]["depth"], ref[0]["depth"])
+
+    # weight-format mismatch is a manifest error, not a shape crash
+    with pytest.raises(ValueError, match="quantized"):
+        load_exported(path, CFG, "fp32", quantize=False)
+    plain_path = str(tmp_path / "model_p.jaxexp")
+    export_infer(CFG, "fp32", batch_size=2, path=plain_path)
+    with pytest.raises(ValueError, match="quantized"):
+        load_exported(plain_path, CFG, "fp32", quantize=True)
+    # the param tree really is the int8 one
+    q = quantize_vit_weights(init_depth_pro(jax.random.PRNGKey(0), CFG))
+    assert q["encoder"]["patch_vit"]["blocks"]["qkv_w"]["q"].dtype == jnp.int8
