@@ -277,7 +277,8 @@ def create_server(host: str = "127.0.0.1", port: int = 8500, runner=None,
                   parallel: str = "none",
                   speed: str = "exact",
                   exported_path: str | None = None,
-                  model: str = "large") -> ThreadingHTTPServer:
+                  model: str = "large",
+                  quantize: bool = False) -> ThreadingHTTPServer:
     """``warmup_shape=(H, W)`` compiles the full-batch program before the
     server accepts traffic — the first real request then runs at steady-
     state latency instead of paying the ~40 s XLA compile. ``parallel``:
@@ -301,7 +302,7 @@ def create_server(host: str = "127.0.0.1", port: int = 8500, runner=None,
         cfg=model_preset(model),
         precision="bf16", batch_size=max_batch, mesh=mesh,
         parallel=parallel if parallel in ("dp", "latency") else "dp",
-        speed=speed, exported_path=exported_path)
+        speed=speed, exported_path=exported_path, quantize=quantize)
     # the runner may have rounded batch_size up to a dp multiple; the
     # batcher must coalesce up to THAT size or every batch gets padded
     max_batch = max(max_batch, runner.batch_size)
@@ -340,6 +341,10 @@ def main(argv=None):  # pragma: no cover
                     help="AOT artifact from depth-pro-export: serve the "
                          "full-batch canonical program with zero startup "
                          "compile (single-device; manifest-checked)")
+    ap.add_argument("--quantize", action="store_true",
+                    help="int8 weight-only ViT (4x smaller weight "
+                         "footprint, throughput-neutral; pairs with a "
+                         "depth-pro-export --quantize artifact)")
     from ..models.depth_pro import MODEL_PRESETS as _MP
     ap.add_argument("--model", choices=list(_MP), default="large",
                     help="model family member (base/small need a "
@@ -349,7 +354,8 @@ def main(argv=None):  # pragma: no cover
     server = create_server(args.host, args.port, max_batch=args.max_batch,
                            max_wait_ms=args.max_wait_ms, warmup_shape=warm,
                            parallel=args.parallel, speed=args.speed,
-                           exported_path=args.exported, model=args.model)
+                           exported_path=args.exported, model=args.model,
+                           quantize=args.quantize)
     print(f"serving on {args.host}:{args.port}")
     server.serve_forever()
 
