@@ -71,6 +71,7 @@ def generate_depth_maps(
     runner=None,
     speed: str = "exact",
     model: str = "large",
+    exported_path: str | None = None,
 ) -> list[str]:
     """Run depth over a file or directory; returns written paths.
 
@@ -98,6 +99,9 @@ def generate_depth_maps(
     if runner is None and pod:
         from ..parallel.mesh import make_mesh
 
+        if exported_path is not None:
+            raise ValueError("--exported serves the single-device path; "
+                             "pod runs jit their mesh program")
         # one dp mesh over ALL hosts' chips; the runner rounds
         # batch_size up to a dp multiple itself
         runner = DepthVideoRunner(
@@ -114,6 +118,7 @@ def generate_depth_maps(
         batch_size=batch_size,
         downscale_factor=downscale_factor,
         speed=speed,
+        exported_path=exported_path,
     )
     stream = (runner.depth_stream_multihost(paths) if pod
               else runner.depth_stream(paths))
@@ -305,6 +310,10 @@ def main(argv=None) -> None:
                          "(balanced=0.25, fast=0.5 merge ratio)")
     ap.add_argument("--save_npz", action="store_true")
     ap.add_argument("--pattern", default="*.png")
+    ap.add_argument("--exported", default=None,
+                    help="AOT artifact from depth-pro-export: skip the "
+                         "~20-40 s startup compile (single-host PNG mode; "
+                         "batches at the artifact's exact shape)")
     from ..models.depth_pro import MODEL_PRESETS as _MP
     ap.add_argument("--model", choices=list(_MP), default="large",
                     help="model family member (base/small need a "
@@ -342,7 +351,8 @@ def main(argv=None) -> None:
                         downscale_factor=args.downscale_factor,
                         half_precision=args.half_precision,
                         batch_size=args.batch_size, save_npz=args.save_npz,
-                        pattern=args.pattern, model=args.model)
+                        pattern=args.pattern, model=args.model,
+                        exported_path=args.exported)
 
 
 if __name__ == "__main__":  # pragma: no cover

@@ -54,6 +54,7 @@ def run(args) -> None:
         precision="bf16" if args.half else "fp32",
         batch_size=args.batch_size,
         speed=args.speed,
+        exported_path=getattr(args, "exported", None),
     )
 
     # live side-by-side display (reference cli/run.py:99-113); requires
@@ -122,6 +123,11 @@ def main(argv=None) -> None:
     ap.add_argument("--model", choices=list(_MP), default="large",
                     help="model family member (base/small need a "
                          "trained/distilled checkpoint — depth-pro-distill)")
+    ap.add_argument("--exported", default=None,
+                    help="AOT artifact from depth-pro-export: skip the "
+                         "~20-40 s startup compile (batches at the "
+                         "artifact's exact shape; others jit-compile "
+                         "with a warning)")
     ap.add_argument("-v", "--verbose", action="store_true")
     ap.add_argument("--skip-display", action="store_true", default=False,
                     help="do not open the live matplotlib view")
