@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import functools as _functools
+import json
 import logging
 import time
 
@@ -47,6 +48,7 @@ def fit(
     dp: int | None = None,
     pp: int = 1,
     microbatches: int = 5,
+    metrics_file: str | None = None,
 ):
     """Fine-tune Depth Pro on a directory of (image, depth) pairs.
 
@@ -64,6 +66,13 @@ def fit(
     identical) shuffled batch, ONE SPMD step spans the pod, and orbax
     checkpointing coordinates the distributed save. ``batch_size`` is
     the GLOBAL batch. Requires a shared data/checkpoint filesystem.
+
+    ``metrics_file`` appends one JSON line per logged step
+    (``{"step", "loss", "lr_progress", "s_per_step"}``; validation
+    rounds add ``{"step", "val_silog"}``) so runs are plottable and
+    comparable after the fact — the reference has no training at all,
+    and log-scraping is not an interface. Primary-only on pods; the
+    file appends across resumes (the step field orders everything).
     """
     precision = precision or Precision.bf16()
     if pp > 1:
@@ -140,7 +149,19 @@ def fit(
         batch_kw = dict(sharding=data_sh)
     start = int(state.step)
     losses: list[float] = []
+    last_val_step = -1
     t0 = time.perf_counter()
+
+    def emit_metrics(record: dict) -> None:
+        # append-only JSONL; primary-only so pod hosts don't interleave
+        if metrics_file is None or jax.process_index() != 0:
+            return
+        try:
+            with open(metrics_file, "a") as f:
+                json.dump(record, f)
+                f.write("\n")
+        except OSError as exc:
+            log.warning("could not append %s: %s", metrics_file, exc)
     # resume: skip already-trained batches without decoding them — the
     # shuffle permutations are still consumed, so the stream position
     # matches the saved step deterministically
@@ -151,20 +172,28 @@ def fit(
         step = int(state.step)
         if step % log_every == 0:
             dt = (time.perf_counter() - t0) / max(len(losses), 1)
+            mean_loss = float(np.mean(losses[-log_every:]))
             log.info("step %d/%d loss %.4f (%.2f s/step)", step, total_steps,
-                     float(np.mean(losses[-log_every:])), dt)
+                     mean_loss, dt)
+            emit_metrics({"step": step, "loss": mean_loss,
+                          "lr_progress": step / max(total_steps, 1),
+                          "s_per_step": round(dt, 4)})
         if checkpoint_dir and step % save_every == 0:
             save_train_state(checkpoint_dir, state)
             if val_pairs:
-                log.info("step %d val_silog %.4f", step,
-                         _validate(state.params, val_pairs, cfg, precision,
-                                   batch_size, mesh))
+                v = _validate(state.params, val_pairs, cfg, precision,
+                              batch_size, mesh)
+                log.info("step %d val_silog %.4f", step, v)
+                emit_metrics({"step": step, "val_silog": v})
+                last_val_step = step
     if checkpoint_dir:
         save_train_state(checkpoint_dir, state)
-    if val_pairs:
-        log.info("final val_silog %.4f",
-                 _validate(state.params, val_pairs, cfg, precision, batch_size,
-                           mesh))
+    # skip the final validation when the last checkpoint round already
+    # validated this exact step (short runs doubled the row/log)
+    if val_pairs and last_val_step != int(state.step):
+        v = _validate(state.params, val_pairs, cfg, precision, batch_size, mesh)
+        log.info("final val_silog %.4f", v)
+        emit_metrics({"step": int(state.step), "val_silog": v})
     return state
 
 
@@ -224,6 +253,12 @@ def main(argv=None) -> None:
     ap.add_argument("--checkpoint_dir", default=None)
     ap.add_argument("--save_every", type=int, default=500)
     ap.add_argument("--holdout", type=int, default=0)
+    ap.add_argument("--metrics_file", default=None,
+                    help="append one JSON line per logged step "
+                         "(loss/val_silog/s_per_step) for post-hoc "
+                         "plotting; primary-only on pods")
+    ap.add_argument("--log_every", type=int, default=10,
+                    help="steps between loss log lines / metrics rows")
     ap.add_argument("--tiny", action="store_true",
                     help="miniature model config (smoke tests / CI)")
     from ..models.depth_pro import MODEL_PRESETS as _MP
@@ -242,7 +277,8 @@ def main(argv=None) -> None:
     fit(args.data_root, cfg, batch_size=args.batch_size, epochs=args.epochs,
         lr=args.lr, warmup_steps=args.warmup_steps, tp=args.tp,
         checkpoint_dir=args.checkpoint_dir, save_every=args.save_every,
-        holdout=args.holdout, pp=args.pp, microbatches=args.microbatches)
+        holdout=args.holdout, pp=args.pp, microbatches=args.microbatches,
+        metrics_file=args.metrics_file, log_every=args.log_every)
 
 
 if __name__ == "__main__":  # pragma: no cover

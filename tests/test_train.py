@@ -95,17 +95,31 @@ def test_fit_smoke_and_resume(tmp_path):
         np.save(data / f"s{i}_depth.npy", rng.uniform(1, 10, (64, 64)).astype(np.float32))
 
     ckpt = str(tmp_path / "ckpt")
+    metrics = str(tmp_path / "metrics.jsonl")
     cfg = tiny_config()
     state = fit(str(data), cfg, batch_size=2, epochs=1, lr=1e-4, warmup_steps=1,
-                checkpoint_dir=ckpt, save_every=1, holdout=1, dp=1)
+                checkpoint_dir=ckpt, save_every=1, holdout=1, dp=1,
+                log_every=1, metrics_file=metrics)
     assert int(state.step) == 1
     assert latest_step(ckpt) == 1
 
     # resume: epochs=2 -> 2 total steps; the first is replayed from ckpt
     state = fit(str(data), cfg, batch_size=2, epochs=2, lr=1e-4, warmup_steps=1,
-                checkpoint_dir=ckpt, save_every=10, holdout=1, dp=1)
+                checkpoint_dir=ckpt, save_every=10, holdout=1, dp=1,
+                log_every=1, metrics_file=metrics)
     assert int(state.step) == 2
     assert latest_step(ckpt) == 2
+
+    # metrics JSONL: loss rows for both runs (append across resume) and
+    # the validation rows, each valid JSON with a step field
+    import json as _json
+
+    rows = [_json.loads(l) for l in open(metrics)]
+    loss_rows = [r for r in rows if "loss" in r]
+    val_rows = [r for r in rows if "val_silog" in r]
+    assert {r["step"] for r in loss_rows} == {1, 2}
+    assert val_rows and all(np.isfinite(r["val_silog"]) for r in val_rows)
+    assert all("s_per_step" in r for r in loss_rows)
 
 
 def test_silog_loss_masks_invalid_targets():
