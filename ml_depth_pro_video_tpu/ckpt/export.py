@@ -62,9 +62,10 @@ def _runner_fn(cfg: DepthProConfig, precision: Precision):
 
 def _abstract_params(cfg: DepthProConfig, quantize: bool = False):
     """Abstract (shape/dtype only) FOLDED param tree — export never
-    needs real weights. ``quantize`` mirrors the runner's param prep
-    order (quantize THEN fold, `video/runner.py`), so the exported
-    program accepts the int8-weight tree."""
+    needs real weights. ``quantize`` produces the same tree the runner
+    preps (`video/runner.py` quantizes then folds; here the fold runs
+    first — equivalent because the two transforms touch disjoint
+    subtrees: the fold the head convs, quantization the ViT matmuls)."""
 
     shapes = jax.eval_shape(
         lambda: fold_head_params(init_depth_pro(jax.random.PRNGKey(0), cfg)))

@@ -85,43 +85,58 @@ def generate_depth_maps(
 
     from ..video.runner import DepthVideoRunner
 
+    pod = jax.process_count() > 1
     if os.path.isdir(input_path):
         paths = sorted(glob.glob(os.path.join(input_path, pattern)))
     else:
         paths = [input_path]
+    if pod:
+        # every host must batch the PRIMARY's list — a stale shared-FS
+        # glob on one host would silently desync the pod's row split
+        # (and the empty-input error below must fire on all hosts or
+        # none, else the others hang in the collective)
+        from ..parallel import multihost as mh
+
+        paths = mh.broadcast_json(paths)
     if not paths:
         raise FileNotFoundError(f"no inputs under {input_path}")
     os.makedirs(output_dir, exist_ok=True)
 
     from ..models.depth_pro import model_preset
+    if pod and exported_path is not None:
+        raise ValueError("--exported serves the single-device path; "
+                         "pod runs jit their mesh program")
+    if runner is None:
+        mesh = None
+        if pod:
+            from ..parallel.mesh import make_mesh
 
-    pod = jax.process_count() > 1
-    if runner is None and pod:
-        from ..parallel.mesh import make_mesh
-
-        if exported_path is not None:
-            raise ValueError("--exported serves the single-device path; "
-                             "pod runs jit their mesh program")
-        # one dp mesh over ALL hosts' chips; the runner rounds
-        # batch_size up to a dp multiple itself
+            # one dp mesh over ALL hosts' chips; the runner rounds
+            # batch_size up to a dp multiple itself
+            mesh = make_mesh()
+            batch_size = max(batch_size, jax.device_count())
         runner = DepthVideoRunner(
             cfg=model_preset(model),
             precision="bf16" if half_precision else "fp32",
-            batch_size=max(batch_size, jax.device_count()),
+            batch_size=batch_size,
             downscale_factor=downscale_factor,
             speed=speed,
-            mesh=make_mesh(),
+            mesh=mesh,
+            exported_path=exported_path,
         )
-    runner = runner or DepthVideoRunner(
-        cfg=model_preset(model),
-        precision="bf16" if half_precision else "fp32",
-        batch_size=batch_size,
-        downscale_factor=downscale_factor,
-        speed=speed,
-        exported_path=exported_path,
-    )
     stream = (runner.depth_stream_multihost(paths) if pod
               else runner.depth_stream(paths))
+    n_expect = len(paths)
+    if pod:
+        # this host yields only its rows of each batch; size the
+        # progress denominator to them
+        from ..parallel import multihost as mh
+        from ..parallel.mesh import batch_sharding
+
+        B = runner.batch_size
+        rows = mh.local_rows(batch_sharding(runner.mesh), (B, 1, 1, 1))
+        n_expect = sum(1 for g in range((len(paths) + B - 1) // B)
+                       for r in rows if g * B + r < len(paths))
 
     written = []
     t0 = time.time()
@@ -137,7 +152,7 @@ def generate_depth_maps(
                 np.savez_compressed(os.path.join(output_dir, f"{stem}_depth.npz"),
                                     depth=result["depth"],
                                     focallength_px=result["focallength_px"])
-            print(f"[{i+1}/{len(paths)}] {stem} ({(time.time()-t0)/(i+1):.2f}s/frame avg)")
+            print(f"[{i+1}/{n_expect}] {stem} ({(time.time()-t0)/(i+1):.2f}s/frame avg)")
         except Exception as exc:  # noqa: BLE001
             print(f"Error processing {stem}: {exc}")
     if pod:

@@ -219,9 +219,54 @@ def barrier(name: str = "barrier") -> None:
 
 def broadcast_from_primary(pytree):
     """Ship host-side values (e.g. the fitted ground plane) from process
-    0 to every host so all SPMD programs see identical inputs."""
+    0 to every host so all SPMD programs see identical inputs.
+
+    CAUTION: values stage through JAX arrays, so with the default
+    ``jax_enable_x64=False`` float64 leaves are silently downcast to
+    float32 — use :func:`broadcast_json` for host-side metadata that
+    must keep full precision (or exact strings)."""
     if jax.process_count() == 1:
         return pytree
     from jax.experimental import multihost_utils
 
     return multihost_utils.broadcast_one_to_all(pytree)
+
+
+def broadcast_text(text: str | None) -> str:
+    """Broadcast an arbitrary-length string from the primary, exactly.
+
+    Two phases (length, then padded uint8 payload) so non-primary hosts
+    never need to know the size up front; bytes round-trip exactly —
+    no dtype staging, no precision loss. Non-primary hosts may pass
+    anything (``None``); the primary's value is returned everywhere.
+    """
+    if jax.process_count() == 1:
+        return text if text is not None else ""
+    from jax.experimental import multihost_utils
+
+    payload = (text or "").encode("utf-8") if is_primary() else b""
+    n = int(multihost_utils.broadcast_one_to_all(np.int32(len(payload))))
+    buf = np.zeros(n, np.uint8)
+    if is_primary():
+        buf[:] = np.frombuffer(payload, np.uint8)
+    buf = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    return bytes(buf).decode("utf-8")
+
+
+def broadcast_json(obj) -> "object":
+    """Broadcast any JSON-serializable host-side value from the primary
+    with full float precision (repr round-trip) and exact structure —
+    the right channel for fitted parameters, file lists, decisions.
+    Non-primary hosts may pass anything (``None``)."""
+    import json
+
+    class _NumpyEncoder(json.JSONEncoder):
+        def default(self, o):
+            if isinstance(o, np.ndarray):
+                return o.tolist()
+            if isinstance(o, np.generic):
+                return o.item()
+            return super().default(o)
+
+    text = json.dumps(obj, cls=_NumpyEncoder) if is_primary() else None
+    return json.loads(broadcast_text(text))

@@ -221,16 +221,12 @@ def process_images_to_floor_plans(
             and (start_frame is None or n >= start_frame)
             and (end_frame is None or n <= end_frame)
         ]
-    if not image_paths:
-        print("No images to process")
-        return {}
+    had_any = bool(image_paths)
 
     # resume bookkeeping (processing_progress.json schema parity).
     # Multi-host: each rank owns its own progress file (concurrent JSON
     # writes to one path would corrupt it) and the skip-completed filter
-    # reads the UNION, which every host computes identically from the
-    # shared filesystem — the filtered list must match across hosts
-    # because it determines the row split.
+    # reads the UNION of all ranks' files.
     suffix = f".p{jax.process_index()}" if pod and jax.process_index() else ""
     progress_file = os.path.join(output_dir, f"processing_progress{suffix}.json")
     completed: dict = {}
@@ -251,9 +247,20 @@ def process_images_to_floor_plans(
                     completed = {}
         image_paths = [p for p in image_paths
                        if os.path.basename(p) not in all_done]
-        if not image_paths:
-            print("All frames already processed.")
-            return completed
+    if pod:
+        # the filtered list determines the multihost row split, so every
+        # host must use the PRIMARY's view — a stale shared-FS read of
+        # the frames glob or another rank's progress file on one host
+        # would silently desync the pod's batches (or hang it, if list
+        # lengths diverge). Exact-string broadcast, and the empty-list
+        # early return below then fires on every host or none.
+        names = mh.broadcast_json([os.path.basename(p) for p in image_paths])
+        image_paths = [os.path.join(frames_dir, n) for n in names]
+        had_any = bool(int(mh.broadcast_from_primary(np.int32(had_any))))
+    if not image_paths:
+        print("All frames already processed." if had_any
+              else "No images to process")
+        return completed
 
     stop = {"flag": False}
     prev_handler = signal.signal(signal.SIGINT, lambda *_: stop.__setitem__("flag", True))
@@ -310,22 +317,35 @@ def process_images_to_floor_plans(
                 first = None
                 for res in runner.depth_stream_multihost([image_paths[0]]):
                     first = res  # only the row-0 host (the primary) yields
+                # the primary's fit can fail (degenerate frame, unwritable
+                # frames_dir, unexpected mesh layout) — if it just raised,
+                # every other host would hang in the value broadcast below,
+                # so its success/failure is itself broadcast first and
+                # re-raised POD-WIDE
+                err = None
                 if mh.is_primary():
-                    if first is None:
-                        raise RuntimeError(
-                            "ground frame did not land on the primary host "
-                            "(unexpected mesh layout?) — compute ground.json "
-                            "single-host first and rerun")
-                    ground_model = compute_ground_from_frame(
-                        first["depth"], first["focallength_px"])
-                    save_ground_plane(ground_model, frames_dir)
-            tmpl = (ground_model if ground_model is not None else
-                    {"normal": np.zeros(3), "d": 0.0, "origin": np.zeros(3)})
-            vals = mh.broadcast_from_primary({
-                "normal": np.asarray(tmpl["normal"], np.float64),
-                "d": np.float64(tmpl["d"]),
-                "origin": np.asarray(tmpl["origin"], np.float64),
-            })
+                    try:
+                        if first is None:
+                            raise RuntimeError(
+                                "ground frame did not land on the primary "
+                                "host (unexpected mesh layout?) — compute "
+                                "ground.json single-host first and rerun")
+                        ground_model = compute_ground_from_frame(
+                            first["depth"], first["focallength_px"])
+                        save_ground_plane(ground_model, frames_dir)
+                    except Exception as exc:  # noqa: BLE001
+                        err = f"{type(exc).__name__}: {exc}"
+                err = mh.broadcast_json(err)
+                if err is not None:
+                    raise RuntimeError(f"primary host's ground fit failed "
+                                       f"(pod-wide abort): {err}")
+            # float64-exact value broadcast (broadcast_from_primary would
+            # stage through float32 under the default x64-disabled jax)
+            vals = mh.broadcast_json({
+                "normal": np.asarray(ground_model["normal"], np.float64),
+                "d": float(ground_model["d"]),
+                "origin": np.asarray(ground_model["origin"], np.float64),
+            } if mh.is_primary() else None)
             ground_model = {"normal": np.asarray(vals["normal"], np.float64),
                             "d": float(vals["d"]),
                             "origin": np.asarray(vals["origin"], np.float64)}

@@ -492,9 +492,21 @@ class DepthVideoRunner:
                     shape = entry[1].shape
                     break
             if shape is None:
+                # every LOCAL row of the first batch is unreadable; a
+                # raise here would strand the other hosts in the
+                # pod-wide collective, so learn the stream shape from
+                # any other item of the global batch first
+                for item in chunk:
+                    try:
+                        shape = self._load_one(item)[1].shape
+                        break
+                    except Exception:  # noqa: BLE001
+                        continue
+            if shape is None:
                 raise ValueError(
-                    "every frame of the first multihost batch on this host "
-                    "is unreadable (see the warnings above)")
+                    "every frame of the first multihost batch is unreadable "
+                    "on this host (see the warnings above) — the stream "
+                    "shape cannot be established")
             bad = {r for r, entry in zip(rows, loaded) if entry is None}
             loaded = [(None, np.zeros(shape, np.uint8), None)
                       if entry is None else entry for entry in loaded]

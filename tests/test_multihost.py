@@ -175,6 +175,16 @@ assert orows == rows
 np.testing.assert_allclose(vals[:, 0], np.asarray(rows, np.float32) * 2)
 bc = mh.broadcast_from_primary(np.float32(7 + pid))
 assert float(bc) == 7.0  # primary's value everywhere
+# exact-string / full-precision JSON broadcast (broadcast_from_primary
+# stages through float32 under x64-disabled jax; these must not)
+txt = mh.broadcast_text("héllo" * 100 if pid == 0 else None)
+assert txt == "héllo" * 100
+val = 0.1234567890123456789
+obj = mh.broadcast_json({"d": val, "names": ["a.png", "b.png"],
+                         "normal": np.asarray([0.0, 1.0, val])}
+                        if pid == 0 else None)
+assert obj["d"] == val and obj["names"] == ["a.png", "b.png"]
+assert obj["normal"][2] == val  # float64-exact round-trip
 mh.barrier("test")
 print(f"WORKER{pid}_OK", flush=True)
 """
