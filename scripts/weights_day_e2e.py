@@ -140,8 +140,11 @@ def main() -> int:
         out_bf16 = infer_fn(params, xb, fp, cfgq, Precision.bf16())
         tier("bf16 (production)", out_bf16["depth"][0])
 
-        for ratio, name in ((0.4, "merge 0.40 (balanced)"),
-                            (0.5, "merge 0.50 (fast)")):
+        from ml_depth_pro_video_tpu.models.depth_pro import SPEED_PRESETS
+
+        for speed in ("balanced", "fast"):
+            ratio = SPEED_PRESETS[speed]
+            name = f"merge {ratio:.2f} ({speed})"
             mc = dataclasses.replace(cfgq, token_merge_ratio=ratio)
             out_m = infer_fn(params, xb, fp, mc, Precision.bf16())
             tier(name, out_m["depth"][0])
