@@ -166,7 +166,24 @@ def load_exported(path: str, cfg: DepthProConfig | None = None,
                        "the model config", manifest_path)
 
     with open(path, "rb") as f:
-        return jex.deserialize(bytearray(f.read()))
+        exported = jex.deserialize(bytearray(f.read()))
+    if quantize is not None:
+        # weight-format check straight from the artifact, so it holds
+        # even without the sidecar manifest: a quantized param tree
+        # carries int8 leaves (the frame input is uint8, never int8).
+        # Without this, a mismatched artifact loads cleanly and dies at
+        # the first call with an opaque pytree/aval error.
+        has_int8 = any(jnp.dtype(a.dtype) == jnp.int8
+                       for a in exported.in_avals)
+        if has_int8 != bool(quantize):
+            raise ValueError(
+                f"exported artifact {path} takes "
+                f"{'an int8-quantized' if has_int8 else 'a full-precision'} "
+                f"param tree but the runner is configured with "
+                f"quantize={bool(quantize)} — export with "
+                f"{'--quantize' if quantize else 'no --quantize'} or drop "
+                f"the mismatched flag")
+    return exported
 
 
 def main(argv=None) -> None:  # pragma: no cover - thin CLI, tested via lib

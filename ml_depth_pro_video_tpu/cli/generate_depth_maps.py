@@ -133,10 +133,8 @@ def generate_depth_maps(
         from ..parallel import multihost as mh
         from ..parallel.mesh import batch_sharding
 
-        B = runner.batch_size
-        rows = mh.local_rows(batch_sharding(runner.mesh), (B, 1, 1, 1))
-        n_expect = sum(1 for g in range((len(paths) + B - 1) // B)
-                       for r in rows if g * B + r < len(paths))
+        n_expect = mh.local_item_count(batch_sharding(runner.mesh),
+                                       runner.batch_size, len(paths))
 
     written = []
     t0 = time.time()

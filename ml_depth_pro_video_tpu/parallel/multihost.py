@@ -168,6 +168,20 @@ def local_rows(sharding: NamedSharding, global_shape) -> list[int]:
     return rows_for_process(sharding, global_shape, jax.process_index())
 
 
+def local_item_count(sharding: NamedSharding, batch_size: int,
+                     n_items: int) -> int:
+    """How many of ``n_items`` stream elements THIS host yields when the
+    stream is consumed in global batches of ``batch_size`` rows split by
+    ``sharding`` (the yield rule of
+    ``video/runner.py::depth_stream_multihost``: one result per local
+    row that maps to a real item; tail rows past ``n_items`` are padding
+    and never yielded). Single-process this is ``n_items``."""
+    rows = local_rows(sharding, (batch_size, 1, 1, 1))
+    n_batches = (n_items + batch_size - 1) // batch_size
+    return sum(1 for g in range(n_batches) for r in rows
+               if g * batch_size + r < n_items)
+
+
 def global_batch(sharding: NamedSharding, local_data: np.ndarray,
                  global_batch_size: int | None = None) -> jax.Array:
     """Assemble a global sharded array from this host's rows.
@@ -215,6 +229,21 @@ def barrier(name: str = "barrier") -> None:
     from jax.experimental import multihost_utils
 
     multihost_utils.sync_global_devices(name)
+
+
+def any_flag(flag: bool) -> bool:
+    """Pod-wide OR of a host-local boolean (e.g. "did THIS host catch
+    SIGINT?"). Every host must call it at the same program point — the
+    gather is a collective — and the identical result everywhere keeps
+    subsequent control flow collective (the whole point: a per-host stop
+    decision on a pod-wide stream deadlocks the other hosts' SPMD
+    dispatch). Identity single-process."""
+    if jax.process_count() == 1:
+        return bool(flag)
+    from jax.experimental import multihost_utils
+
+    flags = multihost_utils.process_allgather(np.int32(1 if flag else 0))
+    return bool(np.max(np.asarray(flags)) > 0)
 
 
 def broadcast_from_primary(pytree):

@@ -236,15 +236,13 @@ def process_images_to_floor_plans(
                 output_dir, "processing_progress*.json"))):
             try:
                 with open(pf) as f:
-                    all_done.update(json.load(f))
+                    data = json.load(f)
             except Exception:
-                pass
+                data = None
+            if data is not None:
+                all_done.update(data)
             if pf == progress_file:
-                try:
-                    with open(pf) as f:
-                        completed = json.load(f)
-                except Exception:
-                    completed = {}
+                completed = data if data is not None else {}
         image_paths = [p for p in image_paths
                        if os.path.basename(p) not in all_done]
     if pod:
@@ -254,7 +252,11 @@ def process_images_to_floor_plans(
         # would silently desync the pod's batches (or hang it, if list
         # lengths diverge). Exact-string broadcast, and the empty-list
         # early return below then fires on every host or none.
-        names = mh.broadcast_json([os.path.basename(p) for p in image_paths])
+        # frames_dir-RELATIVE paths, not basenames: a --pattern with a
+        # directory component (e.g. 'cam1/*.png') must rejoin to the
+        # actual file on every host
+        names = mh.broadcast_json(
+            [os.path.relpath(p, frames_dir) for p in image_paths])
         image_paths = [os.path.join(frames_dir, n) for n in names]
         had_any = bool(int(mh.broadcast_from_primary(np.int32(had_any))))
     if not image_paths:
@@ -360,8 +362,12 @@ def process_images_to_floor_plans(
             if pod:
                 # frames shard over the pod; this host sees only its rows
                 # (frame 0 re-infers once — the reuse below is not worth a
-                # cross-host result shuffle)
-                yield from runner.depth_stream_multihost(image_paths)
+                # cross-host result shuffle). The SIGINT flag goes INTO
+                # the stream, which resolves it pod-wide per batch — the
+                # consumer loops below must not break per-host (see
+                # depth_stream_multihost's docstring)
+                yield from runner.depth_stream_multihost(
+                    image_paths, should_stop=lambda: stop["flag"])
                 return
             # reuse the ground-fit inference for frame 0 instead of
             # running it through the model a second time (the reference
@@ -398,10 +404,8 @@ def process_images_to_floor_plans(
             # this host handles only its own rows; size the ETA to them
             from ..parallel.mesh import batch_sharding
 
-            B = runner.batch_size
-            rows = mh.local_rows(batch_sharding(runner.mesh), (B, 1, 1, 1))
-            total = sum(1 for g in range((len(image_paths) + B - 1) // B)
-                        for r in rows if g * B + r < len(image_paths))
+            total = mh.local_item_count(batch_sharding(runner.mesh),
+                                        runner.batch_size, len(image_paths))
         # a worker pool only helps with cores to spare: on a 1-core host
         # thread overlap measurably HURTS (GIL + memory contention —
         # 6.2 vs 3.0 s/frame measured), so clamp to the core count.
@@ -438,7 +442,10 @@ def process_images_to_floor_plans(
             with ThreadPoolExecutor(max_workers=num_workers) as pool:
                 futures = []
                 for result in result_stream():
-                    if stop["flag"]:
+                    # pod mode: the stream itself stops collectively
+                    # (breaking here per-host would deadlock the other
+                    # hosts' next SPMD dispatch)
+                    if stop["flag"] and not pod:
                         break
                     inflight.acquire()
                     futures.append(pool.submit(handle, result))
@@ -452,7 +459,7 @@ def process_images_to_floor_plans(
                         fut.result()
         else:
             for result in result_stream():
-                if stop["flag"]:
+                if stop["flag"] and not pod:
                     print("Interrupted.")
                     break
                 inflight.acquire()
@@ -582,14 +589,26 @@ def main(argv=None):  # pragma: no cover - CLI shim, exercised via cli tests
             # one decoder per pod: the primary extracts onto the shared
             # filesystem while the other hosts wait at the barrier, so
             # every host then globs the identical complete frame set
-            from ..parallel.multihost import barrier, is_primary
+            from ..parallel.multihost import barrier, broadcast_json, is_primary
 
+            err = None
             if is_primary():
                 print(f"Decoding {args.video} -> {args.frames_dir}")
-                extract_frames(args.video, args.frames_dir)
+                # a primary-only failure (corrupt video, ffmpeg missing,
+                # disk full) must not strand the other hosts at the
+                # barrier — broadcast success/failure first and re-raise
+                # POD-WIDE (same protocol as the ground fit)
+                try:
+                    extract_frames(args.video, args.frames_dir)
+                except Exception as exc:  # noqa: BLE001
+                    err = f"{type(exc).__name__}: {exc}"
             else:
                 print("waiting for the primary host to decode "
                       f"{args.video}...")
+            err = broadcast_json(err)
+            if err is not None:
+                raise RuntimeError(f"primary host's video decode failed "
+                                   f"(pod-wide abort): {err}")
             barrier("video-decode")
         else:
             print(f"Decoding {args.video} -> {args.frames_dir}")

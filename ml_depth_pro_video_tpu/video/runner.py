@@ -414,7 +414,7 @@ class DepthVideoRunner:
         while in_flight:
             yield from collect(in_flight.popleft())
 
-    def depth_stream_multihost(self, items) -> Iterator[dict]:
+    def depth_stream_multihost(self, items, should_stop=None) -> Iterator[dict]:
         """Pod-slice streaming (parallel/multihost.py).
 
         Every host calls this with the SAME ordered sequence of items
@@ -439,6 +439,15 @@ class DepthVideoRunner:
         are never materialized). An unreadable frame is zero-substituted
         with a warning (row alignment across hosts is load-bearing) and
         its result is not yielded.
+
+        ``should_stop`` (optional zero-arg callable, e.g. a SIGINT flag
+        read) is polled once per global batch and resolved POD-WIDE
+        (``multihost.any_flag``): if ANY host wants to stop, every host
+        stops dispatching at the same batch boundary and drains its
+        in-flight work. Callers must NOT additionally break out of this
+        generator per-host on their own flag — a host that stops pulling
+        while another dispatches the next pod-wide SPMD batch deadlocks
+        the pod's collectives.
         """
         from ..parallel import multihost as mh
         from ..parallel.mesh import batch_sharding
@@ -495,8 +504,13 @@ class DepthVideoRunner:
                 # every LOCAL row of the first batch is unreadable; a
                 # raise here would strand the other hosts in the
                 # pod-wide collective, so learn the stream shape from
-                # any other item of the global batch first
-                for item in chunk:
+                # any other item of the global batch first (skipping the
+                # local rows load_isolated just failed on — re-decoding
+                # those would duplicate the expensive failures)
+                attempted = {min(r, n_here - 1) for r in rows}
+                for idx, item in enumerate(chunk):
+                    if idx in attempted:
+                        continue
                     try:
                         shape = self._load_one(item)[1].shape
                         break
@@ -573,6 +587,16 @@ class DepthVideoRunner:
             in_flight: deque = deque()
             g = 0
             while True:
+                # the stop decision must be COLLECTIVE: flags raised by
+                # per-host signal handlers land at different batch
+                # boundaries, and a host that stops dispatching while
+                # another enters the next pod-wide SPMD launch deadlocks
+                # the pod — so every host resolves "anyone stopping?"
+                # at the same per-batch point and they all break (or
+                # none do) together
+                if should_stop is not None and mh.any_flag(
+                        bool(should_stop())):
+                    break
                 chunk = list(islice(it, B))
                 if not chunk:
                     break

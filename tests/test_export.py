@@ -137,3 +137,25 @@ def test_quantized_export_roundtrip_and_manifest(tmp_path):
     # the param tree really is the int8 one
     q = quantize_vit_weights(init_depth_pro(jax.random.PRNGKey(0), CFG))
     assert q["encoder"]["patch_vit"]["blocks"]["qkv_w"]["q"].dtype == jnp.int8
+
+
+def test_manifestless_artifact_still_checks_weight_format(tmp_path):
+    """Without the sidecar manifest (copied/renamed artifact) a
+    quantize mismatch must still fail loudly at LOAD time — the
+    artifact's own int8 avals carry the weight format — instead of an
+    opaque pytree error on the first call."""
+    import os
+
+    q_path = str(tmp_path / "model_q.jaxexp")
+    export_infer(CFG, "fp32", batch_size=1, path=q_path, quantize=True)
+    os.remove(q_path + ".json")
+    with pytest.raises(ValueError, match="int8-quantized"):
+        load_exported(q_path, CFG, "fp32", quantize=False)
+    assert load_exported(q_path, CFG, "fp32", quantize=True) is not None
+
+    p_path = str(tmp_path / "model_p.jaxexp")
+    export_infer(CFG, "fp32", batch_size=1, path=p_path)
+    os.remove(p_path + ".json")
+    with pytest.raises(ValueError, match="full-precision"):
+        load_exported(p_path, CFG, "fp32", quantize=True)
+    assert load_exported(p_path, CFG, "fp32", quantize=False) is not None

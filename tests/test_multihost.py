@@ -39,6 +39,18 @@ def test_single_process_identity():
     assert mh.broadcast_from_primary({"a": 3})["a"] == 3
 
 
+def test_any_flag_single_process_identity():
+    assert mh.any_flag(True) is True
+    assert mh.any_flag(False) is False
+
+
+def test_local_item_count_single_process_is_n_items():
+    mesh = make_mesh(dp=8, tp=1)
+    sh = NamedSharding(mesh, P("dp"))
+    for n in (0, 1, 7, 8, 9, 23):
+        assert mh.local_item_count(sh, 8, n) == n
+
+
 def test_rows_respect_mesh_layout():
     # tp replicates rows across the tp axis: dedup must collapse them
     mesh = make_mesh(dp=4, tp=2)
@@ -140,6 +152,32 @@ def test_multihost_stream_consumes_items_lazily():
     assert [first["index"]] + [o["index"] for o in rest] == list(range(16))
 
 
+def test_multihost_stream_should_stop_stops_at_batch_boundary():
+    """A raised stop flag ends the stream at the NEXT batch boundary
+    (already-dispatched batches drain); the check runs per batch through
+    multihost.any_flag so all pod hosts break together."""
+    from ml_depth_pro_video_tpu.models.depth_pro import tiny_config
+    from ml_depth_pro_video_tpu.video.runner import DepthVideoRunner
+
+    mesh = make_mesh(dp=4, tp=1, devices=jax.devices()[:4])
+    frames = _synthetic_frames(12)
+    r = DepthVideoRunner(cfg=tiny_config(), precision="fp32",
+                         batch_size=4, mesh=mesh, pipeline_depth=1)
+    # flag already set: nothing is ever dispatched
+    assert list(r.depth_stream_multihost(frames,
+                                         should_stop=lambda: True)) == []
+    # flag set after the first result: batch 0 (yielding) and batch 1
+    # (already in flight at pipeline_depth=1) drain, batch 2 is never
+    # dispatched
+    stop = {"flag": False}
+    got = []
+    for out in r.depth_stream_multihost(frames,
+                                        should_stop=lambda: stop["flag"]):
+        got.append(out["index"])
+        stop["flag"] = True
+    assert got == list(range(8)), got
+
+
 def test_multihost_stream_contract_errors():
     from ml_depth_pro_video_tpu.models.depth_pro import tiny_config
     from ml_depth_pro_video_tpu.video.runner import DepthVideoRunner
@@ -185,6 +223,13 @@ obj = mh.broadcast_json({"d": val, "names": ["a.png", "b.png"],
                         if pid == 0 else None)
 assert obj["d"] == val and obj["names"] == ["a.png", "b.png"]
 assert obj["normal"][2] == val  # float64-exact round-trip
+# pod-wide flag OR: one host's SIGINT must stop everyone, collectively
+assert mh.any_flag(pid == 1) is True
+assert mh.any_flag(False) is False
+# the stream-yield counting rule (dp=4 over 2 hosts x 2 devices: host 0
+# holds rows {0,1}, host 1 rows {2,3}; 6 items in batches of 4 put the
+# tail items 4,5 on host 0's rows)
+assert mh.local_item_count(sh, 4, 6) == (4 if pid == 0 else 2)
 mh.barrier("test")
 print(f"WORKER{pid}_OK", flush=True)
 """
@@ -432,7 +477,7 @@ from ml_depth_pro_video_tpu.video.pipeline import main
 main(["--frames_dir", frames_dir, "--output_dir", out_dir,
       "--model", "tiny", "--full_precision", "--batch_size", "4",
       "--no_fit_shapes", "--output_main_only", "--renderer", "fast",
-      "--num_workers", "1",
+      "--num_workers", "1", "--pattern", "cam1/output_*.png",
       "--coordinator", f"localhost:{port}",
       "--num_processes", str(n), "--process_id", str(pid)])
 print(f"WORKER{pid}_OK", flush=True)
@@ -443,17 +488,19 @@ def test_two_process_pipeline_cli(tmp_path):
     """The floor-plan pipeline across a 2-host pod: ground fit once on
     the primary (broadcast), frames shard over the pod's chips, each
     host writes its own frames' floor plans and its own progress file;
-    the union covers every frame exactly once."""
+    the union covers every frame exactly once. Frames live in a
+    SUBDIRECTORY of frames_dir (--pattern 'cam1/...'): the pod path
+    broadcast must preserve the directory component."""
     import json
 
     from PIL import Image
 
     frames = tmp_path / "frames"
-    frames.mkdir()
+    (frames / "cam1").mkdir(parents=True)
     rng = np.random.default_rng(0)
     for i in range(4):
         img = (rng.random((120, 160, 3)) * 255).astype(np.uint8)
-        Image.fromarray(img).save(frames / f"output_{i:04d}.png")
+        Image.fromarray(img).save(frames / "cam1" / f"output_{i:04d}.png")
     out = tmp_path / "plans"
 
     with socket.socket() as s:
