@@ -49,6 +49,7 @@ def fit(
     pp: int = 1,
     microbatches: int = 5,
     metrics_file: str | None = None,
+    grad_accum: int = 1,
 ):
     """Fine-tune Depth Pro on a directory of (image, depth) pairs.
 
@@ -58,7 +59,10 @@ def fit(
     ``pp > 1`` pipelines the ViT depth GPipe-style over a (dp, pp) mesh
     (`parallel/pipeline.py`) instead of DP×TP; ``microbatches`` sets
     the pipeline's microbatch count (must divide 35 × batch/dp — the
-    default 5 always does).
+    default 5 always does). ``grad_accum > 1`` averages gradients over
+    that many data batches per parameter update (effective batch =
+    ``batch_size × grad_accum`` at the memory of one batch; DP×TP path
+    only — the GPipe path already microbatches).
 
     Multi-host: after ``parallel.multihost.initialize()`` this same
     function runs unmodified on every host of a pod slice — the mesh is
@@ -79,6 +83,10 @@ def fit(
         if tp > 1:
             raise ValueError("pp and tp cannot be combined (pick one of "
                              "the ViT sharding modes)")
+        if grad_accum > 1:
+            raise ValueError("grad_accum applies to the DPxTP step; the "
+                             "GPipe path already microbatches (use "
+                             "--microbatches)")
         from ..parallel.pipeline import make_pp_mesh
 
         n_dev = len(jax.devices())
@@ -127,6 +135,7 @@ def fit(
         state, step_fn = make_sharded_train_step(
             params, cfg, mesh, lr=lr, precision=precision, tensor_parallel=tp > 1,
             warmup_steps=warmup_steps, total_steps=total_steps, clip_norm=clip_norm,
+            grad_accum=grad_accum,
         )
     if checkpoint_dir:
         restored = restore_train_state(checkpoint_dir, state)
@@ -250,6 +259,10 @@ def main(argv=None) -> None:
                          "depth; exclusive with --tp)")
     ap.add_argument("--microbatches", type=int, default=5,
                     help="GPipe microbatch count (pp > 1)")
+    ap.add_argument("--grad_accum", type=int, default=1,
+                    help="average gradients over this many data batches "
+                         "per parameter update (effective batch = "
+                         "batch_size x grad_accum; memory of one batch)")
     ap.add_argument("--checkpoint_dir", default=None)
     ap.add_argument("--save_every", type=int, default=500)
     ap.add_argument("--holdout", type=int, default=0)
@@ -278,7 +291,8 @@ def main(argv=None) -> None:
         lr=args.lr, warmup_steps=args.warmup_steps, tp=args.tp,
         checkpoint_dir=args.checkpoint_dir, save_every=args.save_every,
         holdout=args.holdout, pp=args.pp, microbatches=args.microbatches,
-        metrics_file=args.metrics_file, log_every=args.log_every)
+        metrics_file=args.metrics_file, log_every=args.log_every,
+        grad_accum=args.grad_accum)
 
 
 if __name__ == "__main__":  # pragma: no cover

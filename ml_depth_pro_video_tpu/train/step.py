@@ -48,23 +48,40 @@ def silog_loss(pred_inv_depth: jnp.ndarray, target_depth: jnp.ndarray,
 
 def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-2,
                    warmup_steps: int = 0, total_steps: int | None = None,
-                   clip_norm: float | None = 1.0) -> optax.GradientTransformation:
+                   clip_norm: float | None = 1.0,
+                   grad_accum: int = 1) -> optax.GradientTransformation:
     """AdamW with optional global-norm clipping and a linear-warmup +
     cosine-decay schedule (``total_steps`` enables the schedule;
-    without it the LR is constant)."""
+    without it the LR is constant).
+
+    ``grad_accum > 1`` wraps the whole chain in ``optax.MultiSteps``:
+    gradients average over k data batches before one parameter update —
+    the standard way to reach a large effective batch on few chips
+    (effective batch = batch_size × grad_accum). ``warmup_steps`` /
+    ``total_steps`` stay in DATA batches; the schedule converts to
+    applied-update counts internally."""
+    if grad_accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
     if total_steps is not None:
-        # clamp warmup to a fraction of the run: a short fine-tune with
-        # the default warmup_steps=100 would otherwise end mid-ramp at a
-        # small fraction of the requested LR
-        warmup_steps = min(max(warmup_steps, 1), max(total_steps // 10, 1))
+        # the schedule advances once per APPLIED update, not per data
+        # batch — convert; and clamp warmup to a fraction of the run: a
+        # short fine-tune with the default warmup_steps=100 would
+        # otherwise end mid-ramp at a small fraction of the requested LR
+        total_updates = max(total_steps // grad_accum, 1)
+        warmup_updates = max(warmup_steps // grad_accum, 0)
+        warmup_updates = min(max(warmup_updates, 1), max(total_updates // 10, 1))
         lr = optax.warmup_cosine_decay_schedule(
             init_value=0.0, peak_value=lr,
-            warmup_steps=warmup_steps,
-            decay_steps=max(total_steps, warmup_steps + 1),
+            warmup_steps=warmup_updates,
+            decay_steps=max(total_updates, warmup_updates + 1),
         )
     tx = optax.adamw(lr, weight_decay=weight_decay)
     if clip_norm is not None:
+        # clip the ACCUMULATED (averaged) gradient, not each microbatch:
+        # inside MultiSteps the chain runs once per applied update
         tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
+    if grad_accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
     return tx
 
 
@@ -95,10 +112,13 @@ def make_sharded_train_step(params, cfg: DepthProConfig, mesh, lr: float = 1e-4,
                             precision: Precision = Precision.bf16(),
                             tensor_parallel: bool = True,
                             warmup_steps: int = 0, total_steps: int | None = None,
-                            clip_norm: float | None = 1.0):
+                            clip_norm: float | None = 1.0,
+                            grad_accum: int = 1):
     """Build (state, jitted step) with params TP-sharded and the batch
     DP-sharded over ``mesh``. Gradients reduce over dp automatically via
-    GSPMD; TP all-reduces ride the tp axis."""
+    GSPMD; TP all-reduces ride the tp axis. ``grad_accum`` averages
+    gradients over that many data batches per parameter update
+    (optax.MultiSteps; ``state.step`` still counts data batches)."""
     tp = mesh.shape.get("tp", 1)
     if tensor_parallel and tp > 1 and cfg.vit.num_heads % tp:
         # the head-contiguous qkv packing hands each tp shard WHOLE
@@ -108,7 +128,8 @@ def make_sharded_train_step(params, cfg: DepthProConfig, mesh, lr: float = 1e-4,
             f"tp={tp} must divide num_heads={cfg.vit.num_heads} "
             f"(e.g. the 'small' preset has 6 heads: use tp in (2, 3, 6))")
     optimizer = make_optimizer(lr, warmup_steps=warmup_steps,
-                               total_steps=total_steps, clip_norm=clip_norm)
+                               total_steps=total_steps, clip_norm=clip_norm,
+                               grad_accum=grad_accum)
     params = shard_params(params, mesh, tensor_parallel)
     # optimizer moments inherit the param shardings through init
     opt_state = optimizer.init(params)

@@ -78,6 +78,78 @@ def test_optimizer_schedule_and_clipping():
     assert float(jnp.abs(updates["w"]).max()) <= 1.1e-2
 
 
+def test_grad_accum_averages_before_applying():
+    """optax.MultiSteps semantics through make_optimizer: with
+    grad_accum=k the params are untouched for k-1 data batches, then one
+    update applies the AVERAGED gradient — feeding the same gradient k
+    times must land exactly where one plain step with that gradient
+    does (mean of identical grads = the grad)."""
+    import optax
+
+    from ml_depth_pro_video_tpu.train.step import make_optimizer
+
+    params = {"w": jnp.linspace(0.1, 1.0, 6)}
+    grad = {"w": jnp.linspace(-1.0, 1.0, 6)}
+
+    plain = make_optimizer(lr=1e-2, clip_norm=None)
+    st = plain.init(params)
+    up, _ = plain.update(grad, st, params)
+    want = optax.apply_updates(params, up)
+
+    accum = make_optimizer(lr=1e-2, clip_norm=None, grad_accum=3)
+    st = accum.init(params)
+    p = params
+    for i in range(3):
+        up, st = accum.update(grad, st, p)
+        p = optax.apply_updates(p, up)
+        if i < 2:  # accumulate-only micro-steps leave params untouched
+            np.testing.assert_array_equal(np.asarray(p["w"]),
+                                          np.asarray(params["w"]))
+    np.testing.assert_allclose(np.asarray(p["w"]), np.asarray(want["w"]),
+                               rtol=1e-6)
+
+    with pytest.raises(ValueError, match="grad_accum"):
+        make_optimizer(lr=1e-2, grad_accum=0)
+
+
+def test_fit_rejects_grad_accum_with_pp(tmp_path):
+    from ml_depth_pro_video_tpu.models.depth_pro import tiny_config
+    from ml_depth_pro_video_tpu.train.loop import fit
+
+    with pytest.raises(ValueError, match="grad_accum"):
+        fit(str(tmp_path), tiny_config(), pp=2, grad_accum=2)
+
+
+def test_fit_grad_accum_end_to_end(tmp_path):
+    """fit(grad_accum=2) runs the sharded step (MultiSteps opt_state
+    through jit + donation + the orbax roundtrip); step counts DATA
+    batches and params change after the accumulation boundary."""
+    from ml_depth_pro_video_tpu.models.depth_pro import init_depth_pro, tiny_config
+    from ml_depth_pro_video_tpu.train.loop import fit
+
+    rng = np.random.default_rng(1)
+    data = tmp_path / "data"
+    data.mkdir()
+    for i in range(4):
+        Image.fromarray((rng.random((64, 64, 3)) * 255).astype(np.uint8)).save(
+            data / f"s{i}.png")
+        np.save(data / f"s{i}_depth.npy",
+                rng.uniform(1, 10, (64, 64)).astype(np.float32))
+
+    cfg = tiny_config()
+    # 2 epochs x 2 batches = 4 data batches = 2 applied updates (the
+    # warmup schedule makes the FIRST applied update lr=0, so a single
+    # update would leave params untouched by design)
+    state = fit(str(data), cfg, batch_size=2, epochs=2, lr=1e-3,
+                warmup_steps=1, dp=1, grad_accum=2, log_every=1,
+                checkpoint_dir=str(tmp_path / "ckpt"), save_every=10)
+    assert int(state.step) == 4  # step counts DATA batches
+    init = init_depth_pro(jax.random.PRNGKey(0), cfg)
+    diff = sum(float(jnp.abs(a - b).sum()) for a, b in zip(
+        jax.tree.leaves(state.params), jax.tree.leaves(init)))
+    assert diff > 0  # the applied update really changed the params
+
+
 def test_fit_smoke_and_resume(tmp_path):
     """End-to-end fit(): tiny model, synthetic pairs, checkpoint save,
     resume continues from the saved step."""
