@@ -113,6 +113,11 @@ def export_infer(cfg: DepthProConfig, precision="bf16", batch_size: int = 1,
             json.dump({
                 "img_size": cfg.img_size,
                 "batch_size": batch_size,
+                # family identity: a 'base' artifact at the same img_size
+                # as 'large' would otherwise only fail at call time with
+                # an opaque pytree/aval error
+                "vit_embed_dim": cfg.vit.embed_dim,
+                "vit_depth": cfg.vit.depth,
                 "compute_dtype": jnp.dtype(precision.compute_dtype).name,
                 "token_merge_ratio": cfg.token_merge_ratio,
                 "token_merge_block": cfg.token_merge_block,
@@ -148,6 +153,12 @@ def load_exported(path: str, cfg: DepthProConfig | None = None,
         want = {"img_size": cfg.img_size,
                 "token_merge_ratio": cfg.token_merge_ratio,
                 "token_merge_block": cfg.token_merge_block}
+        # model-family identity keys postdate the first artifacts: treat
+        # an absent key as matching (old manifests), a present one strictly
+        for k, v in (("vit_embed_dim", cfg.vit.embed_dim),
+                     ("vit_depth", cfg.vit.depth)):
+            m.setdefault(k, v)
+            want[k] = v
         if precision is not None:
             want["compute_dtype"] = jnp.dtype(
                 resolve_precision(precision).compute_dtype).name

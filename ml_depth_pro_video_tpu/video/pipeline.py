@@ -278,7 +278,8 @@ def process_images_to_floor_plans(
         if temporal_smooth > 0.0:
             raise ValueError(
                 "temporal_smooth is single-host only (frames interleave "
-                "across hosts); run it as a post-pass (video/temporal.py)")
+                "across hosts); run the depth-pro-smooth post-pass "
+                "(video/temporal.py::smooth_depth_files)")
         parallel = "dp"
         mesh = make_mesh(tp=1)
         batch_size = max(batch_size, jax.device_count())

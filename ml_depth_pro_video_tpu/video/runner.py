@@ -456,8 +456,9 @@ class DepthVideoRunner:
             raise ValueError("multihost streaming requires a dp mesh")
         if self.temporal_smooth > 0.0:
             raise ValueError("temporal_smooth needs every frame in "
-                             "playback order on one host; run it as a "
-                             "post-pass instead (video/temporal.py)")
+                             "playback order on one host; run the "
+                             "depth-pro-smooth post-pass instead "
+                             "(video/temporal.py::smooth_depth_files)")
         it = iter(items)
         B = self.batch_size
         sh = batch_sharding(self.mesh)

@@ -96,3 +96,48 @@ class TemporalSmoother:
         self._state, out = _update(self._state, d, alpha=self.alpha,
                                    tau=self.tau, align=self.align)
         return np.asarray(out)
+
+
+def smooth_depth_files(paths, output_dir: str | None = None,
+                       alpha: float = 0.8, tau: float = 0.05,
+                       align: bool = True, key: str = "depth") -> int:
+    """Post-pass smoothing over SAVED depth maps, in the given order.
+
+    This is the tool the streaming paths point at when they cannot
+    smooth inline (multi-host runs interleave frames across hosts —
+    `video/runner.py::depth_stream_multihost`): after the pod writes
+    per-frame ``.npz``/``.npy`` maps, one host runs this over the full
+    frame sequence.
+
+    ``paths``: depth files in playback order — ``.npz`` (smooths array
+    ``key``, every other array is copied through) or ``.npy`` (the bare
+    array). ``output_dir=None`` rewrites each file in place (atomic
+    replace); otherwise writes the same basename under ``output_dir``.
+    Returns the number of files written.
+    """
+    import os
+
+    sm = TemporalSmoother(alpha=alpha, tau=tau, align=align)
+    written = 0
+    for path in paths:
+        if output_dir is None:
+            out_path = path
+        else:
+            os.makedirs(output_dir, exist_ok=True)
+            out_path = os.path.join(output_dir, os.path.basename(path))
+        tmp = out_path + ".tmp" + os.path.splitext(out_path)[1]
+        if path.endswith(".npy"):
+            d = np.load(path)
+            np.save(tmp, sm.update(d).astype(d.dtype, copy=False))
+        else:
+            with np.load(path) as z:
+                arrs = {k: z[k] for k in z.files}
+            if key not in arrs:
+                raise KeyError(f"{path} has no array {key!r} "
+                               f"(found {sorted(arrs)})")
+            d = arrs[key]
+            arrs[key] = sm.update(d).astype(d.dtype, copy=False)
+            np.savez_compressed(tmp, **arrs)
+        os.replace(tmp, out_path)
+        written += 1
+    return written

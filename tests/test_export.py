@@ -62,6 +62,20 @@ def test_export_manifest_rejects_config_mismatch(tmp_path):
         load_exported(path, CFG, "bf16")
     # no cfg given: loads without checks
     assert load_exported(path) is not None
+    # wrong family member at the SAME img_size: must fail at load via
+    # the manifest identity keys, not at call time with an aval error
+    other = dataclasses.replace(
+        CFG, vit=dataclasses.replace(CFG.vit, embed_dim=2 * CFG.vit.embed_dim))
+    with pytest.raises(ValueError, match="vit_embed_dim"):
+        load_exported(path, other, "fp32")
+    # a manifest PREDATING the identity keys must stay loadable
+    import json
+    with open(path + ".json") as f:
+        m = json.load(f)
+    m.pop("vit_embed_dim"), m.pop("vit_depth")
+    with open(path + ".json", "w") as f:
+        json.dump(m, f)
+    assert load_exported(path, CFG, "fp32") is not None
 
 
 def test_runner_serves_exported_artifact(tmp_path):

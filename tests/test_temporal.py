@@ -2,6 +2,8 @@
 static scenes, motion pass-through (no ghosting), scale-flicker
 removal, and the runner integration."""
 
+import os
+
 import numpy as np
 
 from ml_depth_pro_video_tpu.video.temporal import TemporalSmoother
@@ -75,6 +77,72 @@ def test_resolution_change_reseeds():
     sm.update(np.full((8, 8), 2.0, np.float32))
     out = sm.update(np.full((16, 16), 5.0, np.float32))
     np.testing.assert_allclose(out, 5.0)
+
+
+def test_smooth_depth_files_postpass(tmp_path):
+    """smooth_depth_files (the pod post-pass): equals the streaming
+    smoother frame for frame, preserves extra npz keys and dtypes,
+    handles .npy, and honors output_dir vs in-place."""
+    from ml_depth_pro_video_tpu.video.temporal import smooth_depth_files
+
+    base = _static_scene()
+    rng = np.random.default_rng(2)
+    frames = [base * (1.0 + 0.02 * rng.standard_normal(base.shape)
+                      .astype(np.float32)) for _ in range(6)]
+    paths = []
+    for i, d in enumerate(frames):
+        p = tmp_path / f"frame_{i:04d}_depth.npz"
+        np.savez_compressed(p, depth=d, focallength_px=np.float32(700.0))
+        paths.append(str(p))
+
+    out_dir = tmp_path / "smoothed"
+    n = smooth_depth_files(paths, output_dir=str(out_dir), alpha=0.8,
+                           tau=0.05, align=False)
+    assert n == 6
+    ref = TemporalSmoother(alpha=0.8, tau=0.05, align=False)
+    for p, d in zip(paths, frames):
+        with np.load(out_dir / os.path.basename(p)) as z:
+            np.testing.assert_allclose(z["depth"], ref.update(d), rtol=1e-6)
+            assert z["depth"].dtype == np.float32
+            assert float(z["focallength_px"]) == 700.0  # copied through
+
+    # .npy + in-place rewrite
+    npy = tmp_path / "seq"
+    npy.mkdir()
+    npy_paths = []
+    for i, d in enumerate(frames[:3]):
+        p = npy / f"{i}.npy"
+        np.save(p, d)
+        npy_paths.append(str(p))
+    assert smooth_depth_files(npy_paths, output_dir=None, align=False) == 3
+    ref = TemporalSmoother(alpha=0.8, tau=0.05, align=False)
+    for p, d in zip(npy_paths, frames):
+        np.testing.assert_allclose(np.load(p), ref.update(d), rtol=1e-6)
+
+    import pytest
+
+    with pytest.raises(KeyError, match="nope"):
+        smooth_depth_files(paths[:1], output_dir=str(out_dir), key="nope")
+
+
+def test_smooth_cli_orders_by_frame_number(tmp_path):
+    """depth-pro-smooth sorts numerically (frame_2 before frame_10) and
+    writes the smoothed sequence in that order."""
+    from ml_depth_pro_video_tpu.cli.smooth_depth import main
+
+    base = _static_scene(8, 8)
+    # write OUT of lexicographic order: frame_10 < frame_2 as strings
+    vals = {2: base, 10: base * 1.5, 11: base * 1.5}
+    for i, d in vals.items():
+        np.savez_compressed(tmp_path / f"frame_{i}_depth.npz",
+                            depth=d.astype(np.float32))
+    out = tmp_path / "out"
+    main([str(tmp_path), "-o", str(out), "--alpha", "0.9", "--no_align"])
+    ref = TemporalSmoother(alpha=0.9, align=False)
+    for i in sorted(vals):  # numeric playback order
+        with np.load(out / f"frame_{i}_depth.npz") as z:
+            np.testing.assert_allclose(z["depth"], ref.update(vals[i]),
+                                       rtol=1e-6)
 
 
 def test_runner_temporal_smooth_stream():
