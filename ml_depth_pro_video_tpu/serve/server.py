@@ -107,6 +107,13 @@ class _Batcher:
 
     def __init__(self, runner, max_batch: int, max_wait_ms: float,
                  canonical: bool = True, timeout_s: float = 600.0):
+        if getattr(runner, "temporal_smooth", 0.0) > 0.0:
+            # a serving batch is UNRELATED concurrent requests — the
+            # stream smoother would EMA-blend one client's depth into
+            # another's (smooth stored sequences with depth-pro-smooth)
+            raise ValueError("temporal_smooth runners cannot serve "
+                             "request batches (unrelated frames would "
+                             "blend); use depth-pro-smooth as a post-pass")
         self.runner = runner
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0

@@ -272,11 +272,11 @@ class DepthVideoRunner:
         With ``temporal_smooth > 0`` each stream gets its own fresh
         smoother state (video/temporal.py) applied in playback order.
         """
-        smoother = None
+        smooth_state = None  # device-resident (H, W) EMA state
         if self.temporal_smooth > 0.0:
-            from .temporal import TemporalSmoother
-
-            smoother = TemporalSmoother(alpha=self.temporal_smooth)
+            from .temporal import smooth_batch
+        else:
+            smooth_batch = None
         q: queue.Queue = queue.Queue(maxsize=self.prefetch * max(self.batch_size, 1))
         sentinel = object()
 
@@ -360,12 +360,29 @@ class DepthVideoRunner:
             async, so device/transport failures surface HERE at the
             blocking fetch, not inside _infer — the bounded retry
             re-dispatches the saved inputs."""
+            nonlocal smooth_state
             keys, imgs, out, n, inputs = flight
             delay = 5.0
             for attempt in range(self.max_retries + 1):
                 try:
-                    depth = np.asarray(out["depth"][:n])
+                    if smooth_batch is not None:
+                        # smooth ON DEVICE over the un-fetched output
+                        # (lax.scan in playback order — flights collect
+                        # oldest-first; resolution change auto-reseeds)
+                        # and fetch the smoothed depth INSTEAD of the
+                        # raw one: zero extra host↔device traffic. The
+                        # state commits only after the fetch succeeds,
+                        # so the retry below re-smooths from the same
+                        # pre-batch state instead of double-advancing.
+                        new_state, sm = smooth_batch(
+                            smooth_state, out["depth"], n,
+                            alpha=self.temporal_smooth)
+                        depth = np.asarray(sm[:n])
+                    else:
+                        new_state = smooth_state
+                        depth = np.asarray(out["depth"][:n])
                     fl = np.asarray(out["focallength_px"][:n])
+                    smooth_state = new_state  # all fetches succeeded
                     break
                 except jax.errors.JaxRuntimeError as e:
                     if attempt == self.max_retries:
@@ -380,10 +397,6 @@ class DepthVideoRunner:
                     delay = min(delay * 2, 60.0)
                     xs, f_arr, mixed = inputs
                     out = self._infer(jnp.asarray(xs), f_arr, mixed=mixed)
-            if smoother is not None:
-                # playback order is guaranteed here (flights collect
-                # oldest-first); a resolution change auto-reseeds
-                depth = np.stack([smoother.update(depth[i]) for i in range(n)])
             return [
                 {"key": keys[i], "depth": depth[i], "focallength_px": float(fl[i]),
                  "image": imgs[i]}

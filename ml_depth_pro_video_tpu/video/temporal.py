@@ -16,10 +16,13 @@ This module adds an opt-in, device-side smoother:
    disocclusions) passes through UNTOUCHED and re-seeds the state — no
    ghosting trails.
 
-The update is one tiny jitted program per frame (a few fused
-elementwise passes + two reductions — microseconds at 1536² next to
-the ~160 ms model). State lives on the device; nothing extra crosses
-the host boundary.
+The update is a few fused elementwise passes + two reductions —
+microseconds at 1536² next to the ~160 ms model. The streaming runner
+uses the BATCHED device-side form (:func:`smooth_batch`: lax.scan over
+the batch in playback order, EMA state resident on the chip, the
+smoothed depth fetched INSTEAD of the raw one — zero added host↔device
+traffic). :class:`TemporalSmoother` is the per-frame host API for the
+`depth-pro-smooth` post-pass over saved maps.
 """
 
 from __future__ import annotations
@@ -32,9 +35,8 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("alpha", "tau", "align"))
-def _update(state: jnp.ndarray, depth: jnp.ndarray, *, alpha: float,
-            tau: float, align: bool):
+def _update_core(state: jnp.ndarray, depth: jnp.ndarray, *, alpha: float,
+                 tau: float, align: bool):
     """One smoothing step. state/depth: (H, W) metric depth maps.
     Returns (new_state, smoothed_depth), both (H, W) fp32."""
     eps = 1e-6
@@ -62,6 +64,54 @@ def _update(state: jnp.ndarray, depth: jnp.ndarray, *, alpha: float,
     static = jnp.abs(s - ref) / (jnp.abs(ref) + eps) < tau
     blended = jnp.where(static, alpha * ref + (1.0 - alpha) * s, s)
     return 1.0 / jnp.clip(blended, eps, 1e6), 1.0 / jnp.clip(blended, eps, 1e6)
+
+
+_update = functools.partial(jax.jit, static_argnames=("alpha", "tau", "align"))(
+    _update_core)
+
+
+@functools.partial(jax.jit, static_argnames=("alpha", "tau", "align"))
+def _update_batch(state: jnp.ndarray, depths: jnp.ndarray,
+                  advance: jnp.ndarray, *, alpha: float, tau: float,
+                  align: bool):
+    """Sequential smoothing over a BATCH of frames in playback order
+    (lax.scan over the leading dim — frames depend on each other, so
+    the batch dim cannot be vmapped). ``advance``: (B,) bool; False
+    rows (batch padding / the seed frame) pass through unsmoothed and
+    leave the state untouched. Returns (new_state, smoothed (B,H,W))."""
+
+    def step(st, xs):
+        d, a = xs
+        new_st, out = _update_core(st, d, alpha=alpha, tau=tau, align=align)
+        return (jnp.where(a, new_st, st),
+                jnp.where(a, out, d.astype(jnp.float32)))
+
+    return jax.lax.scan(step, state, (depths, advance))
+
+
+def smooth_batch(state, depths, n: int | None = None, *, alpha: float,
+                 tau: float = 0.05, align: bool = True):
+    """Device-side batched smoothing for the streaming runner: smooth
+    the first ``n`` rows of ``depths`` (a (B, H, W) DEVICE array — the
+    un-fetched model output) in playback order. Returns
+    ``(new_state, smoothed)`` both still on the device, so smoothing
+    adds ZERO host↔device traffic: the runner fetches the smoothed
+    depth INSTEAD of the raw one, and the state never leaves the chip.
+
+    ``state=None`` (or a resolution change) re-seeds from the first
+    frame, which passes through unchanged — identical semantics to
+    :class:`TemporalSmoother` frame for frame.
+    """
+    d = jnp.asarray(depths)
+    B = d.shape[0]
+    n = B if n is None else n
+    advance = np.zeros((B,), bool)
+    advance[:n] = True
+    if state is None or state.shape != d.shape[1:]:
+        state = d[0].astype(jnp.float32)
+        advance[0] = False
+    return _update_batch(state, d, jnp.asarray(advance), alpha=alpha,
+                         tau=tau, align=align)
 
 
 class TemporalSmoother:

@@ -144,3 +144,14 @@ def test_metrics_endpoint(server_url):
     counts = [float(l.rsplit(" ", 1)[1]) for l in bucket_lines]
     assert counts == sorted(counts)
     assert counts[-1] == metrics["depthpro_requests_total"]
+
+
+def test_temporal_smooth_runner_rejected():
+    """A serving batch is unrelated concurrent requests — a smoothing
+    runner would EMA-blend one client's depth into another's."""
+    from ml_depth_pro_video_tpu.serve.server import _Batcher
+
+    runner = DepthVideoRunner(cfg=tiny_config(), precision="fp32",
+                              batch_size=2, temporal_smooth=0.8)
+    with pytest.raises(ValueError, match="temporal_smooth"):
+        _Batcher(runner, max_batch=2, max_wait_ms=20)

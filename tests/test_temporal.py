@@ -145,6 +145,68 @@ def test_smooth_cli_orders_by_frame_number(tmp_path):
                                        rtol=1e-6)
 
 
+def test_smooth_batch_equals_sequential_smoother():
+    """smooth_batch (the runner's device-side lax.scan form) must equal
+    TemporalSmoother frame for frame: seeding, batch padding (advance
+    mask), state carry across batches, and resolution-change reseed."""
+    from ml_depth_pro_video_tpu.video.temporal import smooth_batch
+
+    rng = np.random.default_rng(4)
+    base = _static_scene()
+    frames = [base * (1.0 + 0.03 * rng.standard_normal(base.shape)
+                      .astype(np.float32)) for _ in range(5)]
+
+    ref = TemporalSmoother(alpha=0.7)
+    want = [ref.update(d) for d in frames]
+
+    state = None
+    got = []
+    # batches of 2 with a padded tail (n=1 < B=2: the pad row repeats
+    # frame 4 and must NOT advance the state)
+    for i in range(0, 5, 2):
+        chunk = frames[i:i + 2]
+        n = len(chunk)
+        batch = np.stack(chunk + [chunk[-1]] * (2 - n))
+        state, sm = smooth_batch(state, batch, n, alpha=0.7)
+        got.extend(np.asarray(sm[j]) for j in range(n))
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)
+
+    # resolution change: reseeds (first frame of the new shape passes
+    # through), exactly like the host smoother
+    small = np.full((8, 8), 5.0, np.float32)
+    state, sm = smooth_batch(state, small[None], 1, alpha=0.7)
+    np.testing.assert_allclose(np.asarray(sm[0]), small)
+
+
+def test_runner_device_smoothing_matches_host_filter():
+    """End-to-end: the runner's --temporal_smooth stream must equal the
+    host TemporalSmoother applied to the UNSMOOTHED stream's depths —
+    proving the device-side rewire changed where smoothing runs, not
+    what it computes (including across batch boundaries and the padded
+    tail batch: 5 frames, batch 2)."""
+    from ml_depth_pro_video_tpu.models.depth_pro import tiny_config
+    from ml_depth_pro_video_tpu.video.runner import DepthVideoRunner
+
+    rng = np.random.default_rng(5)
+    base = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    frames = [np.clip(base.astype(np.int16)
+                      + rng.integers(-3, 4, base.shape), 0, 255)
+              .astype(np.uint8) for _ in range(5)]
+
+    raw = DepthVideoRunner(cfg=tiny_config(), precision="fp32", batch_size=2)
+    raw_depths = [r["depth"] for r in raw.depth_stream(frames)]
+    ref = TemporalSmoother(alpha=0.8)
+    want = [ref.update(d) for d in raw_depths]
+
+    sm = DepthVideoRunner(cfg=tiny_config(), precision="fp32", batch_size=2,
+                          temporal_smooth=0.8)
+    got = [r["depth"] for r in sm.depth_stream(frames)]
+    assert len(got) == 5
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)
+
+
 def test_runner_temporal_smooth_stream():
     from ml_depth_pro_video_tpu.models.depth_pro import tiny_config
     from ml_depth_pro_video_tpu.video.runner import DepthVideoRunner
