@@ -150,7 +150,8 @@ class TemporalSmoother:
 
 def smooth_depth_files(paths, output_dir: str | None = None,
                        alpha: float = 0.8, tau: float = 0.05,
-                       align: bool = True, key: str = "depth") -> int:
+                       align: bool = True, key: str = "depth",
+                       chunk: int = 16) -> int:
     """Post-pass smoothing over SAVED depth maps, in the given order.
 
     This is the tool the streaming paths point at when they cannot
@@ -164,11 +165,38 @@ def smooth_depth_files(paths, output_dir: str | None = None,
     array). ``output_dir=None`` rewrites each file in place (atomic
     replace); otherwise writes the same basename under ``output_dir``.
     Returns the number of files written.
+
+    Frames go through the device in ``chunk``-sized batches
+    (:func:`smooth_batch` — identical output to the per-frame filter,
+    proven in tests), cutting per-frame dispatch overhead ~``chunk``×
+    on long sequences; a resolution change flushes the open chunk and
+    re-seeds.
     """
     import os
 
-    sm = TemporalSmoother(alpha=alpha, tau=tau, align=align)
+    state = None
     written = 0
+    buf: list = []  # (out_path, tmp, payload|None, depth) per open frame
+
+    def flush():
+        nonlocal state, written
+        if not buf:
+            return
+        depths = np.stack([b[3] for b in buf]).astype(np.float32)
+        state, sm = smooth_batch(state, depths, len(buf), alpha=alpha,
+                                 tau=tau, align=align)
+        out = np.asarray(sm)
+        for i, (out_path, tmp, payload, d) in enumerate(buf):
+            smoothed = out[i].astype(d.dtype, copy=False)
+            if payload is None:  # .npy
+                np.save(tmp, smoothed)
+            else:
+                payload[key] = smoothed
+                np.savez_compressed(tmp, **payload)
+            os.replace(tmp, out_path)
+            written += 1
+        buf.clear()
+
     for path in paths:
         if output_dir is None:
             out_path = path
@@ -178,16 +206,18 @@ def smooth_depth_files(paths, output_dir: str | None = None,
         tmp = out_path + ".tmp" + os.path.splitext(out_path)[1]
         if path.endswith(".npy"):
             d = np.load(path)
-            np.save(tmp, sm.update(d).astype(d.dtype, copy=False))
+            payload = None
         else:
             with np.load(path) as z:
-                arrs = {k: z[k] for k in z.files}
-            if key not in arrs:
+                payload = {k: z[k] for k in z.files}
+            if key not in payload:
                 raise KeyError(f"{path} has no array {key!r} "
-                               f"(found {sorted(arrs)})")
-            d = arrs[key]
-            arrs[key] = sm.update(d).astype(d.dtype, copy=False)
-            np.savez_compressed(tmp, **arrs)
-        os.replace(tmp, out_path)
-        written += 1
+                               f"(found {sorted(payload)})")
+            d = payload[key]
+        if buf and d.shape != buf[-1][3].shape:
+            flush()  # homogeneous batches; smooth_batch re-seeds after
+        buf.append((out_path, tmp, payload, d))
+        if len(buf) >= max(chunk, 1):
+            flush()
+    flush()
     return written

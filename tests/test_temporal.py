@@ -97,7 +97,9 @@ def test_smooth_depth_files_postpass(tmp_path):
 
     out_dir = tmp_path / "smoothed"
     n = smooth_depth_files(paths, output_dir=str(out_dir), alpha=0.8,
-                           tau=0.05, align=False)
+                           tau=0.05, align=False, chunk=2)  # force
+    # device-chunk boundaries mid-sequence: output must not depend on
+    # where the batch splits fall
     assert n == 6
     ref = TemporalSmoother(alpha=0.8, tau=0.05, align=False)
     for p, d in zip(paths, frames):
