@@ -92,14 +92,48 @@ def evaluate_pair(pred_path: str, gt_path: str, gt_scale: float,
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description="Evaluate depth predictions (TPU framework)")
     ap.add_argument("--pred", required=True, help="prediction file or directory")
-    ap.add_argument("--gt", required=True, help="ground-truth file or directory")
+    ap.add_argument("--gt", default=None,
+                    help="ground-truth file or directory (not needed "
+                         "with --temporal)")
     ap.add_argument("--gt-scale", type=float, default=1.0,
                     help="meters per ground-truth unit (for 16-bit PNG GT)")
     ap.add_argument("--boundary-t", type=int, default=10,
                     help="N thresholds for the SI boundary sweep (reference N=10)")
     ap.add_argument("--per-image", action="store_true", help="print one JSON line per pair")
+    ap.add_argument("--temporal", action="store_true",
+                    help="evaluate TEMPORAL stability instead: --pred is "
+                         "a depth-map sequence directory (played in "
+                         "frame-number order, no ground truth needed); "
+                         "reports static-set flicker + scale jitter "
+                         "(eval/temporal_metrics.py)")
+    ap.add_argument("--tau", type=float, default=0.05,
+                    help="motion gate for --temporal: relative inverse-"
+                         "depth change above this counts as real motion, "
+                         "not flicker (matches --temporal_smooth's gate)")
     args = ap.parse_args(argv)
 
+    if args.temporal:
+        from ..eval.temporal_metrics import temporal_stability
+
+        if not os.path.isdir(args.pred):
+            raise SystemExit("--temporal evaluates a sequence: --pred "
+                             "must be a directory of depth maps")
+        exts = ("*.npz", "*.npy", "*.png", "*.tif", "*.tiff")
+        paths = [p for e in exts for p in glob.glob(os.path.join(args.pred, e))]
+        if len(paths) < 2:
+            raise SystemExit(f"need at least 2 depth maps under {args.pred}")
+        from .smooth_depth import _ordered
+
+        stats = temporal_stability(
+            (load_depth(p, scale=args.gt_scale) for p in _ordered(paths)),
+            tau=args.tau)
+        print(json.dumps({k: round(v, 6) if isinstance(v, float) else v
+                          for k, v in stats.items()}))
+        return
+
+    if args.gt is None:
+        raise SystemExit("--gt is required (or pass --temporal for "
+                         "sequence-stability evaluation)")
     pairs = collect_pairs(args.pred, args.gt)
     rows = []
     for pred_path, gt_path in pairs:

@@ -123,3 +123,70 @@ def test_eval_depth_cli(tmp_path, capsys):
     assert lines[0]["abs_rel"] == 0.0  # identical pair
     assert 0.0 < lines[-1]["abs_rel"] < 0.01
     assert "SI_boundary_F1" in lines[-1]
+
+
+def test_temporal_stability_metrics():
+    """eval/temporal_metrics.py: flicker drops after smoothing, scale
+    jitter is measured in log space, motion is excluded via the gate."""
+    from ml_depth_pro_video_tpu.eval.temporal_metrics import (
+        pairwise_flicker,
+        temporal_stability,
+    )
+    from ml_depth_pro_video_tpu.video.temporal import TemporalSmoother
+
+    rng = np.random.default_rng(0)
+    base = 2.0 + rng.random((32, 40)).astype(np.float32)
+    noisy = [base * (1.0 + 0.01 * rng.standard_normal(base.shape)
+                     .astype(np.float32)) for _ in range(12)]
+
+    raw = temporal_stability(noisy)
+    assert raw["pairs"] == 11 and raw["frames"] == 12
+    # ~1% depth noise -> ~1.4% mean abs pairwise inverse-depth change
+    assert 0.005 < raw["flicker_mean"] < 0.03
+    assert raw["static_fraction"] > 0.95
+
+    sm = TemporalSmoother(alpha=0.8, align=False)
+    smoothed = [sm.update(d) for d in noisy]
+    out = temporal_stability(smoothed)
+    assert out["flicker_mean"] < raw["flicker_mean"] / 2
+
+    # global scale jitter: alternating 3% scale = log(1.03) per pair
+    # (inverse depth scales by 1/1.03; |log| is symmetric). Depth scale
+    # change is ~30x the gate tau -> everything counts as motion, so
+    # use pairwise_flicker's scale term directly
+    p = pairwise_flicker(base, base * 1.03)
+    np.testing.assert_allclose(p["scale_jitter"], np.log(1.03), rtol=1e-3)
+
+    # real motion is NOT flicker: a block jumping closer leaves the
+    # static-set flicker at zero and shrinks static_fraction
+    moved = base.copy()
+    moved[8:16, 8:16] = 0.5
+    p = pairwise_flicker(base, moved)
+    assert p["flicker_mean"] == 0.0  # identical static pixels
+    assert 0.9 < p["static_fraction"] < 1.0
+
+    # degenerate sequences return zeros, not NaNs
+    empty = temporal_stability([])
+    assert empty["pairs"] == 0 and empty["flicker_mean"] == 0.0
+
+
+def test_eval_cli_temporal_mode(tmp_path, capsys):
+    import json
+
+    from ml_depth_pro_video_tpu.cli.eval_depth import main
+
+    rng = np.random.default_rng(1)
+    base = 2.0 + rng.random((16, 16)).astype(np.float32)
+    for i in (2, 10, 11):  # non-lexicographic frame numbers
+        np.savez_compressed(tmp_path / f"frame_{i}_depth.npz",
+                            depth=base * (1 + 0.01 * rng.standard_normal(
+                                base.shape).astype(np.float32)))
+    main(["--pred", str(tmp_path), "--temporal"])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["frames"] == 3 and out["pairs"] == 2
+    assert out["flicker_mean"] > 0
+
+    import pytest
+
+    with pytest.raises(SystemExit, match="must be a directory"):
+        main(["--pred", str(tmp_path / "nope"), "--temporal"])
