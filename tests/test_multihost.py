@@ -462,6 +462,25 @@ def test_two_process_maps_cli(tmp_path):
     assert sorted(counts) == [2, 4] or sorted(counts) == [3, 3], counts
     assert sum(counts) == 6
 
+    # the documented pod temporal workflow (docs/USAGE.md): post-pass
+    # smoothing of the pod's assembled maps must equal a SINGLE-host
+    # inline --temporal_smooth run frame for frame (this also checks
+    # pod-sharded raw depth == single-device raw depth)
+    from ml_depth_pro_video_tpu.cli.generate_depth_maps import main as maps_main
+    from ml_depth_pro_video_tpu.cli.smooth_depth import main as smooth_main
+
+    inline = tmp_path / "depth_inline"
+    maps_main([str(frames), "-o", str(inline), "--model", "tiny",
+               "--full_precision", "--batch_size", "4", "--save_npz",
+               "--temporal_smooth", "0.8"])
+    postpass = tmp_path / "depth_postpass"
+    smooth_main([str(out), "--pattern", "*_depth.npz",
+                 "-o", str(postpass), "--alpha", "0.8"])
+    for i in range(6):
+        a = np.load(postpass / f"f{i:03d}_depth.npz")["depth"]
+        b = np.load(inline / f"f{i:03d}_depth.npz")["depth"]
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
 
 _PIPELINE_WORKER = r"""
 import os, sys
