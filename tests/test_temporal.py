@@ -209,6 +209,67 @@ def test_runner_device_smoothing_matches_host_filter():
         np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)
 
 
+def test_runner_smoothing_retry_does_not_double_advance(monkeypatch):
+    """A transient fetch failure AFTER the smoothed depth was computed
+    (the focal-length fetch raises) triggers the bounded retry, which
+    re-dispatches and RE-SMOOTHS the batch. The EMA state must advance
+    exactly once — committing it before all fetches succeed would
+    double-advance on retry and silently over-smooth."""
+    import time
+
+    import jax
+
+    from ml_depth_pro_video_tpu.models.depth_pro import tiny_config
+    from ml_depth_pro_video_tpu.video.runner import DepthVideoRunner
+
+    rng = np.random.default_rng(6)
+    base = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    frames = [np.clip(base.astype(np.int16)
+                      + rng.integers(-3, 4, base.shape), 0, 255)
+              .astype(np.uint8) for _ in range(4)]
+
+    def want():
+        clean = DepthVideoRunner(cfg=tiny_config(), precision="fp32",
+                                 batch_size=2, temporal_smooth=0.8)
+        return [r["depth"] for r in clean.depth_stream(frames)]
+
+    expected = want()
+
+    runner = DepthVideoRunner(cfg=tiny_config(), precision="fp32",
+                              batch_size=2, temporal_smooth=0.8,
+                              max_retries=2)
+
+    class FlakyFetch:
+        """Slices fine; raises the retryable error at host fetch."""
+
+        def __init__(self, arr):
+            self.arr = arr
+
+        def __getitem__(self, k):
+            return FlakyFetch(self.arr[k])
+
+        def __array__(self, dtype=None, copy=None):
+            raise jax.errors.JaxRuntimeError("transient fetch failure")
+
+    real_infer = runner._infer
+    calls = {"n": 0}
+
+    def flaky_infer(batch, f_px, mixed=False):
+        out = dict(real_infer(batch, f_px, mixed=mixed))
+        calls["n"] += 1
+        if calls["n"] == 1:  # first batch, first attempt only
+            out["focallength_px"] = FlakyFetch(out["focallength_px"])
+        return out
+
+    monkeypatch.setattr(runner, "_infer", flaky_infer)
+    monkeypatch.setattr(time, "sleep", lambda s: None)  # skip backoff
+    got = [r["depth"] for r in runner.depth_stream(frames)]
+    assert calls["n"] >= 3  # 2 batches + at least 1 re-dispatch
+    assert len(got) == 4
+    for w, g in zip(expected, got):
+        np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)
+
+
 def test_runner_temporal_smooth_stream():
     from ml_depth_pro_video_tpu.models.depth_pro import tiny_config
     from ml_depth_pro_video_tpu.video.runner import DepthVideoRunner
