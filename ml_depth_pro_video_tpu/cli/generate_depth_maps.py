@@ -72,6 +72,7 @@ def generate_depth_maps(
     speed: str = "exact",
     model: str = "large",
     exported_path: str | None = None,
+    packed_fetch: bool = False,
 ) -> list[str]:
     """Run depth over a file or directory; returns written paths.
 
@@ -106,6 +107,9 @@ def generate_depth_maps(
     if pod and exported_path is not None:
         raise ValueError("--exported serves the single-device path; "
                          "pod runs jit their mesh program")
+    if pod and packed_fetch:
+        raise ValueError("--packed_fetch is single-host only (pod hosts "
+                         "fetch only their local rows)")
     if runner is None:
         mesh = None
         if pod:
@@ -123,6 +127,7 @@ def generate_depth_maps(
             speed=speed,
             mesh=mesh,
             exported_path=exported_path,
+            fetch_pack="u16" if packed_fetch else "none",
         )
     stream = (runner.depth_stream_multihost(paths) if pod
               else runner.depth_stream(paths))
@@ -216,6 +221,7 @@ def generate_depth_video(
     pattern: str = "*.png",
     runner=None,
     model: str = "large",
+    packed_fetch: bool = False,
 ) -> int:
     """Video file (or frame directory) -> colormapped depth VIDEO.
 
@@ -261,6 +267,7 @@ def generate_depth_video(
         downscale_factor=downscale_factor,
         speed=speed,
         temporal_smooth=temporal_smooth,
+        fetch_pack="u16" if packed_fetch else "none",
     )
     tracker = _RangeTracker(momentum=range_momentum, fixed=depth_range)
     t0 = time.time()
@@ -328,6 +335,10 @@ def main(argv=None) -> None:
                          "~20-40 s startup compile (single-host PNG mode; "
                          "batches at the artifact's exact shape)")
     from ..models.depth_pro import MODEL_PRESETS as _MP
+    ap.add_argument("--packed_fetch", action="store_true",
+                    help="fetch depth as device-quantized log-u16 (half "
+                         "the device->host bytes; <=~2.5e-4 relative "
+                         "error - video/pack.py)")
     ap.add_argument("--model", choices=list(_MP), default="large",
                     help="model family member (base/small need a "
                          "trained/distilled checkpoint — depth-pro-distill)")
@@ -352,7 +363,8 @@ def main(argv=None) -> None:
             side_by_side=args.side_by_side,
             depth_range=tuple(args.depth_range) if args.depth_range else None,
             fps=args.fps, start=args.start, end=args.end, stride=args.stride,
-            pattern=args.pattern, model=args.model)
+            pattern=args.pattern, model=args.model,
+            packed_fetch=args.packed_fetch)
         return
     if is_video:
         ap.error(f"{args.input} is a video file — pass --video_out OUT.mp4, "
@@ -365,7 +377,8 @@ def main(argv=None) -> None:
                         half_precision=args.half_precision,
                         batch_size=args.batch_size, save_npz=args.save_npz,
                         pattern=args.pattern, model=args.model,
-                        exported_path=args.exported)
+                        exported_path=args.exported,
+                        packed_fetch=args.packed_fetch)
 
 
 if __name__ == "__main__":  # pragma: no cover

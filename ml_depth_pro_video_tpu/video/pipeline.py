@@ -193,6 +193,7 @@ def process_images_to_floor_plans(
     speed: str = "exact",
     temporal_smooth: float = 0.0,
     model: str = "large",
+    packed_fetch: bool = False,
 ):
     """Process a frame directory into per-frame floor plans.
 
@@ -280,6 +281,9 @@ def process_images_to_floor_plans(
                 "temporal_smooth is single-host only (frames interleave "
                 "across hosts); run the depth-pro-smooth post-pass "
                 "(video/temporal.py::smooth_depth_files)")
+        if packed_fetch:
+            raise ValueError("packed_fetch is single-host only (pod "
+                             "hosts fetch only their local rows)")
         parallel = "dp"
         mesh = make_mesh(tp=1)
         batch_size = max(batch_size, jax.device_count())
@@ -302,6 +306,7 @@ def process_images_to_floor_plans(
         parallel=parallel if parallel in ("dp", "latency") else "dp",
         speed=speed,
         temporal_smooth=temporal_smooth,
+        fetch_pack="u16" if packed_fetch else "none",
     )
 
     try:
@@ -509,6 +514,10 @@ def main(argv=None):  # pragma: no cover - CLI shim, exercised via cli tests
     ap.add_argument("--parallel", choices=["none", "dp", "latency"], default="none",
                     help="multi-chip mode: dp shards frame batches, latency "
                          "shards the MODEL for single-stream speed")
+    ap.add_argument("--packed_fetch", action="store_true",
+                    help="fetch depth as device-quantized log-u16 (half "
+                         "the device->host bytes; <=~2.5e-4 relative "
+                         "error - video/pack.py; single-host only)")
     ap.add_argument("--temporal_smooth", type=float, default=0.0,
                     help="EMA weight (0=off) for flicker-free video depth: "
                          "scale-aligned blending on static pixels, motion "
@@ -625,6 +634,7 @@ def main(argv=None):  # pragma: no cover - CLI shim, exercised via cli tests
         force_reprocess=args.force_reprocess, batch_size=args.batch_size,
         renderer=args.renderer, parallel=args.parallel, speed=args.speed,
         temporal_smooth=args.temporal_smooth, model=args.model,
+        packed_fetch=args.packed_fetch,
         x_limits=tuple(args.x_limits) if args.x_limits else None,
         z_limits=tuple(args.z_limits) if args.z_limits else None,
     )

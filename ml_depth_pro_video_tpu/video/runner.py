@@ -53,9 +53,12 @@ class DepthVideoRunner:
         pipeline_depth: int = 2,
         exported_path: str | None = None,
         temporal_smooth: float = 0.0,
+        fetch_pack: str = "none",
     ):
         if parallel not in ("dp", "latency"):
             raise ValueError(f"parallel must be 'dp' or 'latency', got {parallel!r}")
+        if fetch_pack not in ("none", "u16"):
+            raise ValueError(f"fetch_pack must be 'none' or 'u16', got {fetch_pack!r}")
         if speed != "exact":
             from ..models.depth_pro import apply_speed
 
@@ -97,6 +100,12 @@ class DepthVideoRunner:
         # temporal EMA weight for video streams (0 = off, the reference
         # behavior: every frame independent — video/temporal.py)
         self.temporal_smooth = float(temporal_smooth)
+        # "u16": quantize depth to log-domain uint16 ON DEVICE and fetch
+        # 2 bytes/px instead of 4 — halves the steady-state device→host
+        # traffic at ≤~2.5e-4 relative error (video/pack.py), far below
+        # the bf16 compute path's own deviation. Consumers still see
+        # fp32 depth (host unpack).
+        self.fetch_pack = fetch_pack
 
         params = load_checkpoint(cfg)
         if params is None:
@@ -277,6 +286,10 @@ class DepthVideoRunner:
             from .temporal import smooth_batch
         else:
             smooth_batch = None
+        if self.fetch_pack == "u16":
+            from .pack import pack_depth_u16, unpack_depth_u16
+        else:
+            pack_depth_u16 = None
         q: queue.Queue = queue.Queue(maxsize=self.prefetch * max(self.batch_size, 1))
         sentinel = object()
 
@@ -374,13 +387,21 @@ class DepthVideoRunner:
                         # state commits only after the fetch succeeds,
                         # so the retry below re-smooths from the same
                         # pre-batch state instead of double-advancing.
-                        new_state, sm = smooth_batch(
+                        new_state, dev_depth = smooth_batch(
                             smooth_state, out["depth"], n,
                             alpha=self.temporal_smooth)
-                        depth = np.asarray(sm[:n])
                     else:
                         new_state = smooth_state
-                        depth = np.asarray(out["depth"][:n])
+                        dev_depth = out["depth"]
+                    if pack_depth_u16 is not None:
+                        # quantize ON DEVICE (composes with smoothing),
+                        # fetch 2 bytes/px, unpack to fp32 on the host
+                        u, lmin, lscale = pack_depth_u16(dev_depth)
+                        depth = unpack_depth_u16(np.asarray(u[:n]),
+                                                 np.asarray(lmin[:n]),
+                                                 np.asarray(lscale[:n]))
+                    else:
+                        depth = np.asarray(dev_depth[:n])
                     fl = np.asarray(out["focallength_px"][:n])
                     smooth_state = new_state  # all fetches succeeded
                     break
@@ -472,6 +493,13 @@ class DepthVideoRunner:
                              "playback order on one host; run the "
                              "depth-pro-smooth post-pass instead "
                              "(video/temporal.py::smooth_depth_files)")
+        if self.fetch_pack != "none":
+            # packing would be one more pod-wide SPMD launch per batch
+            # inside the fetch/retry path, whose collective re-dispatch
+            # rules are already subtle (see collect below) — and pod
+            # hosts fetch only their local rows, so the per-host win is
+            # 1/num_hosts of the single-host case. Not worth the risk.
+            raise ValueError("fetch_pack is single-host only")
         it = iter(items)
         B = self.batch_size
         sh = batch_sharding(self.mesh)
