@@ -72,9 +72,31 @@ def unpack_depth_u16(packed: np.ndarray, log_min: np.ndarray,
     leading shape (or scalars). Returns fp32 metric depth.
     """
     packed = np.asarray(packed)
-    lmin = np.asarray(log_min, np.float32)[..., None, None]
-    lscale = np.asarray(log_scale, np.float32)[..., None, None]
-    return np.exp(packed.astype(np.float32) * lscale + lmin)
+    lmin = np.asarray(log_min, np.float32)
+    lscale = np.asarray(log_scale, np.float32)
+    if packed.dtype != np.uint16:
+        raise TypeError(f"packed must be uint16, got {packed.dtype}")
+    # u16 has only 65536 possible values but a 1536² frame has 2.36M
+    # pixels, so exp() through a per-frame lookup table is ~36x fewer
+    # transcendentals than the elementwise form — that difference is
+    # the whole packing win on a 1-core host (~200 ms/batch-of-8
+    # measured). lut[u] evaluates exp(float32(u)·lscale + lmin) on
+    # exactly the fp32 inputs the elementwise form would use, so the
+    # result is bit-identical.
+    codes = np.arange(_U16_MAX + 1, dtype=np.float32)
+    flat_p = packed.reshape(-1, *packed.shape[-2:]) if packed.ndim >= 2 \
+        else packed[None]
+    n = flat_p.shape[0]
+    if lmin.size not in (1, n) or lscale.size not in (1, n):
+        raise ValueError(f"log_min/log_scale shapes {log_min.shape}/"
+                         f"{log_scale.shape} do not broadcast over "
+                         f"{n} frames of shape {packed.shape}")
+    out = np.empty(flat_p.shape, np.float32)
+    for i in range(n):
+        lut = np.exp(codes * lscale.reshape(-1)[i % lscale.size]
+                     + lmin.reshape(-1)[i % lmin.size])
+        out[i] = lut[flat_p[i]]
+    return out.reshape(packed.shape)
 
 
 @functools.cache

@@ -49,6 +49,33 @@ def test_roundtrip_constant_and_narrow():
     assert np.abs(out / d - 1).max() < 3e-6
 
 
+def test_lut_unpack_bit_identical_to_elementwise():
+    # unpack_depth_u16 routes exp() through a 65536-entry per-frame LUT
+    # (~36x fewer transcendentals at 1536²); the LUT evaluates the very
+    # same fp32 expression, so the output must be BIT-identical
+    rng = np.random.default_rng(7)
+    u = rng.integers(0, 65536, (3, 17, 23)).astype(np.uint16)
+    lmin = rng.uniform(-2, 0, 3).astype(np.float32)
+    lscale = rng.uniform(0, 1e-4, 3).astype(np.float32)
+    direct = np.exp(u.astype(np.float32) * lscale[:, None, None]
+                    + lmin[:, None, None])
+    out = unpack_depth_u16(u, lmin, lscale)
+    assert out.dtype == np.float32
+    np.testing.assert_array_equal(out, direct)
+
+    # scalar lmin/lscale broadcast over frames; 2-D packed works
+    out2 = unpack_depth_u16(u, lmin[0], lscale[0])
+    np.testing.assert_array_equal(
+        out2, np.exp(u.astype(np.float32) * lscale[0] + lmin[0]))
+    out3 = unpack_depth_u16(u[0], lmin[0], lscale[0])
+    np.testing.assert_array_equal(out3, out2[0])
+
+    with pytest.raises(ValueError, match="broadcast"):
+        unpack_depth_u16(u, lmin[:2], lscale)
+    with pytest.raises(TypeError, match="uint16"):
+        unpack_depth_u16(u.astype(np.uint8), lmin, lscale)
+
+
 def test_runner_packed_stream_matches_unpacked():
     frames = _frames(5)
     plain = DepthVideoRunner(cfg=tiny_config(), precision="fp32", batch_size=2)
