@@ -338,9 +338,9 @@ class DepthVideoRunner:
 
         pending = []
         raw_images = []
-        # (keys, raw_images, device_out, n, inputs) flights, oldest
-        # first; up to ``pipeline_depth`` stay dispatched before the
-        # oldest is fetched
+        # (keys, raw_images, device_out, n, inputs, dev_depth, packed)
+        # flights, oldest first; up to ``pipeline_depth`` stay
+        # dispatched before the oldest is fetched
         in_flight: deque = deque()
 
         def dispatch():
@@ -364,58 +364,59 @@ class DepthVideoRunner:
                 f_arr = None
             mixed = any_f and not have_f
             out = self._infer(jnp.asarray(xs), f_arr, mixed=mixed)
-            packed = None
-            if pack_depth_u16 is not None and smooth_batch is None:
-                # pack NOW so the quantize kernel enters the device's
-                # in-order stream right behind THIS batch's infer.
-                # Packing at collect time would queue it behind the
-                # NEXT batch's infer, so the halved fetch couldn't
-                # start until a full extra batch of compute finished —
-                # measured 0.91x sustained instead of a win. With
-                # smoothing on, the state threading keeps both at
-                # collect time (see collect()).
-                packed = pack_depth_u16(out["depth"])
+            # post-ops (smoothing, packing) run NOW so their kernels
+            # enter the device's in-order stream right behind THIS
+            # batch's infer. At collect time they would queue behind
+            # the NEXT batch's infer, so this batch's fetch couldn't
+            # start until a full extra batch of compute finished —
+            # measured 0.91x sustained instead of a win. Dispatch
+            # happens in stream order, so the EMA state threads here
+            # exactly as playback order requires; a retrying collect
+            # re-smooths from the flight's saved pre-batch state (the
+            # recompute is deterministic, so the dispatch-side chain
+            # stays consistent).
+            nonlocal smooth_state
+            pre_state = smooth_state
+            if smooth_batch is not None:
+                smooth_state, dev_depth = smooth_batch(
+                    smooth_state, out["depth"], n,
+                    alpha=self.temporal_smooth)
+            else:
+                dev_depth = out["depth"]
+            packed = (pack_depth_u16(dev_depth)
+                      if pack_depth_u16 is not None else None)
             imgs = raw_images
             pending, raw_images = [], []
-            return keys, imgs, out, n, (xs, f_arr, mixed), packed
+            return keys, imgs, out, n, (xs, f_arr, mixed, pre_state), \
+                dev_depth, packed, smooth_state
+
+        # known-good post-smoothing state of the last COLLECTED flight
+        # (proven clean by its successful fetch). A flight's saved
+        # pre_state can be poisoned — a failed device COMPUTATION (not
+        # just a fetch blip) poisons every array chained onto it, and
+        # the dispatch-time state threading chains each batch's
+        # smoothing onto the previous batch's — so retries re-smooth
+        # from here instead.
+        collect_state = None
 
         def collect(flight):
             """Fetch a completed batch to the host. JAX dispatch is
             async, so device/transport failures surface HERE at the
             blocking fetch, not inside _infer — the bounded retry
             re-dispatches the saved inputs."""
-            nonlocal smooth_state
-            keys, imgs, out, n, inputs, packed = flight
+            nonlocal collect_state, smooth_state
+            keys, imgs, out, n, inputs, dev_depth, packed, post_state = flight
             delay = 5.0
             for attempt in range(self.max_retries + 1):
                 try:
-                    if smooth_batch is not None:
-                        # smooth ON DEVICE over the un-fetched output
-                        # (lax.scan in playback order — flights collect
-                        # oldest-first; resolution change auto-reseeds)
-                        # and fetch the smoothed depth INSTEAD of the
-                        # raw one: zero extra host↔device traffic. The
-                        # state commits only after the fetch succeeds,
-                        # so the retry below re-smooths from the same
-                        # pre-batch state instead of double-advancing.
-                        new_state, dev_depth = smooth_batch(
-                            smooth_state, out["depth"], n,
-                            alpha=self.temporal_smooth)
-                        if pack_depth_u16 is not None:
-                            # composes with smoothing; both necessarily
-                            # sit at collect time here (state threading)
-                            packed = pack_depth_u16(dev_depth)
-                    else:
-                        new_state = smooth_state
-                        dev_depth = out["depth"]
-                        if pack_depth_u16 is not None and packed is None:
-                            packed = pack_depth_u16(dev_depth)  # retry path
-                    # fetch FULL device arrays and slice pad rows on the
-                    # host: a device-side `[:n]` here is one more op
+                    # everything device-side (smoothing, packing) was
+                    # already dispatched with the batch (see dispatch());
+                    # this is PURE fetch. Full arrays, pad rows sliced on
+                    # the host: a device-side `[:n]` here is one more op
                     # queued behind the next batch's infer (in-order
                     # stream), stalling this fetch a full batch — and
                     # pad rows exist only in a stream's tail batch
-                    if pack_depth_u16 is not None:
+                    if packed is not None:
                         u, lmin, lscale = packed
                         depth = unpack_depth_u16(np.asarray(u)[:n],
                                                  np.asarray(lmin)[:n],
@@ -423,7 +424,6 @@ class DepthVideoRunner:
                     else:
                         depth = np.asarray(dev_depth)[:n]
                     fl = np.asarray(out["focallength_px"])[:n]
-                    smooth_state = new_state  # all fetches succeeded
                     break
                 except jax.errors.JaxRuntimeError as e:
                     if attempt == self.max_retries:
@@ -436,9 +436,62 @@ class DepthVideoRunner:
 
                     _time.sleep(delay)
                     delay = min(delay * 2, 60.0)
-                    xs, f_arr, mixed = inputs
+                    xs, f_arr, mixed, pre_state = inputs
                     out = self._infer(jnp.asarray(xs), f_arr, mixed=mixed)
-                    packed = None  # refers to the failed dispatch; re-pack
+                    if smooth_batch is not None:
+                        # re-smooth from the last KNOWN-GOOD state (the
+                        # saved pre_state only for the very first
+                        # collect, where no flight has been proven yet).
+                        # The recompute is deterministic, so the
+                        # smoothed depth matches the no-failure stream
+                        # exactly — the EMA never double-advances.
+                        base = pre_state if collect_state is None \
+                            else collect_state
+                        post_state, dev_depth = smooth_batch(
+                            base, out["depth"], n,
+                            alpha=self.temporal_smooth)
+                        packed = (pack_depth_u16(dev_depth)
+                                  if pack_depth_u16 is not None else None)
+                        # heal the dispatch-side chain: if the original
+                        # failure was a poisoned COMPUTATION, every
+                        # later flight's smoothing (dispatched chained
+                        # onto this batch's state) is poisoned too, and
+                        # so is the live smooth_state future dispatches
+                        # would consume — re-thread them all from the
+                        # repaired state (their infers are independent
+                        # of the chain and reused as-is; smoothing is
+                        # microseconds). On a plain transport blip this
+                        # recomputes identical values — harmless. A
+                        # flight whose own infer is also poisoned stops
+                        # the walk; its own collect retry heals onward.
+                        chain = post_state
+                        healed = 0
+                        try:
+                            for j, fl in enumerate(in_flight):
+                                (k2, i2, o2, n2, inp2, _dd2, _pk2,
+                                 _ps2) = fl
+                                chain_next, dd2 = smooth_batch(
+                                    chain, o2["depth"], n2,
+                                    alpha=self.temporal_smooth)
+                                pk2 = (pack_depth_u16(dd2)
+                                       if pack_depth_u16 is not None
+                                       else None)
+                                in_flight[j] = (
+                                    k2, i2, o2, n2,
+                                    inp2[:3] + (chain,), dd2, pk2,
+                                    chain_next)
+                                chain = chain_next
+                                healed += 1
+                        except jax.errors.JaxRuntimeError:
+                            pass
+                        if healed == len(in_flight):
+                            smooth_state = chain
+                    else:
+                        dev_depth = out["depth"]
+                        packed = (pack_depth_u16(dev_depth)
+                                  if pack_depth_u16 is not None else None)
+            if smooth_batch is not None:
+                collect_state = post_state
             return [
                 {"key": keys[i], "depth": depth[i], "focallength_px": float(fl[i]),
                  "image": imgs[i]}

@@ -270,6 +270,91 @@ def test_runner_smoothing_retry_does_not_double_advance(monkeypatch):
         np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)
 
 
+def test_runner_smoothing_survives_poisoned_state_chain(monkeypatch):
+    """A failed device COMPUTATION (not just a fetch blip) poisons every
+    array chained onto it — including the dispatch-time EMA state that
+    LATER flights' smoothing already consumed. The retry must re-smooth
+    from the last known-good collected state and HEAL the in-flight
+    chain (and the live dispatch state), or one poisoned batch kills
+    the whole stream at the next collect."""
+    import time
+
+    import jax
+
+    from ml_depth_pro_video_tpu.models.depth_pro import tiny_config
+    from ml_depth_pro_video_tpu.video import temporal
+    from ml_depth_pro_video_tpu.video.runner import DepthVideoRunner
+
+    rng = np.random.default_rng(7)
+    base = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    frames = [np.clip(base.astype(np.int16)
+                      + rng.integers(-3, 4, base.shape), 0, 255)
+              .astype(np.uint8) for _ in range(8)]
+
+    def want():
+        clean = DepthVideoRunner(cfg=tiny_config(), precision="fp32",
+                                 batch_size=2, temporal_smooth=0.8)
+        return [r["depth"] for r in clean.depth_stream(frames)]
+
+    expected = want()
+
+    class Poisoned:
+        """Array whose producing computation failed: slicing chains the
+        poison; any host fetch raises the stored runtime error."""
+
+        def __init__(self, arr):
+            self.arr = np.asarray(arr) if not hasattr(arr, "shape") else arr
+
+        def __getitem__(self, k):
+            return Poisoned(self.arr[k])
+
+        @property
+        def shape(self):
+            return self.arr.shape
+
+        def __array__(self, dtype=None, copy=None):
+            raise jax.errors.JaxRuntimeError("poisoned computation")
+
+    real_smooth = temporal.smooth_batch
+
+    def chaining_smooth(state, depths, n=None, *, alpha, **kw):
+        # a computation consuming a poisoned array is itself poisoned
+        # (values still computed so the deterministic-recompute
+        # equivalence can be asserted at the end)
+        tainted = isinstance(state, Poisoned) or isinstance(depths, Poisoned)
+        st = state.arr if isinstance(state, Poisoned) else state
+        d = depths.arr if isinstance(depths, Poisoned) else depths
+        new_st, out = real_smooth(st, d, n, alpha=alpha, **kw)
+        if tainted:
+            return Poisoned(new_st), Poisoned(out)
+        return new_st, out
+
+    runner = DepthVideoRunner(cfg=tiny_config(), precision="fp32",
+                              batch_size=2, temporal_smooth=0.8,
+                              max_retries=2)
+    real_infer = runner._infer
+    calls = {"n": 0}
+
+    def flaky_infer(batch, f_px, mixed=False):
+        out = dict(real_infer(batch, f_px, mixed=mixed))
+        calls["n"] += 1
+        if calls["n"] == 2:  # second batch's COMPUTATION fails
+            out["depth"] = Poisoned(out["depth"])
+        return out
+
+    # route the runner's in-stream import through the chaining wrapper
+    monkeypatch.setattr(temporal, "smooth_batch", chaining_smooth)
+    monkeypatch.setattr(runner, "_infer", flaky_infer)
+    monkeypatch.setattr(time, "sleep", lambda s: None)
+    got = [r["depth"] for r in runner.depth_stream(frames)]
+    assert len(got) == 8
+    # batch 2's collect retried once; batches 3+ must NOT have needed a
+    # retry each (the heal re-threads their chain) — 4 batches + 1 retry
+    assert calls["n"] == 5, calls["n"]
+    for w, g in zip(expected, got):
+        np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)
+
+
 def test_runner_temporal_smooth_stream():
     from ml_depth_pro_video_tpu.models.depth_pro import tiny_config
     from ml_depth_pro_video_tpu.video.runner import DepthVideoRunner
