@@ -110,6 +110,10 @@ def main(argv=None) -> None:
                     help="motion gate for --temporal: relative inverse-"
                          "depth change above this counts as real motion, "
                          "not flicker (matches --temporal_smooth's gate)")
+    ap.add_argument("--pattern", default=None,
+                    help="glob for --temporal frame files (e.g. "
+                         "'*_depth.npz'); default: all known depth "
+                         "formats, one per frame stem (npz preferred)")
     args = ap.parse_args(argv)
 
     if args.temporal:
@@ -118,8 +122,24 @@ def main(argv=None) -> None:
         if not os.path.isdir(args.pred):
             raise SystemExit("--temporal evaluates a sequence: --pred "
                              "must be a directory of depth maps")
-        exts = ("*.npz", "*.npy", "*.png", "*.tif", "*.tiff")
-        paths = [p for e in exts for p in glob.glob(os.path.join(args.pred, e))]
+        if args.pattern is not None:
+            paths = glob.glob(os.path.join(args.pred, args.pattern))
+        else:
+            # depth-pro-maps writes BOTH {stem}_depth.npz and a
+            # colormapped {stem}_depth.png per frame: keep ONE file per
+            # stem (metric formats preferred) — feeding both would
+            # crash load_depth on the RGB png, or double-count frames
+            # and bias the flicker stats toward 0
+            pref = {".npz": 0, ".npy": 1, ".png": 2, ".tif": 3, ".tiff": 3}
+            by_stem: dict = {}
+            for e in sorted(pref):
+                for p in glob.glob(os.path.join(args.pred, "*" + e)):
+                    stem, ext = os.path.splitext(p)
+                    cur = by_stem.get(stem)
+                    if cur is None or pref[ext.lower()] < pref[
+                            os.path.splitext(cur)[1].lower()]:
+                        by_stem[stem] = p
+            paths = list(by_stem.values())
         if len(paths) < 2:
             raise SystemExit(f"need at least 2 depth maps under {args.pred}")
         from .smooth_depth import _ordered

@@ -98,7 +98,13 @@ class DepthVideoRunner:
         # flight is what hides them (scripts/feed_sustained.out)
         self.pipeline_depth = max(int(pipeline_depth), 1)
         # temporal EMA weight for video streams (0 = off, the reference
-        # behavior: every frame independent — video/temporal.py)
+        # behavior: every frame independent — video/temporal.py).
+        # Validated here too (smooth_batch re-checks): alpha=1 freezes
+        # every static pixel at frame 1, alpha>1 extrapolates with a
+        # negative weight — both silently corrupt output
+        if not 0.0 <= float(temporal_smooth) < 1.0:
+            raise ValueError(f"temporal_smooth must be in [0, 1), got "
+                             f"{temporal_smooth}")
         self.temporal_smooth = float(temporal_smooth)
         # "u16": quantize depth to log-domain uint16 ON DEVICE and fetch
         # 2 bytes/px instead of 4 — halves the steady-state device→host
@@ -284,6 +290,19 @@ class DepthVideoRunner:
         smooth_state = None  # device-resident (H, W) EMA state
         if self.temporal_smooth > 0.0:
             from .temporal import smooth_batch
+
+            if self.mesh is not None:
+                # the EMA scan's sequential carry runs over the
+                # dp-sharded batch axis: GSPMD must gather the whole
+                # sharded depth batch to thread it, adding a per-batch
+                # cross-device transfer and serializing what the chips
+                # would otherwise fetch independently. Correct, but the
+                # depth-pro-smooth post-pass avoids the collective.
+                logging.getLogger(__name__).warning(
+                    "temporal_smooth on a mesh runner smooths SEQUENTIALLY "
+                    "across the sharded batch (adds an all-gather per "
+                    "batch); for throughput runs prefer the "
+                    "depth-pro-smooth post-pass")
         else:
             smooth_batch = None
         if self.fetch_pack == "u16":
@@ -467,9 +486,9 @@ class DepthVideoRunner:
                         chain = post_state
                         healed = 0
                         try:
-                            for j, fl in enumerate(in_flight):
+                            for j, flight_j in enumerate(in_flight):
                                 (k2, i2, o2, n2, inp2, _dd2, _pk2,
-                                 _ps2) = fl
+                                 _ps2) = flight_j
                                 chain_next, dd2 = smooth_batch(
                                     chain, o2["depth"], n2,
                                     alpha=self.temporal_smooth)

@@ -102,6 +102,11 @@ def smooth_batch(state, depths, n: int | None = None, *, alpha: float,
     frame, which passes through unchanged — identical semantics to
     :class:`TemporalSmoother` frame for frame.
     """
+    if not 0.0 <= alpha < 1.0:
+        # same contract as TemporalSmoother: alpha=1 freezes static
+        # pixels at the seed frame forever, alpha>1 extrapolates with a
+        # negative weight on the current frame — both silently corrupt
+        raise ValueError(f"alpha must be in [0, 1), got {alpha}")
     d = jnp.asarray(depths)
     B = d.shape[0]
     n = B if n is None else n
@@ -174,6 +179,10 @@ def smooth_depth_files(paths, output_dir: str | None = None,
     """
     import os
 
+    if not 0.0 <= alpha < 1.0:
+        # validate BEFORE any file is rewritten: smooth_batch would
+        # raise too, but only after the first flush opened temp files
+        raise ValueError(f"alpha must be in [0, 1), got {alpha}")
     state = None
     written = 0
     buf: list = []  # (out_path, tmp, payload|None, depth) per open frame
@@ -188,11 +197,18 @@ def smooth_depth_files(paths, output_dir: str | None = None,
         out = np.asarray(sm)
         for i, (out_path, tmp, payload, d) in enumerate(buf):
             smoothed = out[i].astype(d.dtype, copy=False)
-            if payload is None:  # .npy
-                np.save(tmp, smoothed)
-            else:
-                payload[key] = smoothed
-                np.savez_compressed(tmp, **payload)
+            # write through an open handle: np.save/savez APPEND their
+            # extension to a bare string path, and an extension-bearing
+            # temp name (X.npz.tmp.npz) would match the very globs that
+            # feed reruns of this pass — a crash mid-flush would then
+            # leave a stale temp that double-feeds (or crashes) the
+            # rerun's EMA. "X.npz.tmp" matches no depth-map pattern.
+            with open(tmp, "wb") as f:
+                if payload is None:  # .npy
+                    np.save(f, smoothed)
+                else:
+                    payload[key] = smoothed
+                    np.savez_compressed(f, **payload)
             os.replace(tmp, out_path)
             written += 1
         buf.clear()
@@ -203,7 +219,7 @@ def smooth_depth_files(paths, output_dir: str | None = None,
         else:
             os.makedirs(output_dir, exist_ok=True)
             out_path = os.path.join(output_dir, os.path.basename(path))
-        tmp = out_path + ".tmp" + os.path.splitext(out_path)[1]
+        tmp = out_path + ".tmp"
         if path.endswith(".npy"):
             d = np.load(path)
             payload = None

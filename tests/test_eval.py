@@ -190,3 +190,34 @@ def test_eval_cli_temporal_mode(tmp_path, capsys):
 
     with pytest.raises(SystemExit, match="must be a directory"):
         main(["--pred", str(tmp_path / "nope"), "--temporal"])
+
+
+def test_eval_cli_temporal_dedups_colormap_twins(tmp_path, capsys):
+    """depth-pro-maps writes a colormapped {stem}_depth.png NEXT TO each
+    {stem}_depth.npz — running --temporal on such a directory must keep
+    ONE file per frame stem (the metric npz), not crash on the RGB png
+    or double-count frames (duplicate adjacent frames contribute zero
+    flicker, silently biasing the stability stats)."""
+    import json
+
+    from PIL import Image
+
+    from ml_depth_pro_video_tpu.cli.eval_depth import main
+
+    rng = np.random.default_rng(2)
+    base = 2.0 + rng.random((16, 16)).astype(np.float32)
+    for i in range(3):
+        np.savez_compressed(tmp_path / f"frame_{i}_depth.npz",
+                            depth=base * (1 + 0.01 * rng.standard_normal(
+                                base.shape).astype(np.float32)))
+        # the colormapped RGB twin the batcher writes alongside
+        Image.fromarray(rng.integers(0, 255, (16, 16, 3), np.uint8),
+                        "RGB").save(tmp_path / f"frame_{i}_depth.png")
+    main(["--pred", str(tmp_path), "--temporal"])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["frames"] == 3 and out["pairs"] == 2
+
+    # explicit --pattern narrows to exactly the matching files
+    main(["--pred", str(tmp_path), "--temporal", "--pattern", "*_depth.npz"])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["frames"] == 3 and out["pairs"] == 2

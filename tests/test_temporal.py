@@ -126,6 +126,42 @@ def test_smooth_depth_files_postpass(tmp_path):
     with pytest.raises(KeyError, match="nope"):
         smooth_depth_files(paths[:1], output_dir=str(out_dir), key="nope")
 
+    # temp files must NOT match depth-map globs: a crash mid-flush would
+    # otherwise leave "X.npz.tmp.npz" behind for the rerun's *.npz glob
+    # to double-feed into the EMA. Also: no stray files after a clean run.
+    leftovers = {f.name for f in tmp_path.iterdir()} - (
+        {os.path.basename(p) for p in paths} | {"smoothed", "seq"})
+    assert not leftovers, leftovers
+    assert not [f for f in out_dir.iterdir() if ".tmp" in f.name]
+
+
+def test_smoothing_rejects_invalid_alpha(tmp_path):
+    """alpha outside [0, 1) must raise EVERYWHERE (runner construction,
+    the batched device filter, and the post-pass before it rewrites any
+    file): alpha=1 freezes static pixels at the seed frame forever and
+    alpha>1 extrapolates with a negative current-frame weight — both
+    produce silently corrupt video."""
+    import pytest
+
+    from ml_depth_pro_video_tpu.models.depth_pro import tiny_config
+    from ml_depth_pro_video_tpu.video.runner import DepthVideoRunner
+    from ml_depth_pro_video_tpu.video.temporal import (smooth_batch,
+                                                       smooth_depth_files)
+
+    for bad in (1.0, 1.2, -0.1):
+        with pytest.raises(ValueError, match="temporal_smooth"):
+            DepthVideoRunner(cfg=tiny_config(), precision="fp32",
+                             temporal_smooth=bad)
+        with pytest.raises(ValueError, match="alpha"):
+            smooth_batch(None, np.ones((1, 4, 4), np.float32), alpha=bad)
+
+    p = tmp_path / "d.npy"
+    np.save(p, np.ones((4, 4), np.float32))
+    with pytest.raises(ValueError, match="alpha"):
+        smooth_depth_files([str(p)], alpha=1.0)
+    # the reject must fire BEFORE any rewrite: the file is untouched
+    np.testing.assert_array_equal(np.load(p), np.ones((4, 4), np.float32))
+
 
 def test_smooth_cli_orders_by_frame_number(tmp_path):
     """depth-pro-smooth sorts numerically (frame_2 before frame_10) and
