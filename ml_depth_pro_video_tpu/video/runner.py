@@ -291,18 +291,20 @@ class DepthVideoRunner:
         if self.temporal_smooth > 0.0:
             from .temporal import smooth_batch
 
-            if self.mesh is not None:
+            if self.mesh is not None and self.parallel == "dp":
                 # the EMA scan's sequential carry runs over the
                 # dp-sharded batch axis: GSPMD must gather the whole
                 # sharded depth batch to thread it, adding a per-batch
                 # cross-device transfer and serializing what the chips
                 # would otherwise fetch independently. Correct, but the
                 # depth-pro-smooth post-pass avoids the collective.
+                # (latency mode shards the MODEL, not the batch — the
+                # elementwise EMA shards fine there, no warning.)
                 logging.getLogger(__name__).warning(
-                    "temporal_smooth on a mesh runner smooths SEQUENTIALLY "
-                    "across the sharded batch (adds an all-gather per "
-                    "batch); for throughput runs prefer the "
-                    "depth-pro-smooth post-pass")
+                    "temporal_smooth on a dp mesh runner smooths "
+                    "SEQUENTIALLY across the sharded batch (adds an "
+                    "all-gather per batch); for throughput runs prefer "
+                    "the depth-pro-smooth post-pass")
         else:
             smooth_batch = None
         if self.fetch_pack == "u16":

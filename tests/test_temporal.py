@@ -391,6 +391,40 @@ def test_runner_smoothing_survives_poisoned_state_chain(monkeypatch):
         np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)
 
 
+def test_dp_mesh_smoothing_warns_once(caplog):
+    """temporal_smooth on a dp mesh makes the EMA scan's sequential
+    carry run over the SHARDED batch axis (per-batch all-gather) — the
+    runner must say so and point at the depth-pro-smooth post-pass. A
+    smoothing-free dp runner must stay quiet."""
+    import logging
+
+    from ml_depth_pro_video_tpu.models.depth_pro import tiny_config
+    from ml_depth_pro_video_tpu.parallel.mesh import make_mesh
+    from ml_depth_pro_video_tpu.video.runner import DepthVideoRunner
+
+    mesh = make_mesh(tp=1)  # 8 fake CPU devices -> dp=8
+    runner = DepthVideoRunner(cfg=tiny_config(), precision="fp32",
+                              batch_size=8, mesh=mesh,
+                              temporal_smooth=0.8)
+    frame = np.zeros((tiny_config().img_size, tiny_config().img_size, 3),
+                     np.uint8)
+    with caplog.at_level(logging.WARNING,
+                         logger="ml_depth_pro_video_tpu.video.runner"):
+        out = list(runner.depth_stream([frame] * 8))
+    assert len(out) == 8
+    assert any("depth-pro-smooth post-pass" in r.message
+               for r in caplog.records)
+
+    caplog.clear()
+    quiet = DepthVideoRunner(cfg=tiny_config(), precision="fp32",
+                             batch_size=8, mesh=mesh)
+    with caplog.at_level(logging.WARNING,
+                         logger="ml_depth_pro_video_tpu.video.runner"):
+        out = list(quiet.depth_stream([frame] * 8))
+    assert len(out) == 8
+    assert not any("post-pass" in r.message for r in caplog.records)
+
+
 def test_runner_temporal_smooth_stream():
     from ml_depth_pro_video_tpu.models.depth_pro import tiny_config
     from ml_depth_pro_video_tpu.video.runner import DepthVideoRunner
