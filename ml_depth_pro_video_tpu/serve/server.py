@@ -13,6 +13,10 @@ Endpoints:
                             {depth_shape, focallength_px, min, max} plus
                             base64 npz when ?return=npz, or a 16-bit
                             grayscale PNG when ?return=png16.
+                            ?session=<id>&smooth=<alpha in [0,1)>
+                            applies per-stream temporal smoothing
+                            (video/temporal.py) to that client's frames
+                            — see :class:`_Sessions`.
 """
 
 from __future__ import annotations
@@ -92,6 +96,71 @@ class _Metrics:
             lines.append(f"depthpro_request_latency_seconds_sum {self.lat_sum:.6f}")
             lines.append(f"depthpro_request_latency_seconds_count {self.requests}")
         return "\n".join(lines) + "\n"
+
+
+class _Sessions:
+    """Per-client temporal smoothers for streaming video requests.
+
+    A serving batch coalesces UNRELATED concurrent requests, so the
+    runner-level stream smoother is rejected outright (see _Batcher) —
+    the production-correct semantic is one EMA state per client
+    stream, applied AFTER the batched inference in the request's own
+    thread (the batcher stays stateless; clients never blend). A
+    client opts in per request with ``?session=<id>&smooth=<alpha>``
+    (optional ``&tau=``); the filter is `video/temporal.py`'s
+    TemporalSmoother, identical to the offline `--temporal_smooth`
+    path frame for frame.
+
+    States evict after ``ttl_s`` idle and beyond ``max_sessions``
+    (least-recently-used) — an evicted session transparently re-seeds
+    on its next frame (frame passes through unsmoothed). A session's
+    frames are assumed SEQUENTIAL (a video client awaits each response
+    before sending the next frame); two in-flight frames of one
+    session serialize on the per-session lock in completion order.
+    Changing alpha/tau mid-session re-seeds (a new filter contract).
+    """
+
+    def __init__(self, ttl_s: float = 300.0, max_sessions: int = 64):
+        self.ttl_s = float(ttl_s)
+        self.max_sessions = int(max_sessions)
+        self._lock = threading.Lock()
+        # id -> [smoother, per-session lock, last-used monotonic, params]
+        self._entries: dict = {}
+
+    def apply(self, session: str, alpha: float, tau: float,
+              depth: np.ndarray) -> np.ndarray:
+        import time as _time
+
+        from ..video.temporal import TemporalSmoother
+
+        now = _time.monotonic()
+        with self._lock:
+            ent = self._entries.get(session)
+            if ent is None or ent[3] != (alpha, tau):
+                ent = [TemporalSmoother(alpha=alpha, tau=tau),
+                       threading.Lock(), now, (alpha, tau)]
+                self._entries[session] = ent
+            ent[2] = now
+            # purge AFTER the insert so the size cap sees the new entry
+            # (and never evicts it — it is now the most recently used)
+            self._purge(now)
+            smoother, session_lock = ent[0], ent[1]
+        with session_lock:
+            return smoother.update(depth)
+
+    def _purge(self, now: float) -> None:
+        """Caller holds self._lock."""
+        dead = [k for k, e in self._entries.items()
+                if now - e[2] > self.ttl_s]
+        for k in dead:
+            del self._entries[k]
+        while len(self._entries) > self.max_sessions:
+            lru = min(self._entries, key=lambda k: self._entries[k][2])
+            del self._entries[lru]
+
+    def count(self) -> int:
+        with self._lock:
+            return len(self._entries)
 
 
 class _Batcher:
@@ -195,7 +264,9 @@ class _Batcher:
                     done.set()
 
 
-def make_handler(batcher: _Batcher):
+def make_handler(batcher: _Batcher, sessions: _Sessions | None = None):
+    sessions = sessions if sessions is not None else _Sessions()
+
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, body: bytes, ctype: str = "application/json"):
             self.send_response(code)
@@ -215,7 +286,10 @@ def make_handler(batcher: _Batcher):
                 info = {"status": "ok", "device": str(jax.devices()[0])}
                 self._send(200, json.dumps(info).encode())
             elif path == "/metrics":
-                body = batcher.metrics.render(batcher.max_batch).encode()
+                body = (batcher.metrics.render(batcher.max_batch)
+                        + "# TYPE depthpro_smooth_sessions gauge\n"
+                          f"depthpro_smooth_sessions {sessions.count()}\n"
+                        ).encode()
                 self._send(200, body, ctype="text/plain; version=0.0.4")
             else:
                 self._send(404, b'{"error": "not found"}')
@@ -234,13 +308,37 @@ def make_handler(batcher: _Batcher):
                 if length > 64 * 1024 * 1024:
                     self._send(413, b'{"error": "body exceeds 64 MB"}')
                     return
-                data = self.rfile.read(length)
+                data = self.rfile.read(length)  # drain BEFORE any 4xx —
+                # responding mid-upload breaks pipelining clients
+                q = parse_qs(parsed.query)
+                session = q.get("session", [None])[0]
+                smooth = q.get("smooth", [None])[0]
+                if (session is None) != (smooth is None):
+                    self._send(400, b'{"error": "session and smooth must '
+                                    b'be given together (a smoother needs '
+                                    b'a stream identity)"}')
+                    return
+                if smooth is not None:
+                    try:
+                        alpha = float(smooth)
+                        tau = float(q.get("tau", ["0.05"])[0])
+                    except ValueError:
+                        alpha = -1.0  # falls into the range reject below
+                    if not 0.0 <= alpha < 1.0:
+                        self._send(400, b'{"error": "smooth must be in '
+                                        b'[0, 1)"}')
+                        return
                 from PIL import Image
 
                 img = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
                 result = batcher.infer(img)
-                ret = parse_qs(parsed.query).get("return", ["json"])[0]
+                ret = q.get("return", ["json"])[0]
                 depth = result["depth"]
+                if session is not None:
+                    # per-stream EMA applied AFTER the shared batch, in
+                    # this request's thread — unrelated clients in the
+                    # same device batch never blend
+                    depth = sessions.apply(session, alpha, tau, depth)
                 if ret == "png16":
                     lo, hi = float(depth.min()), float(depth.max())
                     normed = ((depth - lo) / max(hi - lo, 1e-9) * 65535).astype(np.uint16)
@@ -285,7 +383,9 @@ def create_server(host: str = "127.0.0.1", port: int = 8500, runner=None,
                   speed: str = "exact",
                   exported_path: str | None = None,
                   model: str = "large",
-                  quantize: bool = False) -> ThreadingHTTPServer:
+                  quantize: bool = False,
+                  session_ttl_s: float = 300.0,
+                  max_sessions: int = 64) -> ThreadingHTTPServer:
     """``warmup_shape=(H, W)`` compiles the full-batch program before the
     server accepts traffic — the first real request then runs at steady-
     state latency instead of paying the ~40 s XLA compile. ``parallel``:
@@ -326,7 +426,8 @@ def create_server(host: str = "127.0.0.1", port: int = 8500, runner=None,
         dummy = np.zeros((size, size, 3), np.uint8)
         list(runner.depth_stream([dummy] * max_batch))
     batcher = _Batcher(runner, max_batch=max_batch, max_wait_ms=max_wait_ms)
-    return ThreadingHTTPServer((host, port), make_handler(batcher))
+    sessions = _Sessions(ttl_s=session_ttl_s, max_sessions=max_sessions)
+    return ThreadingHTTPServer((host, port), make_handler(batcher, sessions))
 
 
 def main(argv=None):  # pragma: no cover
@@ -356,13 +457,21 @@ def main(argv=None):  # pragma: no cover
     ap.add_argument("--model", choices=list(_MP), default="large",
                     help="model family member (base/small need a "
                          "trained/distilled checkpoint)")
+    ap.add_argument("--session_ttl", type=float, default=300.0,
+                    help="idle seconds before a ?session smoother state "
+                         "is dropped (next frame re-seeds)")
+    ap.add_argument("--max_sessions", type=int, default=64,
+                    help="concurrent ?session smoother states kept "
+                         "(LRU-evicted beyond this)")
     args = ap.parse_args(argv)
     warm = tuple(int(v) for v in args.warmup.split("x")) if args.warmup else None
     server = create_server(args.host, args.port, max_batch=args.max_batch,
                            max_wait_ms=args.max_wait_ms, warmup_shape=warm,
                            parallel=args.parallel, speed=args.speed,
                            exported_path=args.exported, model=args.model,
-                           quantize=args.quantize)
+                           quantize=args.quantize,
+                           session_ttl_s=args.session_ttl,
+                           max_sessions=args.max_sessions)
     print(f"serving on {args.host}:{args.port}")
     server.serve_forever()
 

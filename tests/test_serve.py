@@ -155,3 +155,95 @@ def test_temporal_smooth_runner_rejected():
                               batch_size=2, temporal_smooth=0.8)
     with pytest.raises(ValueError, match="temporal_smooth"):
         _Batcher(runner, max_batch=2, max_wait_ms=20)
+
+
+def _video_frames(n, seed=20, shape=(48, 64, 3)):
+    """A jittery static scene: base frame + small per-frame noise."""
+    rng = np.random.default_rng(seed)
+    base = (rng.random(shape) * 255).astype(np.uint8)
+    out = []
+    for _ in range(n):
+        f = np.clip(base.astype(np.int16)
+                    + rng.integers(-3, 4, shape), 0, 255).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(f).save(buf, format="PNG")
+        out.append(buf.getvalue())
+    return out
+
+
+def _post_npz(server_url, body, query=""):
+    req = urllib.request.Request(
+        server_url + "/v1/depth?return=npz" + query, data=body,
+        headers={"Content-Type": "image/png"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        payload = json.loads(r.read())
+    with np.load(io.BytesIO(base64.b64decode(payload["npz_base64"]))) as z:
+        return z["depth"]
+
+
+def test_session_smoothing_matches_offline_filter(server_url):
+    """?session=&smooth= must equal TemporalSmoother applied to the raw
+    (sessionless) responses frame for frame, and two interleaved
+    sessions must each track their OWN stream — never blend."""
+    from ml_depth_pro_video_tpu.video.temporal import TemporalSmoother
+
+    # seeds chosen so the tiny random-weight model yields NON-constant
+    # depth for these scenes (many seeds saturate the whole map at the
+    # 1/1e-4 clamp, making smoothing a vacuous no-op)
+    frames_a = _video_frames(4, seed=40)
+    frames_b = _video_frames(4, seed=50)
+
+    raw_a = [_post_npz(server_url, f) for f in frames_a]
+    raw_b = [_post_npz(server_url, f) for f in frames_b]
+
+    got_a, got_b = [], []
+    for fa, fb in zip(frames_a, frames_b):  # interleaved streams
+        got_a.append(_post_npz(server_url, fa, "&session=a&smooth=0.8"))
+        got_b.append(_post_npz(server_url, fb, "&session=b&smooth=0.8"))
+
+    ref_a = TemporalSmoother(alpha=0.8)
+    ref_b = TemporalSmoother(alpha=0.8)
+    for raw, got, ref in ((raw_a, got_a, ref_a), (raw_b, got_b, ref_b)):
+        for r, g in zip(raw, got):
+            np.testing.assert_allclose(g, ref.update(r), rtol=1e-5,
+                                       atol=1e-6)
+    # later frames of a jittery static scene actually got smoothed
+    assert not np.allclose(got_a[2], raw_a[2])
+
+    # the gauge reflects the two live sessions
+    with urllib.request.urlopen(server_url + "/metrics") as r:
+        text = r.read().decode()
+    assert "depthpro_smooth_sessions 2" in text
+
+
+def test_session_smoothing_param_validation(server_url):
+    """smooth without session (and vice versa) is a 400; so is an
+    out-of-range or unparsable alpha — never a 500."""
+    body = _video_frames(1)[0]
+    for query in ("&smooth=0.8", "&session=x", "&session=x&smooth=1.0",
+                  "&session=x&smooth=nope"):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_npz(server_url, body, query)
+        assert e.value.code == 400, query
+
+
+def test_sessions_ttl_and_lru_eviction():
+    """Idle sessions evict after ttl_s; beyond max_sessions the
+    least-recently-used state is dropped (next frame re-seeds)."""
+    from ml_depth_pro_video_tpu.serve.server import _Sessions
+
+    d = np.full((4, 4), 2.0, np.float32)
+    s = _Sessions(ttl_s=1e-9, max_sessions=8)
+    s.apply("a", 0.8, 0.05, d)
+    assert s.count() == 1
+    s.apply("b", 0.8, 0.05, d)  # purge drops the now-idle "a"
+    assert s.count() == 1
+
+    s = _Sessions(ttl_s=3600.0, max_sessions=2)
+    for name in ("a", "b", "c"):
+        s.apply(name, 0.8, 0.05, d)
+    assert s.count() == 2  # "a" (LRU) evicted
+
+    # an evicted/new session's first frame passes through unsmoothed
+    out = s.apply("fresh", 0.8, 0.05, d * 3)
+    np.testing.assert_allclose(out, d * 3)
