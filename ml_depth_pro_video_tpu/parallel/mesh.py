@@ -33,5 +33,23 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("dp"))
 
 
+def round_batch_to_dp(batch_size: int, mesh: Mesh) -> int:
+    """Round ``batch_size`` UP to a multiple of the mesh's dp degree.
+
+    ``P("dp")`` sharding needs the leading dim divisible by dp; rounding
+    at construction beats crashing at the first ``device_put`` minutes
+    into a run. One rule shared by the inference runner and the trainer
+    so the two paths cannot drift."""
+    import logging
+
+    dp = mesh.shape.get("dp", 1)
+    if batch_size % dp:
+        rounded = ((batch_size + dp - 1) // dp) * dp
+        logging.getLogger(__name__).info(
+            "batch_size %d -> %d (multiple of dp=%d)", batch_size, rounded, dp)
+        return rounded
+    return batch_size
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())

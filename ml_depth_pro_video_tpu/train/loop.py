@@ -98,15 +98,9 @@ def fit(
         mesh = make_pp_mesh(dp=dp or max(n_dev // pp, 1), pp=pp)
     else:
         mesh = make_mesh(dp=dp, tp=tp)
-    # P("dp") sharding needs batch divisible by dp — round up like the
-    # inference runner (video/runner.py) instead of crashing at the
-    # first device_put minutes into startup
-    dp_size = mesh.shape.get("dp", 1)
-    if batch_size % dp_size:
-        rounded = ((batch_size + dp_size - 1) // dp_size) * dp_size
-        log.info("batch_size %d -> %d (multiple of dp=%d)",
-                 batch_size, rounded, dp_size)
-        batch_size = rounded
+    from ..parallel.mesh import round_batch_to_dp
+
+    batch_size = round_batch_to_dp(batch_size, mesh)
 
     dataset = DepthDataset(data_root, cfg.img_size, seed=seed)
     val_pairs = dataset.pairs[:holdout]
@@ -240,7 +234,9 @@ def _validate(params, pairs, cfg, precision, batch_size, mesh=None) -> float:
     ds.rng = np.random.default_rng(0)
     vals = [
         float(jitted(params, images, depth))
-        for images, depth in ds.batches(batch_size, epochs=1, drop_remainder=False)
+        for images, depth in ds.batches(batch_size, epochs=1,
+                                        drop_remainder=False,
+                                        zero_substitute=True)
     ]
     return float(np.mean(vals)) if vals else float("nan")
 

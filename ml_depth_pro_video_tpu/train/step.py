@@ -64,17 +64,32 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-2,
         raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
     if total_steps is not None:
         # the schedule advances once per APPLIED update, not per data
-        # batch — convert; and clamp warmup to a fraction of the run: a
-        # short fine-tune with the default warmup_steps=100 would
-        # otherwise end mid-ramp at a small fraction of the requested LR
+        # batch — convert (ceil, so any requested warmup survives
+        # accumulation). The explicit warmup_steps is HONORED: 0 means
+        # no warmup (plain cosine decay from the peak — forcing a
+        # minimum of 1 wasted the first update at lr=0), and a warmup
+        # that would swallow the whole run is truncated LOUDLY instead
+        # of silently capped.
+        import logging
+
         total_updates = max(total_steps // grad_accum, 1)
-        warmup_updates = max(warmup_steps // grad_accum, 0)
-        warmup_updates = min(max(warmup_updates, 1), max(total_updates // 10, 1))
-        lr = optax.warmup_cosine_decay_schedule(
-            init_value=0.0, peak_value=lr,
-            warmup_steps=warmup_updates,
-            decay_steps=max(total_updates, warmup_updates + 1),
-        )
+        warmup_updates = -(-max(warmup_steps, 0) // grad_accum)
+        if warmup_updates >= total_updates:
+            logging.getLogger(__name__).warning(
+                "warmup_steps=%d covers the whole %d-update run; "
+                "truncating warmup to %d updates so the schedule "
+                "reaches (and decays from) the requested peak LR",
+                warmup_steps, total_updates, max(total_updates - 1, 1))
+            warmup_updates = max(total_updates - 1, 1)
+        if warmup_updates == 0:
+            lr = optax.cosine_decay_schedule(init_value=lr,
+                                             decay_steps=total_updates)
+        else:
+            lr = optax.warmup_cosine_decay_schedule(
+                init_value=0.0, peak_value=lr,
+                warmup_steps=warmup_updates,
+                decay_steps=max(total_updates, warmup_updates + 1),
+            )
     tx = optax.adamw(lr, weight_decay=weight_decay)
     if clip_norm is not None:
         # clip the ACCUMULATED (averaged) gradient, not each microbatch:

@@ -66,14 +66,10 @@ class DepthVideoRunner:
         self.cfg = cfg
         self.precision = resolve_precision(precision)
         if mesh is not None and parallel == "dp":
-            # P("dp") sharding needs the batch dim divisible by dp; round
-            # up (dispatch pads partial batches to batch_size anyway)
-            dp = mesh.shape.get("dp", 1)
-            if batch_size % dp:
-                rounded = ((batch_size + dp - 1) // dp) * dp
-                logging.getLogger(__name__).info(
-                    "batch_size %d -> %d (multiple of dp=%d)", batch_size, rounded, dp)
-                batch_size = rounded
+            from ..parallel.mesh import round_batch_to_dp
+
+            # dispatch pads partial batches to batch_size anyway
+            batch_size = round_batch_to_dp(batch_size, mesh)
         self.batch_size = batch_size
         self.downscale_factor = downscale_factor
         self.mesh = mesh

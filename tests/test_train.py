@@ -241,3 +241,108 @@ def test_batches_pad_unreadable_instead_of_dropping(tmp_path):
     assert len(batches) == 1
     xs, dd = batches[0]
     assert xs.shape == (4, 16, 16, 3) and dd.shape == (4, 16, 16)
+
+
+def test_load_scales_metric_target_by_focal(tmp_path):
+    """Targets with a cached focallength_px (the distill labeler writes
+    one per pair) are converted from METRIC to CANONICAL-unit depth
+    (scaled by w/f_px): the loss supervises 1/canonical but inference
+    maps canonical to metric through f_px/w (models/depth_pro.py), so
+    training on raw metric depth would bake a systematic f_px/w scale
+    error into the model. Pairs without the key keep the old f_px == w
+    assumption."""
+    rng = np.random.default_rng(3)
+    img = (rng.random((32, 64, 3)) * 255).astype(np.uint8)  # w_orig = 64
+    d = rng.uniform(1, 10, (32, 64)).astype(np.float32)
+
+    Image.fromarray(img).save(tmp_path / "a.png")
+    np.savez(tmp_path / "a_depth.npz", depth=d,
+             focallength_px=np.float32(32.0))  # f_px = w/2
+    Image.fromarray(img).save(tmp_path / "b.png")
+    np.savez(tmp_path / "b_depth.npz", depth=d)  # no focal: raw metric
+
+    ds = DepthDataset(str(tmp_path), image_size=16)
+    _, da = ds._load(0)
+    _, db = ds._load(1)
+    valid = (da > 0) & (db > 0)
+    # w/f_px = 64/32 = 2: focal-bearing pairs come out exactly 2x
+    np.testing.assert_allclose(da[valid], 2.0 * db[valid], rtol=1e-6)
+
+
+def test_warmup_zero_is_honored():
+    """warmup_steps=0 must mean NO warmup: the first applied update runs
+    at the full peak LR instead of a silently-forced lr=0 no-op step."""
+    import optax
+
+    from ml_depth_pro_video_tpu.train.step import make_optimizer
+
+    tx = make_optimizer(lr=1e-2, warmup_steps=0, total_steps=20,
+                        clip_norm=None)
+    params = {"w": jnp.ones((4,))}
+    state = tx.init(params)
+    grad = {"w": jnp.full((4,), 1.0)}
+    updates, state = tx.update(grad, state, params)
+    # AdamW's first update at peak LR has magnitude ~ lr
+    assert float(jnp.abs(updates["w"]).max()) > 1e-3
+
+
+def test_warmup_longer_than_run_truncates_loudly(caplog):
+    """A warmup covering the whole run is truncated with a warning (it
+    used to be silently capped at 10% of the run)."""
+    import logging
+
+    from ml_depth_pro_video_tpu.train.step import make_optimizer
+
+    with caplog.at_level(logging.WARNING,
+                         logger="ml_depth_pro_video_tpu.train.step"):
+        make_optimizer(lr=1e-2, warmup_steps=1000, total_steps=20)
+    assert any("truncating warmup" in r.message for r in caplog.records)
+
+
+def test_batches_zero_substitute_keeps_composition(tmp_path):
+    """zero_substitute=True (the validation mode) replaces an unreadable
+    pair IN PLACE with a zero-loss row instead of skipping it, so batch
+    composition stays deterministic across runs (and pod hosts)."""
+    rng = np.random.default_rng(5)
+    for i in range(4):
+        Image.fromarray((rng.random((16, 16, 3)) * 255).astype(np.uint8)).save(
+            tmp_path / f"f{i}.png")
+        np.save(tmp_path / f"f{i}_depth.npy",
+                np.full((16, 16), 2.0, np.float32))
+    ds = DepthDataset(str(tmp_path), image_size=16, seed=0)
+    open(ds.pairs[2][0], "wb").write(b"corrupt")
+    batches = list(ds.batches(4, epochs=1, zero_substitute=True))
+    assert len(batches) == 1
+    xs, dd = batches[0]
+    assert xs.shape == (4, 16, 16, 3) and dd.shape == (4, 16, 16)
+    # exactly one row zeroed out (the corrupt pair's slot)
+    zero_rows = [i for i in range(4) if float(np.abs(dd[i]).sum()) == 0.0]
+    assert len(zero_rows) == 1
+
+
+def test_batches_producer_exits_when_consumer_abandons(tmp_path):
+    """Abandoning the generator early (a raising train step, a break)
+    must release the producer thread — it used to block on q.put
+    forever, pinning its decoded batches for the life of the process."""
+    import threading
+    import time
+
+    rng = np.random.default_rng(6)
+    for i in range(8):
+        Image.fromarray((rng.random((16, 16, 3)) * 255).astype(np.uint8)).save(
+            tmp_path / f"f{i}.png")
+        np.save(tmp_path / f"f{i}_depth.npy", np.ones((16, 16), np.float32))
+    ds = DepthDataset(str(tmp_path), image_size=16)
+
+    before = set(threading.enumerate())
+    gen = ds.batches(2, epochs=50, prefetch=1)  # 200 batches pending
+    next(gen)
+    gen.close()  # consumer walks away
+    deadline = time.monotonic() + 10.0
+    while time.monotonic() < deadline:
+        leaked = [t for t in set(threading.enumerate()) - before
+                  if t.is_alive()]
+        if not leaked:
+            break
+        time.sleep(0.05)
+    assert not leaked, leaked
