@@ -137,7 +137,12 @@ class _Sessions:
         with self._lock:
             ent = self._entries.get(session)
             if ent is None or ent[3] != (alpha, tau):
-                ent = [TemporalSmoother(alpha=alpha, tau=tau),
+                # host=True: alpha/tau/resolution are CLIENT-controlled —
+                # the jitted kernel would compile (and permanently cache)
+                # one executable per distinct value/shape, and each
+                # request would queue a device op behind the batcher's
+                # inference stream. The numpy twin has neither problem.
+                ent = [TemporalSmoother(alpha=alpha, tau=tau, host=True),
                        threading.Lock(), now, (alpha, tau)]
                 self._entries[session] = ent
             ent[2] = now
@@ -159,7 +164,14 @@ class _Sessions:
             del self._entries[lru]
 
     def count(self) -> int:
+        import time as _time
+
         with self._lock:
+            # purge here too: apply() only runs on smoothing traffic, so
+            # an idle server would otherwise hold max_sessions states
+            # (and report them in the gauge) forever — the periodic
+            # /metrics scrape is the natural idle-time eviction driver
+            self._purge(_time.monotonic())
             return len(self._entries)
 
 
@@ -321,12 +333,22 @@ def make_handler(batcher: _Batcher, sessions: _Sessions | None = None):
                 if smooth is not None:
                     try:
                         alpha = float(smooth)
-                        tau = float(q.get("tau", ["0.05"])[0])
                     except ValueError:
                         alpha = -1.0  # falls into the range reject below
                     if not 0.0 <= alpha < 1.0:
                         self._send(400, b'{"error": "smooth must be in '
                                         b'[0, 1)"}')
+                        return
+                    try:
+                        tau = float(q.get("tau", ["0.05"])[0])
+                    except ValueError:
+                        tau = -1.0
+                    # tau <= 0 or NaN makes every pixel fail the static
+                    # test — the client would pay for session state while
+                    # silently receiving unsmoothed depth
+                    if not tau > 0.0:
+                        self._send(400, b'{"error": "tau must be a '
+                                        b'positive number"}')
                         return
                 from PIL import Image
 

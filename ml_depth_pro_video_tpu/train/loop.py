@@ -232,11 +232,17 @@ def _validate(params, pairs, cfg, precision, batch_size, mesh=None) -> float:
     ds.image_size = cfg.img_size
     ds.pairs = pairs
     ds.rng = np.random.default_rng(0)
+    # zero_substitute keeps batch composition deterministic, but a batch
+    # with NO valid pixels (every pair unreadable) returns an exact-0.0
+    # silog — averaging that in would drag val_silog optimistically
+    # toward 0, so such batches are excluded from the mean (the old
+    # drop-the-batch semantic, without disturbing row alignment)
     vals = [
         float(jitted(params, images, depth))
         for images, depth in ds.batches(batch_size, epochs=1,
                                         drop_remainder=False,
                                         zero_substitute=True)
+        if bool(np.any(np.asarray(depth) > 0))
     ]
     return float(np.mean(vals)) if vals else float("nan")
 

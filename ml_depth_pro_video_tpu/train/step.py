@@ -75,12 +75,16 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-2,
         total_updates = max(total_steps // grad_accum, 1)
         warmup_updates = -(-max(warmup_steps, 0) // grad_accum)
         if warmup_updates >= total_updates:
+            # floor 0, not 1: a 1-update run with any warmup would
+            # evaluate its only update at schedule step 0 = lr 0.0
+            # (params bit-identical to init); the warmup-free cosine
+            # branch below handles warmup_updates == 0 at peak LR
+            warmup_updates = max(total_updates - 1, 0)
             logging.getLogger(__name__).warning(
                 "warmup_steps=%d covers the whole %d-update run; "
                 "truncating warmup to %d updates so the schedule "
                 "reaches (and decays from) the requested peak LR",
-                warmup_steps, total_updates, max(total_updates - 1, 1))
-            warmup_updates = max(total_updates - 1, 1)
+                warmup_steps, total_updates, warmup_updates)
         if warmup_updates == 0:
             lr = optax.cosine_decay_schedule(init_value=lr,
                                              decay_steps=total_updates)

@@ -48,13 +48,22 @@ def _update_core(state: jnp.ndarray, depth: jnp.ndarray, *, alpha: float,
         w = (jnp.abs(s - ref) / (jnp.abs(ref) + eps) < 2.0 * tau).astype(
             jnp.float32)
         n = jnp.sum(w)
-        sw_ss = jnp.sum(w * s * s)
-        sw_s = jnp.sum(w * s)
-        sw_sr = jnp.sum(w * s * ref)
-        sw_r = jnp.sum(w * ref)
-        det = sw_ss * n - sw_s * sw_s
-        a = (sw_sr * n - sw_s * sw_r) / jnp.where(det > eps, det, 1.0)
-        b = (sw_r - a * sw_s) / jnp.maximum(n, 1.0)
+        nsafe = jnp.maximum(n, 1.0)
+        # CENTERED (covariance-form) weighted least squares. The raw
+        # normal equations (n*Σws² - (Σws)²) cancel catastrophically in
+        # fp32 at inverse depths ~1e-4 (the difference is ~1e-7 of the
+        # terms), making the fitted scale noisy at ~3e-4 rel and
+        # reduction-order dependent; centering removes the cancellation.
+        # Identity in exact math: det = n * Σw(s-m̄)².
+        m_s = jnp.sum(w * s) / nsafe
+        m_r = jnp.sum(w * ref) / nsafe
+        ds_c = s - m_s
+        dr_c = ref - m_r
+        var = jnp.sum(w * ds_c * ds_c)
+        cov = jnp.sum(w * ds_c * dr_c)
+        det = n * var
+        a = cov / jnp.where(det > eps, var, 1.0)
+        b = m_r - a * m_s
         # degenerate fit (too few static pixels / flat scene): identity.
         # A scale fit far from 1 is a scene cut, not flicker — identity
         # there too, and the per-pixel gate below re-seeds the state.
@@ -68,6 +77,46 @@ def _update_core(state: jnp.ndarray, depth: jnp.ndarray, *, alpha: float,
 
 _update = functools.partial(jax.jit, static_argnames=("alpha", "tau", "align"))(
     _update_core)
+
+
+def _update_core_np(state: np.ndarray, depth: np.ndarray, *, alpha: float,
+                    tau: float, align: bool):
+    """Host (numpy) twin of :func:`_update_core`, same math in fp32.
+
+    Exists for the serving layer's per-session smoothers: the jitted
+    kernel is shape- and (alpha, tau)-specialized, so client-controlled
+    resolutions/params would grow the XLA executable cache without
+    bound (one multi-second compile per distinct value), and every
+    request would queue a device op behind the batcher's inference
+    stream. Proven equal to the device path in tests/test_temporal.py."""
+    eps = np.float32(1e-6)
+    s = np.float32(1.0) / np.clip(depth.astype(np.float32), eps, 1e6)
+    ref = np.float32(1.0) / np.clip(state.astype(np.float32), eps, 1e6)
+
+    if align:
+        w = (np.abs(s - ref) / (np.abs(ref) + eps) < 2.0 * tau).astype(
+            np.float32)
+        n = np.sum(w)
+        nsafe = max(n, 1.0)
+        # centered form, mirroring the device kernel (see the comment
+        # there): the raw normal equations cancel catastrophically at
+        # inverse depths ~1e-4 and would diverge from the device path
+        m_s = np.sum(w * s) / nsafe
+        m_r = np.sum(w * ref) / nsafe
+        ds_c = s - m_s
+        dr_c = ref - m_r
+        var = np.sum(w * ds_c * ds_c)
+        cov = np.sum(w * ds_c * dr_c)
+        det = n * var
+        a = cov / (var if det > eps else 1.0)
+        b = m_r - a * m_s
+        ok = (det > eps) and (n > 0.01 * s.size) and (0.5 < a < 2.0)
+        if ok:
+            s = a * s + b
+    static = np.abs(s - ref) / (np.abs(ref) + eps) < tau
+    blended = np.where(static, alpha * ref + (1.0 - alpha) * s, s)
+    out = np.float32(1.0) / np.clip(blended, eps, 1e6)
+    return out, out
 
 
 @functools.partial(jax.jit, static_argnames=("alpha", "tau", "align"))
@@ -127,15 +176,23 @@ class TemporalSmoother:
     change above which a pixel counts as real motion and passes
     through. ``align``: fit the global scale+shift each frame.
     A resolution change (or ``reset()``) re-seeds the state.
+
+    ``host=True`` runs the numpy twin of the kernel instead of the
+    jitted device one — same fp32 math, no XLA compile per distinct
+    (shape, alpha, tau) and no device dispatch. The serving layer's
+    per-session smoothers use it (those params are client-controlled,
+    so device-side they would grow the executable cache without bound
+    and serialize every request behind the inference stream).
     """
 
     def __init__(self, alpha: float = 0.8, tau: float = 0.05,
-                 align: bool = True):
+                 align: bool = True, host: bool = False):
         if not 0.0 <= alpha < 1.0:
             raise ValueError(f"alpha must be in [0, 1), got {alpha}")
         self.alpha = float(alpha)
         self.tau = float(tau)
         self.align = bool(align)
+        self.host = bool(host)
         self._state = None
 
     def reset(self) -> None:
@@ -144,6 +201,15 @@ class TemporalSmoother:
     def update(self, depth) -> np.ndarray:
         """depth: (H, W) metric depth (numpy or jax). Returns the
         smoothed (H, W) fp32 numpy map."""
+        if self.host:
+            d = np.asarray(depth)
+            if self._state is None or self._state.shape != d.shape:
+                self._state = np.asarray(d, np.float32)
+                return self._state
+            self._state, out = _update_core_np(
+                self._state, d, alpha=self.alpha, tau=self.tau,
+                align=self.align)
+            return out
         d = jnp.asarray(depth)
         if self._state is None or self._state.shape != d.shape:
             self._state = jnp.asarray(d, jnp.float32)

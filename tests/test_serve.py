@@ -4,6 +4,7 @@ import base64
 import io
 import json
 import threading
+import time
 import urllib.request
 
 import numpy as np
@@ -205,6 +206,9 @@ def test_session_smoothing_matches_offline_filter(server_url):
     ref_b = TemporalSmoother(alpha=0.8)
     for raw, got, ref in ((raw_a, got_a, ref_a), (raw_b, got_b, ref_b)):
         for r, g in zip(raw, got):
+            # oracle is the DEVICE smoother while the server runs the
+            # numpy twin; they differ only by fp32 reduction order in
+            # the (centered, well-conditioned) align-fit sums
             np.testing.assert_allclose(g, ref.update(r), rtol=1e-5,
                                        atol=1e-6)
     # later frames of a jittery static scene actually got smoothed
@@ -221,7 +225,14 @@ def test_session_smoothing_param_validation(server_url):
     out-of-range or unparsable alpha — never a 500."""
     body = _video_frames(1)[0]
     for query in ("&smooth=0.8", "&session=x", "&session=x&smooth=1.0",
-                  "&session=x&smooth=nope"):
+                  "&session=x&smooth=nope",
+                  # tau: unparsable, non-positive, and NaN all 400 (a
+                  # tau <= 0 would silently disable smoothing while the
+                  # client pays for session state)
+                  "&session=x&smooth=0.8&tau=abc",
+                  "&session=x&smooth=0.8&tau=-1",
+                  "&session=x&smooth=0.8&tau=0",
+                  "&session=x&smooth=0.8&tau=nan"):
         with pytest.raises(urllib.error.HTTPError) as e:
             _post_npz(server_url, body, query)
         assert e.value.code == 400, query
@@ -235,9 +246,9 @@ def test_sessions_ttl_and_lru_eviction():
     d = np.full((4, 4), 2.0, np.float32)
     s = _Sessions(ttl_s=1e-9, max_sessions=8)
     s.apply("a", 0.8, 0.05, d)
-    assert s.count() == 1
     s.apply("b", 0.8, 0.05, d)  # purge drops the now-idle "a"
-    assert s.count() == 1
+    with s._lock:
+        assert set(s._entries) == {"b"}
 
     s = _Sessions(ttl_s=3600.0, max_sessions=2)
     for name in ("a", "b", "c"):
@@ -247,3 +258,10 @@ def test_sessions_ttl_and_lru_eviction():
     # an evicted/new session's first frame passes through unsmoothed
     out = s.apply("fresh", 0.8, 0.05, d * 3)
     np.testing.assert_allclose(out, d * 3)
+
+    # idle-time eviction: apply() never runs again on a quiet server, so
+    # count() (the /metrics scrape) must purge expired states itself
+    s = _Sessions(ttl_s=1e-9, max_sessions=8)
+    s.apply("idle", 0.8, 0.05, d)
+    time.sleep(0.01)
+    assert s.count() == 0

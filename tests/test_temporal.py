@@ -442,3 +442,30 @@ def test_runner_temporal_smooth_stream():
     # no-op on an already-static stream
     np.testing.assert_allclose(results[3]["depth"], results[0]["depth"],
                                rtol=1e-5, atol=1e-7)
+
+
+def test_host_twin_equals_device_path():
+    """TemporalSmoother(host=True) — the serving layer's per-session
+    form (no XLA compile per client (shape, alpha, tau), no device
+    dispatch) — must equal the jitted device path frame for frame,
+    including the align fit, scene-cut identity, and reseeding."""
+    rng = np.random.default_rng(7)
+    base = _static_scene()
+    frames = []
+    for i in range(6):
+        scale = 1.0 + 0.02 * rng.standard_normal()  # global flicker
+        f = base * scale * (1.0 + 0.01 * rng.standard_normal(base.shape)
+                            .astype(np.float32))
+        frames.append(f.astype(np.float32))
+    frames.append((base * 4.0).astype(np.float32))  # scene cut
+    frames.append((base * 4.0).astype(np.float32))
+
+    dev = TemporalSmoother(alpha=0.8, tau=0.05, align=True)
+    host = TemporalSmoother(alpha=0.8, tau=0.05, align=True, host=True)
+    for f in frames:
+        np.testing.assert_allclose(host.update(f), dev.update(f),
+                                   rtol=1e-5, atol=1e-6)
+
+    # resolution change reseeds identically
+    small = np.full((8, 8), 5.0, np.float32)
+    np.testing.assert_allclose(host.update(small), dev.update(small))

@@ -346,3 +346,57 @@ def test_batches_producer_exits_when_consumer_abandons(tmp_path):
             break
         time.sleep(0.05)
     assert not leaked, leaked
+
+
+def test_single_update_run_trains_at_peak_lr():
+    """A run with exactly ONE applied update and any warmup_steps > 0
+    must still train: warmup truncates to ZERO (cosine from peak), not
+    to 1 — a 1-update warmup would evaluate the run's only step at
+    schedule position 0 = lr 0.0 and return params bit-identical to
+    init."""
+    from ml_depth_pro_video_tpu.train.step import make_optimizer
+
+    tx = make_optimizer(lr=1e-2, warmup_steps=100, total_steps=1,
+                        clip_norm=None)
+    params = {"w": jnp.ones((4,))}
+    state = tx.init(params)
+    grad = {"w": jnp.full((4,), 1.0)}
+    updates, state = tx.update(grad, state, params)
+    # AdamW's normalized first step is ~lr; lr=0 would make it exactly 0
+    assert float(jnp.abs(updates["w"]).max()) > 1e-3
+
+
+def test_validate_excludes_all_invalid_batches(tmp_path):
+    """_validate zero-substitutes unreadable holdout pairs (batch
+    composition stays deterministic), but a batch with NO valid pixels
+    returns an exact-0.0 silog that must NOT be averaged in — it would
+    bias val_silog optimistically toward 0."""
+    from PIL import Image
+
+    from ml_depth_pro_video_tpu.train.loop import _validate
+    from ml_depth_pro_video_tpu.models.depth_pro import (init_depth_pro,
+                                                          tiny_config)
+    from ml_depth_pro_video_tpu.train.step import Precision
+
+    cfg = tiny_config()
+    rng = np.random.default_rng(0)
+    good_img = tmp_path / "good.png"
+    Image.fromarray((rng.uniform(0, 255, (32, 32, 3))).astype(np.uint8)
+                    ).save(good_img)
+    np.save(tmp_path / "good_depth.npy",
+            rng.uniform(1.0, 5.0, (32, 32)).astype(np.float32))
+    bad_img = tmp_path / "bad.png"
+    bad_img.write_bytes(b"not a png")
+    np.save(tmp_path / "bad_depth.npy",
+            rng.uniform(1.0, 5.0, (32, 32)).astype(np.float32))
+
+    params = init_depth_pro(jax.random.PRNGKey(0), cfg)
+    precision = Precision.fp32()
+    pairs_good = [(str(good_img), str(tmp_path / "good_depth.npy"))]
+    pairs_both = pairs_good + [(str(bad_img), str(tmp_path / "bad_depth.npy"))]
+
+    # batch_size 1: the bad pair becomes its own all-zero batch
+    val_good = _validate(params, pairs_good, cfg, precision, batch_size=1)
+    val_both = _validate(params, pairs_both, cfg, precision, batch_size=1)
+    assert np.isfinite(val_good) and val_good > 0
+    assert val_both == pytest.approx(val_good)  # 0.0 batch excluded
