@@ -18,6 +18,7 @@ import logging
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..ckpt.checkpointing import restore_train_state, save_train_state
@@ -204,6 +205,18 @@ def fit(
 def _jitted_loss(cfg, precision, attn_impl, mesh=None):
     from .step import loss_fn
 
+    # returns (silog, any_valid_pixel): the validity flag is computed
+    # IN-PROGRAM so _validate's exclude-empty-batch decision never turns
+    # into host-side control flow that can diverge across a pod (a
+    # transient decode failure on ONE host zero-substitutes that host's
+    # copy only; skipping the call there while the others execute it
+    # desyncs the collective program — the exact hazard zero_substitute
+    # exists to prevent)
+    def val_loss(params, images, depth):
+        return (loss_fn(params, images, depth, cfg=cfg, precision=precision,
+                        attn_impl=attn_impl),
+                jnp.any(depth > 0))
+
     # cached so repeated validation rounds reuse one compiled program
     # (Precision and DepthProConfig are frozen/hashable dataclasses).
     # Multi-host: host-local val batches cannot mix with mesh-global
@@ -216,8 +229,7 @@ def _jitted_loss(cfg, precision, attn_impl, mesh=None):
 
         rep = NamedSharding(mesh, P())
         kw = dict(in_shardings=(None, rep, rep))
-    return jax.jit(_functools.partial(loss_fn, cfg=cfg, precision=precision,
-                                      attn_impl=attn_impl), **kw)
+    return jax.jit(val_loss, **kw)
 
 
 def _validate(params, pairs, cfg, precision, batch_size, mesh=None) -> float:
@@ -235,15 +247,17 @@ def _validate(params, pairs, cfg, precision, batch_size, mesh=None) -> float:
     # zero_substitute keeps batch composition deterministic, but a batch
     # with NO valid pixels (every pair unreadable) returns an exact-0.0
     # silog — averaging that in would drag val_silog optimistically
-    # toward 0, so such batches are excluded from the mean (the old
-    # drop-the-batch semantic, without disturbing row alignment)
-    vals = [
-        float(jitted(params, images, depth))
-        for images, depth in ds.batches(batch_size, epochs=1,
-                                        drop_remainder=False,
-                                        zero_substitute=True)
-        if bool(np.any(np.asarray(depth) > 0))
-    ]
+    # toward 0, so such batches are excluded from the mean. The validity
+    # flag comes back FROM the jitted program (see _jitted_loss): every
+    # host executes the identical call sequence, so a decode failure on
+    # one pod host can never skip a collective invocation there
+    vals = []
+    for images, depth in ds.batches(batch_size, epochs=1,
+                                    drop_remainder=False,
+                                    zero_substitute=True):
+        v, ok = jitted(params, images, depth)
+        if bool(ok):
+            vals.append(float(v))
     return float(np.mean(vals)) if vals else float("nan")
 
 
