@@ -21,6 +21,19 @@ from ml_depth_pro_video_tpu.train.step import make_sharded_train_step
 DRY_CFG = tiny_config()
 
 
+def test_round_batch_to_dp():
+    """One rounding rule shared by the runner and the trainer
+    (parallel/mesh.py): batch sizes round UP to a dp multiple, exact
+    multiples (and dp=1 meshes) pass through untouched."""
+    from ml_depth_pro_video_tpu.parallel.mesh import round_batch_to_dp
+
+    mesh = make_mesh(dp=4, tp=2)
+    assert round_batch_to_dp(8, mesh) == 8
+    assert round_batch_to_dp(5, mesh) == 8
+    assert round_batch_to_dp(1, mesh) == 4
+    assert round_batch_to_dp(3, make_mesh(dp=1, tp=8)) == 3
+
+
 def test_mesh_and_tp_shardings():
     mesh = make_mesh(dp=4, tp=2)
     assert dict(mesh.shape) == {"dp": 4, "tp": 2}
