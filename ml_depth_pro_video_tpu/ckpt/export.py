@@ -80,25 +80,55 @@ def _abstract_params(cfg: DepthProConfig, quantize: bool = False):
 
 
 def export_infer(cfg: DepthProConfig, precision="bf16", batch_size: int = 1,
-                 path: str | None = None, quantize: bool = False):
+                 path: str | None = None, quantize: bool = False,
+                 mesh=None):
     """Export the inference program for ``batch_size`` uint8 frames at
     the model's native resolution. Returns the ``jax.export.Exported``;
     writes the serialized artifact to ``path`` when given.
     ``quantize`` exports the int8-weight variant of the program (the
-    param argument then takes the `ckpt/quantize.py` tree)."""
+    param argument then takes the `ckpt/quantize.py` tree).
+
+    ``mesh``: export the DATA-PARALLEL multi-chip program instead — the
+    exact shard_map the video runner uses on a pod host
+    (`parallel/spmd.py::make_dp_infer`: params replicated, batch split
+    over ``dp``). The artifact then pins the device count; serve it
+    through a runner built with an equally-sized dp mesh. This is what
+    makes AOT deployment pod-grade: the 8-chip host — the deployment the
+    framework targets — starts with zero XLA compile, not just the
+    single-chip case."""
     from jax import export as jex
 
     precision = resolve_precision(precision)
-    fn = jax.jit(_runner_fn(cfg, precision))
-    x = jax.ShapeDtypeStruct((batch_size, cfg.img_size, cfg.img_size, 3),
-                             jnp.uint8)
+    p_abs = _abstract_params(cfg, quantize=quantize)
+    if mesh is None:
+        fn = jax.jit(_runner_fn(cfg, precision))
+        x = jax.ShapeDtypeStruct((batch_size, cfg.img_size, cfg.img_size, 3),
+                                 jnp.uint8)
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import batch_sharding
+        from ..parallel.spmd import make_dp_infer
+
+        dp = mesh.shape["dp"]
+        if batch_size % dp:
+            raise ValueError(
+                f"batch_size {batch_size} must be a multiple of the mesh's "
+                f"dp={dp} (each chip takes batch/dp frames)")
+        fn = make_dp_infer(_runner_fn(cfg, precision), mesh)
+        rep = NamedSharding(mesh, P())
+        p_abs = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=rep),
+            p_abs)
+        x = jax.ShapeDtypeStruct((batch_size, cfg.img_size, cfg.img_size, 3),
+                                 jnp.uint8, sharding=batch_sharding(mesh))
     # Mosaic kernels lower to the "tpu_custom_call" target, which export
     # refuses without an explicit opt-in (it cannot verify stability
     # guarantees of arbitrary custom calls; Mosaic's is fine on the
     # matching libtpu)
     exported = jex.export(
         fn, disabled_checks=[jex.DisabledSafetyCheck.custom_call("tpu_custom_call")],
-    )(_abstract_params(cfg, quantize=quantize), x)
+    )(p_abs, x)
     if path is not None:
         data = exported.serialize()
         with open(path, "wb") as f:
@@ -123,6 +153,10 @@ def export_infer(cfg: DepthProConfig, precision="bf16", batch_size: int = 1,
                 "token_merge_block": cfg.token_merge_block,
                 "quantized": quantize,
                 "platforms": list(exported.platforms),
+                # multi-chip artifacts pin the device count (1 = the
+                # single-chip program); the loader cross-checks it
+                # against the serving mesh
+                "nr_devices": exported.nr_devices,
             }, f, indent=1)
         LOGGER.info("exported %s (%d bytes, platforms=%s, batch=%d, %dpx)",
                     path, len(data), exported.platforms, batch_size,
@@ -131,10 +165,14 @@ def export_infer(cfg: DepthProConfig, precision="bf16", batch_size: int = 1,
 
 
 def load_exported(path: str, cfg: DepthProConfig | None = None,
-                  precision=None, quantize: bool | None = None):
+                  precision=None, quantize: bool | None = None,
+                  n_devices: int | None = None):
     """Deserialize an artifact; returns the ``Exported`` (use
     ``.call(params, frames_uint8)``). Raises on platform mismatch at
-    call time, not load time.
+    call time, not load time. ``n_devices``: assert the artifact was
+    exported for exactly that many devices (1 = single-chip; a dp-mesh
+    runner passes its mesh size) — a mismatched artifact would die at
+    call time with an opaque device-assignment error.
 
     When ``cfg``/``precision``/``quantize`` are given and a sidecar
     manifest exists (written by ``export_infer``), mismatched model
@@ -178,6 +216,12 @@ def load_exported(path: str, cfg: DepthProConfig | None = None,
 
     with open(path, "rb") as f:
         exported = jex.deserialize(bytearray(f.read()))
+    if n_devices is not None and exported.nr_devices != n_devices:
+        raise ValueError(
+            f"exported artifact {path} was exported for "
+            f"{exported.nr_devices} device(s) but the runner serves "
+            f"{n_devices} — re-export with "
+            + (f"--dp {n_devices}" if n_devices > 1 else "no --dp"))
     if quantize is not None:
         # weight-format check straight from the artifact, so it holds
         # even without the sidecar manifest: a quantized param tree
@@ -214,6 +258,10 @@ def main(argv=None) -> None:  # pragma: no cover - thin CLI, tested via lib
                     help="export the int8-weight program variant "
                          "(serve it with a quantize_vit_weights param "
                          "tree — 4x smaller ViT weight footprint)")
+    ap.add_argument("--dp", type=int, default=0,
+                    help="export the N-device data-parallel program "
+                         "(shard_map over a dp mesh — the pod-host "
+                         "serving path; 0 = single-device)")
     ap.add_argument("--tiny", action="store_true",
                     help="miniature config (smoke tests)")
     from ..models.depth_pro import MODEL_PRESETS as _MP
@@ -229,8 +277,13 @@ def main(argv=None) -> None:  # pragma: no cover - thin CLI, tested via lib
         from ..models.depth_pro import apply_speed
 
         cfg = apply_speed(cfg, args.speed)
+    mesh = None
+    if args.dp:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp=args.dp, tp=1)
     exported = export_infer(cfg, args.precision, args.batch_size, args.output,
-                            quantize=args.quantize)
+                            quantize=args.quantize, mesh=mesh)
     print(f"exported platforms={exported.platforms} "
           f"in={[str(a) for a in exported.in_avals[-1:]]} -> {args.output}")
 

@@ -86,6 +86,12 @@ def initialize(coordinator_address: str | None = None,
     log.info("multihost: process %d/%d, %d local / %d global devices",
              jax.process_index(), n,
              jax.local_device_count(), jax.device_count())
+    # every pod process compiles the same SPMD program — the persistent
+    # cache makes restarts (and processes beyond the first on a shared
+    # filesystem) disk reads instead of 20-40 s recompiles
+    from ..utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     return n > 1
 
 

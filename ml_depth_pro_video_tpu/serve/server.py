@@ -113,7 +113,12 @@ class _Sessions:
 
     States evict after ``ttl_s`` idle and beyond ``max_sessions``
     (least-recently-used) — an evicted session transparently re-seeds
-    on its next frame (frame passes through unsmoothed). A session's
+    on its next frame (frame passes through unsmoothed). Evictions are
+    NOT invisible: every response that seeded a fresh state says so
+    (``smooth_seeded`` json field / ``X-Smooth-Seeded`` header — a
+    client past its first frame reads it as "my stream lost temporal
+    state"), and eviction counts per reason are exported at /metrics
+    (``depthpro_smooth_evictions_total``). A session's
     frames are assumed SEQUENTIAL (a video client awaits each response
     before sending the next frame); two in-flight frames of one
     session serialize on the per-session lock in completion order.
@@ -126,9 +131,15 @@ class _Sessions:
         self._lock = threading.Lock()
         # id -> [smoother, per-session lock, last-used monotonic, params]
         self._entries: dict = {}
+        # lifetime eviction counters (reason -> count), under _lock
+        self.evictions = {"ttl": 0, "lru": 0}
 
     def apply(self, session: str, alpha: float, tau: float,
-              depth: np.ndarray) -> np.ndarray:
+              depth: np.ndarray) -> tuple[np.ndarray, bool]:
+        """Smooth ``depth`` through the session's filter. Returns
+        ``(depth, seeded)`` — ``seeded`` is True when THIS request
+        created a fresh state (first frame, post-eviction, or an
+        alpha/tau change): the frame passed through unsmoothed."""
         import time as _time
 
         from ..video.temporal import TemporalSmoother
@@ -136,7 +147,8 @@ class _Sessions:
         now = _time.monotonic()
         with self._lock:
             ent = self._entries.get(session)
-            if ent is None or ent[3] != (alpha, tau):
+            seeded = ent is None or ent[3] != (alpha, tau)
+            if seeded:
                 # host=True: alpha/tau/resolution are CLIENT-controlled —
                 # the jitted kernel would compile (and permanently cache)
                 # one executable per distinct value/shape, and each
@@ -151,7 +163,7 @@ class _Sessions:
             self._purge(now)
             smoother, session_lock = ent[0], ent[1]
         with session_lock:
-            return smoother.update(depth)
+            return smoother.update(depth), seeded
 
     def _purge(self, now: float) -> None:
         """Caller holds self._lock."""
@@ -159,9 +171,15 @@ class _Sessions:
                 if now - e[2] > self.ttl_s]
         for k in dead:
             del self._entries[k]
+        self.evictions["ttl"] += len(dead)
         while len(self._entries) > self.max_sessions:
             lru = min(self._entries, key=lambda k: self._entries[k][2])
             del self._entries[lru]
+            self.evictions["lru"] += 1
+
+    def eviction_counts(self) -> dict:
+        with self._lock:
+            return dict(self.evictions)
 
     def count(self) -> int:
         import time as _time
@@ -298,9 +316,14 @@ def make_handler(batcher: _Batcher, sessions: _Sessions | None = None):
                 info = {"status": "ok", "device": str(jax.devices()[0])}
                 self._send(200, json.dumps(info).encode())
             elif path == "/metrics":
+                ev = sessions.eviction_counts()
                 body = (batcher.metrics.render(batcher.max_batch)
                         + "# TYPE depthpro_smooth_sessions gauge\n"
                           f"depthpro_smooth_sessions {sessions.count()}\n"
+                        + "# TYPE depthpro_smooth_evictions_total counter\n"
+                        + "".join(
+                            f'depthpro_smooth_evictions_total{{reason="{r}"}}'
+                            f" {n}\n" for r, n in sorted(ev.items()))
                         ).encode()
                 self._send(200, body, ctype="text/plain; version=0.0.4")
             else:
@@ -356,11 +379,12 @@ def make_handler(batcher: _Batcher, sessions: _Sessions | None = None):
                 result = batcher.infer(img)
                 ret = q.get("return", ["json"])[0]
                 depth = result["depth"]
+                seeded = None
                 if session is not None:
                     # per-stream EMA applied AFTER the shared batch, in
                     # this request's thread — unrelated clients in the
                     # same device batch never blend
-                    depth = sessions.apply(session, alpha, tau, depth)
+                    depth, seeded = sessions.apply(session, alpha, tau, depth)
                 if ret == "png16":
                     lo, hi = float(depth.min()), float(depth.max())
                     normed = ((depth - lo) / max(hi - lo, 1e-9) * 65535).astype(np.uint16)
@@ -378,6 +402,11 @@ def make_handler(batcher: _Batcher, sessions: _Sessions | None = None):
                     self.send_header("X-Depth-Max", f"{hi:.6f}")
                     self.send_header("X-Focallength-Px",
                                      f"{result['focallength_px']:.3f}")
+                    if seeded is not None:
+                        # "1" on any frame past the client's first means
+                        # the stream's smoothing state was evicted
+                        self.send_header("X-Smooth-Seeded",
+                                         "1" if seeded else "0")
                     self.end_headers()
                     self.wfile.write(body)
                     return
@@ -387,6 +416,8 @@ def make_handler(batcher: _Batcher, sessions: _Sessions | None = None):
                     "depth_min": float(depth.min()),
                     "depth_max": float(depth.max()),
                 }
+                if seeded is not None:
+                    payload["smooth_seeded"] = seeded
                 if ret == "npz":
                     buf = io.BytesIO()
                     np.savez_compressed(buf, depth=depth)

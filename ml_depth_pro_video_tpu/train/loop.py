@@ -80,6 +80,12 @@ def fit(
     file appends across resumes (the step field orders everything).
     """
     precision = precision or Precision.bf16()
+    # warm restarts (resume after preemption — the pod norm) re-read the
+    # compiled train step from the persistent cache instead of re-paying
+    # the full-dims XLA compile in every process
+    from ..utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     if pp > 1:
         if tp > 1:
             raise ValueError("pp and tp cannot be combined (pick one of "

@@ -63,6 +63,12 @@ class DepthVideoRunner:
             from ..models.depth_pro import apply_speed
 
             cfg = apply_speed(cfg, speed)
+        # persistent XLA cache: a restarted process re-reads its compiled
+        # programs from disk instead of re-paying the 20-40 s full-dims
+        # compile (utils/compile_cache.py; no-op on CPU/test backends)
+        from ..utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
         self.cfg = cfg
         self.precision = resolve_precision(precision)
         if mesh is not None and parallel == "dp":
@@ -135,16 +141,20 @@ class DepthVideoRunner:
         # (mixed f_px, odd tail shapes, meshes) falls back to jit
         self._exported = None
         if exported_path is not None:
-            if mesh is not None:
+            if mesh is not None and parallel != "dp":
                 raise ValueError("exported_path serves the single-device "
-                                 "path; mesh programs must jit")
+                                 "and dp-mesh paths; latency-parallel "
+                                 "programs must jit")
             from ..ckpt.export import load_exported
 
             # the artifact's weight format must match this runner's
             # param prep: depth-pro-export --quantize pairs with
-            # quantize=True here (cross-checked via the manifest)
-            self._exported = load_exported(exported_path, cfg, self.precision,
-                                           quantize=quantize)
+            # quantize=True here (cross-checked via the manifest); a
+            # dp-mesh runner needs the matching multi-device artifact
+            # (depth-pro-export --dp N)
+            self._exported = load_exported(
+                exported_path, cfg, self.precision, quantize=quantize,
+                n_devices=1 if mesh is None else mesh.size)
             self._exported_shape = tuple(self._exported.in_avals[-1].shape)
             if self._exported_shape[0] != self.batch_size:
                 # shape-mismatched batches fall back to jit SILENTLY per

@@ -103,14 +103,59 @@ def test_runner_serves_exported_artifact(tmp_path):
     np.testing.assert_array_equal(results[1]["depth"], ref[1]["depth"])
 
 
-def test_runner_exported_guards():
+def test_runner_exported_guards(tmp_path):
     from ml_depth_pro_video_tpu.parallel.mesh import make_mesh
     from ml_depth_pro_video_tpu.video.runner import DepthVideoRunner
 
-    with pytest.raises(ValueError, match="single-device"):
-        DepthVideoRunner(cfg=CFG, batch_size=2,
+    # latency mode shards the MODEL — no exported artifact covers it
+    with pytest.raises(ValueError, match="latency"):
+        DepthVideoRunner(cfg=CFG, batch_size=2, parallel="latency",
                          mesh=make_mesh(dp=2, tp=1, devices=jax.devices()[:2]),
                          exported_path="/nonexistent")
+    # a dp-mesh runner must refuse a single-device artifact (and vice
+    # versa): the device count is pinned at export time
+    path = str(tmp_path / "model.jaxexp")
+    export_infer(CFG, "fp32", batch_size=2, path=path)
+    with pytest.raises(ValueError, match="2"):
+        DepthVideoRunner(cfg=CFG, precision="fp32", batch_size=2,
+                         mesh=make_mesh(dp=2, tp=1, devices=jax.devices()[:2]),
+                         exported_path=path)
+
+
+def test_dp_mesh_export_roundtrip_and_runner(tmp_path):
+    """The pod-host serving path (VERDICT r4 #1): export the dp shard_map
+    program, reload it, and serve it through a dp-mesh runner — outputs
+    must equal the jit path's, with zero jit compile for the hot key."""
+    import numpy as np
+
+    from ml_depth_pro_video_tpu.parallel.mesh import make_mesh
+    from ml_depth_pro_video_tpu.video.runner import DepthVideoRunner
+
+    mesh = make_mesh(dp=4, tp=1, devices=jax.devices()[:4])
+    path = str(tmp_path / "model_dp4.jaxexp")
+    export_infer(CFG, "fp32", batch_size=4, path=path, mesh=mesh)
+    # non-divisible batch is an export-time error, not a call-time crash
+    with pytest.raises(ValueError, match="multiple"):
+        export_infer(CFG, "fp32", batch_size=3, mesh=mesh)
+
+    runner = DepthVideoRunner(cfg=CFG, precision="fp32", batch_size=4,
+                              mesh=mesh, exported_path=path)
+    rng = np.random.default_rng(3)
+    s = CFG.img_size
+    frames = [(rng.random((s, s, 3)) * 255).astype(np.uint8)
+              for _ in range(4)]
+    results = list(runner.depth_stream(frames))
+    assert len(results) == 4
+    key = ((4, s, s, 3), False, False)
+    assert getattr(runner._jit[key], "__self__", None) is runner._exported
+
+    plain = DepthVideoRunner(cfg=CFG, precision="fp32", batch_size=4,
+                             mesh=mesh)
+    plain.params = runner.params
+    ref = list(plain.depth_stream(frames))
+    for got, want in zip(results, ref):
+        np.testing.assert_allclose(got["depth"], want["depth"],
+                                   rtol=1e-6, atol=0)
 
 
 def test_quantized_export_roundtrip_and_manifest(tmp_path):

@@ -249,15 +249,24 @@ def test_sessions_ttl_and_lru_eviction():
     s.apply("b", 0.8, 0.05, d)  # purge drops the now-idle "a"
     with s._lock:
         assert set(s._entries) == {"b"}
+    assert s.eviction_counts()["ttl"] >= 1
 
     s = _Sessions(ttl_s=3600.0, max_sessions=2)
     for name in ("a", "b", "c"):
         s.apply(name, 0.8, 0.05, d)
     assert s.count() == 2  # "a" (LRU) evicted
+    assert s.eviction_counts() == {"ttl": 0, "lru": 1}
 
-    # an evicted/new session's first frame passes through unsmoothed
-    out = s.apply("fresh", 0.8, 0.05, d * 3)
+    # an evicted/new session's first frame passes through unsmoothed —
+    # and says so (seeded=True); subsequent frames report False
+    out, seeded = s.apply("fresh", 0.8, 0.05, d * 3)
     np.testing.assert_allclose(out, d * 3)
+    assert seeded is True
+    _, seeded = s.apply("fresh", 0.8, 0.05, d * 3)
+    assert seeded is False
+    # an alpha change is a new filter contract: re-seeds, and reports it
+    _, seeded = s.apply("fresh", 0.5, 0.05, d * 3)
+    assert seeded is True
 
     # idle-time eviction: apply() never runs again on a quiet server, so
     # count() (the /metrics scrape) must purge expired states itself
@@ -265,3 +274,27 @@ def test_sessions_ttl_and_lru_eviction():
     s.apply("idle", 0.8, 0.05, d)
     time.sleep(0.01)
     assert s.count() == 0
+
+
+def test_session_eviction_visible_over_http(server_url):
+    """A bursted client must be able to TELL its stream lost temporal
+    state: smooth_seeded in the json body, and the eviction counter at
+    /metrics (VERDICT r4 #8)."""
+    frames = _video_frames(3, seed=40)
+
+    def post(body, query):
+        req = urllib.request.Request(
+            server_url + "/v1/depth?return=json" + query, data=body,
+            headers={"Content-Type": "image/png"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return json.loads(r.read())
+
+    # sessionless requests carry no flag at all
+    assert "smooth_seeded" not in post(frames[0], "")
+    # first frame seeds; the next one doesn't
+    assert post(frames[0], "&session=ev&smooth=0.8")["smooth_seeded"] is True
+    assert post(frames[1], "&session=ev&smooth=0.8")["smooth_seeded"] is False
+    with urllib.request.urlopen(server_url + "/metrics") as r:
+        text = r.read().decode()
+    assert 'depthpro_smooth_evictions_total{reason="lru"}' in text
+    assert 'depthpro_smooth_evictions_total{reason="ttl"}' in text

@@ -81,3 +81,42 @@ def test_negative_exif_f35_yields_no_focal(tmp_path, monkeypatch):
                         lambda img: {"FocalLengthIn35mmFilm": 28})
     _, _, f_px = io_image.load_rgb(path)
     assert f_px is not None and f_px > 0
+
+
+def test_compilation_cache_policy(tmp_path, monkeypatch):
+    """Persistent-cache wiring (utils/compile_cache.py): off on CPU by
+    default, on with an explicit dir/force, idempotent, env opt-out."""
+    import os
+
+    import jax
+
+    from ml_depth_pro_video_tpu.utils import compile_cache as cc
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        monkeypatch.delenv("DEPTH_PRO_COMPILE_CACHE", raising=False)
+        # CPU backend, no env, no force: disabled (test processes would
+        # churn entries for interpreter-speed programs)
+        monkeypatch.setattr(cc, "_state", {"configured": False, "dir": None})
+        assert cc.enable_compilation_cache() is None
+
+        # explicit dir + force: configured, directory created
+        monkeypatch.setattr(cc, "_state", {"configured": False, "dir": None})
+        d = cc.enable_compilation_cache(str(tmp_path / "cache"), force=True)
+        assert d is not None and os.path.isdir(d)
+        assert jax.config.jax_compilation_cache_dir == d
+        # idempotent: the first successful call wins
+        assert cc.enable_compilation_cache("/somewhere/else") == d
+
+        # env opt-out beats force
+        monkeypatch.setattr(cc, "_state", {"configured": False, "dir": None})
+        monkeypatch.setenv("DEPTH_PRO_COMPILE_CACHE", "off")
+        assert cc.enable_compilation_cache(force=True) is None
+
+        # env dir force-enables even on CPU (the CI/dryrun hook)
+        monkeypatch.setattr(cc, "_state", {"configured": False, "dir": None})
+        monkeypatch.setenv("DEPTH_PRO_COMPILE_CACHE", str(tmp_path / "envc"))
+        d2 = cc.enable_compilation_cache()
+        assert d2 == str(tmp_path / "envc") and os.path.isdir(d2)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
