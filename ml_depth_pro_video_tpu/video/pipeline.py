@@ -194,6 +194,7 @@ def process_images_to_floor_plans(
     temporal_smooth: float = 0.0,
     model: str = "large",
     packed_fetch: bool = False,
+    geometry: str = "host",
 ):
     """Process a frame directory into per-frame floor plans.
 
@@ -211,6 +212,24 @@ def process_images_to_floor_plans(
     pod = jax.process_count() > 1
     if pod:
         from ..parallel import multihost as mh
+    if geometry not in ("host", "device"):
+        raise ValueError(f"geometry must be 'host' or 'device', got "
+                         f"{geometry!r}")
+    if geometry == "device":
+        # the device tier runs unproject→normalize→clean→splat as ONE
+        # XLA program per frame (geom/device_floorplan.py) — it covers
+        # the plain floorplan output only; shape fitting and 3D previews
+        # need the cleaned host cloud
+        if fit_shapes or visualize_3d:
+            raise ValueError(
+                "--geometry device serves the plain floorplan path; "
+                "shape fitting / 3D previews need the host cloud "
+                "(drop --fit_shapes/--visualize_3d or use --geometry host)")
+        if pod and (x_limits is None or z_limits is None):
+            raise ValueError(
+                "multi-host --geometry device needs explicit --x_limits/"
+                "--z_limits (each host would otherwise frame its own "
+                "first frame and the plans would not align)")
     output_dir = output_dir or frames_dir
     os.makedirs(output_dir, exist_ok=True)
 
@@ -422,16 +441,43 @@ def process_images_to_floor_plans(
         # depth (~20 MB at 1536^2) — an unbounded backlog OOMs long runs
         inflight = threading.Semaphore(num_workers * 2)
 
+        device_session = None
+        if geometry == "device":
+            from ..geom.device_floorplan import DeviceFloorplanSession
+
+            device_session = DeviceFloorplanSession(
+                ground_model, height_threshold=height_threshold,
+                x_limits=x_limits, z_limits=z_limits)
+
         def handle(result):
             nonlocal n_done
             try:
-                ok, dt = process_single_frame(
-                    result, output_dir, ground_model,
-                    height_threshold=height_threshold, point_size=point_size,
-                    fit_shapes=fit_shapes, visualize_3d=visualize_3d,
-                    simple_output=simple_output, output_all_files=output_all_files,
-                    x_limits=x_limits, z_limits=z_limits, renderer=renderer,
-                )
+                if device_session is not None:
+                    frame_name = os.path.splitext(
+                        os.path.basename(result["key"]))[0]
+                    plan_path = os.path.join(
+                        output_dir, f"{frame_name}_clean_simple_view.png")
+                    t0 = time.time()
+                    try:
+                        device_session.process(
+                            result["depth"], result["image"],
+                            result["focallength_px"], plan_path)
+                        ok, dt = True, time.time() - t0
+                    except Exception as exc:  # noqa: BLE001 - per-frame
+                        # fault isolation, same contract as the host path
+                        import traceback
+
+                        print(f"Error processing {result.get('key')}: {exc}")
+                        traceback.print_exc()
+                        ok, dt = False, time.time() - t0
+                else:
+                    ok, dt = process_single_frame(
+                        result, output_dir, ground_model,
+                        height_threshold=height_threshold, point_size=point_size,
+                        fit_shapes=fit_shapes, visualize_3d=visualize_3d,
+                        simple_output=simple_output, output_all_files=output_all_files,
+                        x_limits=x_limits, z_limits=z_limits, renderer=renderer,
+                    )
             finally:
                 inflight.release()
             with progress_lock:
@@ -507,6 +553,11 @@ def main(argv=None):  # pragma: no cover - CLI shim, exercised via cli tests
     ap.add_argument("--force_reprocess", action="store_true")
     ap.add_argument("--batch_size", type=int, default=1)
     ap.add_argument("--renderer", choices=["matplotlib", "fast"], default="matplotlib")
+    ap.add_argument("--geometry", choices=["host", "device"], default="host",
+                    help="device: run unproject/normalize/clean/splat as "
+                         "ONE on-chip program per frame (plain floorplan "
+                         "output only; implies --no_fit_shapes — "
+                         "geom/device_floorplan.py)")
     from ..models.depth_pro import SPEED_PRESETS as _SP
     ap.add_argument("--speed", choices=sorted(_SP), default="exact",
                     help="ToMe token-merge approximation tiers "
@@ -628,13 +679,17 @@ def main(argv=None):  # pragma: no cover - CLI shim, exercised via cli tests
         height_threshold=args.height_threshold, point_size=args.point_size,
         downscale_factor=args.downscale_factor, half_precision=args.half_precision,
         start_frame=args.start_frame, end_frame=args.end_frame, pattern=args.pattern,
-        fit_shapes=args.fit_shapes, visualize_3d=args.visualize_3d,
+        # --geometry device implies --no_fit_shapes (the default
+        # fit_shapes=True would otherwise always trip the guard)
+        fit_shapes=args.fit_shapes and args.geometry != "device",
+        visualize_3d=args.visualize_3d,
         num_workers=args.num_workers, simple_output=args.simple_output,
         output_all_files=args.output_all_files, resume=args.resume,
         force_reprocess=args.force_reprocess, batch_size=args.batch_size,
         renderer=args.renderer, parallel=args.parallel, speed=args.speed,
         temporal_smooth=args.temporal_smooth, model=args.model,
         packed_fetch=args.packed_fetch,
+        geometry=args.geometry,
         x_limits=tuple(args.x_limits) if args.x_limits else None,
         z_limits=tuple(args.z_limits) if args.z_limits else None,
     )

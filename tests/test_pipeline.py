@@ -80,6 +80,33 @@ def test_pipeline_frame_range(tiny_runner, frames_dir, tmp_path):
     assert list(completed) == ["output_0001.png"]
 
 
+def test_pipeline_device_geometry(tiny_runner, frames_dir, tmp_path):
+    """--geometry device: the floorplan is produced by the on-chip
+    program (geom/device_floorplan.py); outputs land at the same paths
+    with the same progress schema, and the guard rejects modes needing
+    the host cloud."""
+    out = str(tmp_path / "device_out")
+    completed = process_images_to_floor_plans(
+        frames_dir, output_dir=out, num_workers=2, fit_shapes=False,
+        geometry="device", runner=tiny_runner, force_reprocess=True,
+    )
+    assert len(completed) == 3
+    for i in range(3):
+        p = os.path.join(out, f"output_{i:04d}_clean_simple_view.png")
+        assert os.path.exists(p)
+        img = np.asarray(Image.open(p))
+        assert img.ndim == 3 and img.shape[2] == 3
+
+    with pytest.raises(ValueError, match="fit_shapes"):
+        process_images_to_floor_plans(
+            frames_dir, output_dir=out, fit_shapes=True, geometry="device",
+            runner=tiny_runner, force_reprocess=True)
+    with pytest.raises(ValueError, match="geometry"):
+        process_images_to_floor_plans(
+            frames_dir, output_dir=out, geometry="gpu",
+            runner=tiny_runner, force_reprocess=True)
+
+
 def test_fast_floorplan_renderer(tiny_runner, frames_dir, tmp_path):
     import time
 
@@ -185,6 +212,7 @@ def test_runner_downscale_rescales_fpx(frames_dir):
     assert abs(r["focallength_px"] - 200.0) < 1e-3
 
 
+@pytest.mark.slow
 def test_mixed_fpx_batch_keeps_given_focals(tiny_runner):
     """A batch mixing EXIF and EXIF-less frames must use the provided
     f_px for the frames that have one (FOV derivation only fills the
@@ -235,6 +263,7 @@ def test_dp_batch_size_rounds_up_to_mesh():
     assert runner.batch_size == 8
 
 
+@pytest.mark.slow
 def test_depth_stream_mixed_resolutions_batched():
     """A resolution change mid-stream flushes the partial batch instead
     of crashing np.stack (regression; docstring contract)."""
@@ -254,6 +283,7 @@ def test_depth_stream_mixed_resolutions_batched():
     assert results[2]["depth"].shape == (40, 32)
 
 
+@pytest.mark.slow
 def test_depth_stream_pipeline_depths_equivalent():
     """pipeline_depth only changes host/device overlap, never results
     or ordering: depths 1/2/3 over 9 frames (full, partial, and
@@ -320,6 +350,7 @@ def test_resume_retries_failed_frames(tmp_path, monkeypatch, tiny_runner):
     assert calls["n"] == 1  # only the failed frame is reprocessed
 
 
+@pytest.mark.slow
 def test_parallel_decode_loader_order_and_fault_isolation(frames_dir, tmp_path):
     """decode_workers > 1: results keep input order, corrupt frames are
     skipped (not fatal), and outputs equal the serial loader's."""
