@@ -143,7 +143,10 @@ def _packed_kernel_bias(x_ref, bias_ref, o_ref, *, scale: float,
     -inf pad mask, so the in-kernel iota goes away). Kept as a separate
     kernel so the exact hot path stays untouched when no bias is used."""
     hd = (x_ref.shape[-1] // 3) // num_heads
-    bias = bias_ref[0][None, :]  # (1, s_pad): log-size + pad -inf
+    # (1, 8, s_pad) sublane-tiled block (see flash_attention_packed_bias:
+    # a (1, s_pad) block violates Mosaic's div-8 sublane rule on real
+    # TPUs); every row of the tile is the same bias — read one
+    bias = bias_ref[0, 0][None, :]  # (1, s_pad): log-size + pad -inf
     for h in range(num_heads):
         base = h * 3 * hd
         q = x_ref[0, :q_rows, base:base + hd]
@@ -176,6 +179,13 @@ def flash_attention_packed_bias(qkv: jnp.ndarray, key_bias: jnp.ndarray,
     x = jnp.pad(qkv, ((0, 0), (0, s_pad - s), (0, 0)))
     bias = jnp.pad(key_bias.astype(jnp.float32), ((0, 0), (0, s_pad - s)),
                    constant_values=-jnp.inf)
+    # Mosaic requires a block's last two dims to be (sublane=8, lane=128)
+    # multiples or exactly the array dims — a (1, s_pad) per-batch bias
+    # block satisfies neither and fails to LOWER on real TPUs (caught by
+    # the round-5 trained-proxy eval; interpret mode never checks this).
+    # Tile each row across one 8-wide sublane axis instead: the block
+    # becomes (1, 8, s_pad) and the kernel reads row 0.
+    bias = jnp.broadcast_to(bias[:, None, :], (b, 8, s_pad))
 
     bh = block_heads or num_heads
     assert num_heads % bh == 0
@@ -187,7 +197,7 @@ def flash_attention_packed_bias(qkv: jnp.ndarray, key_bias: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, s_pad, 3 * hd * bh), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_pad), lambda i, j: (i, 0),
+            pl.BlockSpec((1, 8, s_pad), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, s_pad, hd * bh), lambda i, j: (i, 0, j),

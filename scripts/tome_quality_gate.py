@@ -35,75 +35,14 @@ def log(m):
 
 
 # ---------------------------------------------------------------------------
-# synthetic structured scenes: shaded boxes in a room, correlated RGB/depth
+# synthetic structured scenes: shared generators (round 5 moved them into
+# the package so the CI regression test and the fixture trainer use the
+# SAME families — utils/synthetic.py)
 
-
-def make_scene(rng: np.random.Generator, size: int = 512):
-    """Raycast a room (floor + back wall + 2-4 boxes) through a pinhole
-    camera; RGB = per-surface albedo * Lambert shading; depth = ray z.
-    Large smooth regions + sharp depth edges = the spatial redundancy
-    real images have."""
-    f = size * 0.9
-    ys, xs = np.mgrid[0:size, 0:size]
-    dx = (xs - size / 2) / f
-    dy = -(ys - size / 2) / f
-    d = np.stack([dx, dy, np.ones_like(dx)], axis=-1)
-
-    t_hit = np.full((size, size), np.inf)
-    normal = np.zeros((size, size, 3))
-    albedo = np.zeros((size, size, 3))
-
-    def register(t, cond, n, alb):
-        nonlocal t_hit, normal, albedo
-        ok = cond & (t > 0.1) & (t < t_hit)
-        t_hit = np.where(ok, t, t_hit)
-        normal[ok] = n
-        albedo[ok] = alb
-
-    floor_y = -1.0 - rng.uniform(0, 0.5)
-    zb = rng.uniform(4.0, 7.0)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        tf = floor_y / d[..., 1]
-        register(tf, d[..., 1] < 0, [0, 1, 0], rng.uniform(0.3, 0.9, 3))
-        tb = zb / d[..., 2]
-        register(tb, np.isfinite(tb), [0, 0, -1], rng.uniform(0.3, 0.9, 3))
-        for _ in range(rng.integers(2, 5)):
-            cx = rng.uniform(-1.5, 1.5)
-            cz = rng.uniform(1.5, zb - 0.5)
-            w, h = rng.uniform(0.2, 0.8, 2)
-            top = floor_y + h
-            alb = rng.uniform(0.2, 1.0, 3)
-            # front face z = cz
-            tz = cz / d[..., 2]
-            p = d * tz[..., None]
-            register(tz, (np.abs(p[..., 0] - cx) < w) & (p[..., 1] > floor_y)
-                     & (p[..., 1] < top), [0, 0, -1], alb)
-            # top face y = top
-            ty = top / d[..., 1]
-            p = d * ty[..., None]
-            register(ty, (d[..., 1] < 0) & (np.abs(p[..., 0] - cx) < w)
-                     & (p[..., 2] > cz) & (p[..., 2] < cz + 2 * w),
-                     [0, 1, 0], alb)
-
-    t_hit = np.where(np.isfinite(t_hit), t_hit, zb)
-    light = np.asarray([0.5, 0.8, -0.3])
-    light = light / np.linalg.norm(light)
-    lam = np.clip((normal * light).sum(-1), 0.15, 1.0)[..., None]
-    img = np.clip(albedo * lam * 255 * rng.uniform(0.8, 1.2), 0, 255).astype(np.uint8)
-    depth = (t_hit * np.linalg.norm(d, axis=-1)).astype(np.float32)
-    return img, depth
-
-
-def write_dataset(root: str, n: int, seed: int = 0, size: int = 512):
-    from PIL import Image
-
-    os.makedirs(root, exist_ok=True)
-    rng = np.random.default_rng(seed)
-    for i in range(n):
-        img, depth = make_scene(rng, size)
-        Image.fromarray(img).save(os.path.join(root, f"scene_{i:04d}.png"))
-        np.save(os.path.join(root, f"scene_{i:04d}_depth.npy"), depth)
-
+from ml_depth_pro_video_tpu.utils.synthetic import (  # noqa: E402
+    make_scene_boxes as make_scene,
+    write_dataset,
+)
 
 # ---------------------------------------------------------------------------
 
