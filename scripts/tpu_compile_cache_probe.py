@@ -18,6 +18,8 @@ import subprocess
 import sys
 import time
 
+sys.path.insert(0, "/root/repo")
+
 CACHE = "/tmp/depth_pro_cache_probe"
 
 

@@ -1,0 +1,125 @@
+"""Full-dims training performance on the real chip (VERDICT r4 #4).
+
+Measures s/step and achieved TF/s for the single-chip ViT-L 1536^2
+train step (grad + AdamW update), and isolates the Pallas-attention
+backward's share by timing the same step with attn_impl="xla".
+
+The monolithic 1536^2 step crashed the tunnel's remote compile helper
+in round 4 (scripts/tpu_train_probe2.py) — this probe retries it
+guarded, falling back to the component decomposition when the full
+compile still fails. Self-terminating; writes scripts/tpu_train_perf.out.
+
+FLOP accounting: the forward at 1536^2 costs ~13.9 TF/frame
+(docs/PERFORMANCE.md anatomy); fwd+bwd with remat on the ViT scan is
+~3x forward FLOPs + one extra forward for the remat recompute = ~4x
+forward when remat is active on the trunk (we report both bounds).
+"""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+OUT = open("/root/repo/scripts/tpu_train_perf.out", "w")
+
+
+def log(m):
+    print(m, flush=True)
+    OUT.write(m + "\n")
+    OUT.flush()
+
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import optax  # noqa: E402
+
+from ml_depth_pro_video_tpu.core.precision import Precision  # noqa: E402
+from ml_depth_pro_video_tpu.models.depth_pro import (  # noqa: E402
+    DEFAULT_MONODEPTH_CONFIG,
+    init_depth_pro,
+)
+from ml_depth_pro_video_tpu.train.step import (  # noqa: E402
+    make_optimizer,
+    TrainState,
+    loss_fn,
+)
+
+FWD_TF_PER_FRAME = 13.9  # measured forward cost (docs/PERFORMANCE.md)
+
+
+def main():
+    import dataclasses
+
+    log(f"devices: {jax.devices()}")
+    cfg = dataclasses.replace(DEFAULT_MONODEPTH_CONFIG, checkpoint_uri=None)
+    prec = Precision.bf16()
+    params = init_depth_pro(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer()
+
+    rng = np.random.default_rng(0)
+
+    def try_step(batch: int, attn_impl: str | None):
+        tag = f"b{batch} attn={attn_impl or 'default'}"
+        images = jnp.asarray(rng.standard_normal(
+            (batch, cfg.img_size, cfg.img_size, 3)).astype(np.float32))
+        depth = jnp.ones((batch, cfg.img_size, cfg.img_size), jnp.float32)
+
+        kw = {} if attn_impl is None else {"attn_impl": attn_impl}
+
+        def step(state, im, de):
+            def lf(p):
+                return loss_fn(p, im, de, cfg, prec, **kw)
+
+            loss, grads = jax.value_and_grad(lf)(state.params)
+            upd, opt_state = opt.update(grads, state.opt_state, state.params)
+            return TrainState(optax.apply_updates(state.params, upd),
+                              opt_state, state.step + 1), loss
+
+        state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+        fn = jax.jit(step, donate_argnums=(0,))
+        try:
+            t0 = time.perf_counter()
+            state, loss = fn(state, images, depth)
+            l0 = float(loss)
+            log(f"{tag}: first step (compile+run) {time.perf_counter()-t0:.1f}s "
+                f"loss={l0:.3f}")
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                state, loss = fn(state, images, depth)
+                _ = float(loss)  # scalar fetch = reliable sync over the tunnel
+                times.append(time.perf_counter() - t0)
+            t = min(times)
+            tf3 = 3 * FWD_TF_PER_FRAME * batch / t
+            tf4 = 4 * FWD_TF_PER_FRAME * batch / t
+            log(f"{tag}: {t*1000:.0f} ms/step = {t/batch*1000:.0f} ms/frame; "
+                f"achieved {tf3:.0f}-{tf4:.0f} TF/s "
+                f"(3x-4x fwd FLOP bounds) = "
+                f"{100*tf3/128:.0f}-{100*tf4/128:.0f}% of the 128 TF/s "
+                f"matmul ceiling")
+            return t
+        except Exception as e:  # noqa: BLE001
+            log(f"{tag}: FAILED {type(e).__name__}: {str(e)[:300]}")
+            return None
+
+    t_b1 = try_step(1, None)
+    time.sleep(5)
+    if t_b1 is not None:
+        t_xla = try_step(1, "xla")
+        time.sleep(5)
+        if t_xla is not None:
+            log(f"pallas-vs-xla attention backward delta: "
+                f"{(t_xla - t_b1)*1000:+.0f} ms/step "
+                f"({t_xla/t_b1:.2f}x)")
+        # batch scaling: does the step stay compute-bound at b2/b4?
+        for b in (2, 4):
+            if try_step(b, None) is None:
+                break
+            time.sleep(5)
+    log("DONE")
+
+
+if __name__ == "__main__":
+    main()
+    OUT.close()

@@ -110,6 +110,7 @@ def test_forward_parity_grid24():
     np.testing.assert_allclose(np.asarray(j_fov), t_fov.numpy().reshape(-1), rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_batched_infer_matches_per_frame(pair):
     """Batch-layout correctness: the 35-patch split/merge must not mix
     frames — infer on a 2-frame batch equals two single-frame infers."""

@@ -110,6 +110,7 @@ def test_distill_labels_from_video(teacher, tmp_path):
     assert distill_labels(vid, labels, teacher_runner=teacher) == 0
 
 
+@pytest.mark.slow
 def test_distill_end_to_end_tiny(teacher, frames_dir, tmp_path):
     """Teacher labels + student fit on the cache: two SGD steps run and
     the state advances (the student here is the tiny config — the

@@ -265,6 +265,7 @@ print(f"WORKER{pid}_OK", flush=True)
 """
 
 
+@pytest.mark.slow
 def test_two_process_stream(tmp_path):
     """Full pod-slice streaming path: 2 hosts x 2 devices run the tiny
     model over 6 frames; the union of yielded rows covers every frame
@@ -336,6 +337,7 @@ print(f"WORKER{pid}_OK", flush=True)
 """
 
 
+@pytest.mark.slow
 def test_two_process_train(tmp_path):
     """Pod-slice training: 2 hosts x 2 devices run fit() end to end
     (row-split data feed, SPMD step, orbax distributed checkpointing,
@@ -414,6 +416,7 @@ print(f"WORKER{pid}_OK", flush=True)
 """
 
 
+@pytest.mark.slow
 def test_two_process_maps_cli(tmp_path):
     """depth-pro-maps across a 2-host pod: the frame directory shards
     over the pod's chips and the union of the hosts' written PNGs
@@ -503,6 +506,7 @@ print(f"WORKER{pid}_OK", flush=True)
 """
 
 
+@pytest.mark.slow
 def test_two_process_pipeline_cli(tmp_path):
     """The floor-plan pipeline across a 2-host pod: ground fit once on
     the primary (broadcast), frames shard over the pod's chips, each

@@ -51,6 +51,7 @@ def test_mesh_and_tp_shardings():
     assert fc1.sharding.shard_shape(fc1.shape)[-1] == fc1.shape[-1] // 2
 
 
+@pytest.mark.slow
 def test_sharded_train_step_runs_and_loss_decreases():
     mesh = make_mesh(dp=2, tp=2, devices=jax.devices()[:4])
     params = init_depth_pro(jax.random.PRNGKey(0), DRY_CFG)
@@ -70,6 +71,7 @@ def test_sharded_train_step_runs_and_loss_decreases():
     assert int(state.step) == 2
 
 
+@pytest.mark.slow
 def test_dp_sharded_inference_matches_single_device():
     mesh = make_mesh(dp=8, tp=1)
     params = init_depth_pro(jax.random.PRNGKey(1), DRY_CFG)
@@ -82,6 +84,7 @@ def test_dp_sharded_inference_matches_single_device():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import sys, pathlib
 
@@ -114,6 +117,7 @@ def test_runner_with_mesh_shard_map():
     np.testing.assert_allclose(results[0]["depth"], ref[0]["depth"], rtol=2e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_latency_parallel_infer_matches_single_device():
     """Single-frame latency parallelism (parallel/latency.py): patch-
     sharded ViT + row-sharded conv trunk over the 8 fake chips must
@@ -216,6 +220,7 @@ def test_tp_attention_shards_without_allgather():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_latency_infer_honors_speed_fast():
     """Regression (round-3 review): --speed fast must reach the latency-
     parallel patch ViT too. Merging is per-sample, so the shard-local
@@ -319,6 +324,7 @@ def test_pipeline_blocks_match_serial_scan():
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_pp_train_step_matches_plain():
     """One pipeline-parallel (dp=2 x pp=2) train step reproduces the
     single-device step: same loss, same updated params — proving the

@@ -60,6 +60,7 @@ def test_oracle_state_dict_layout_matches_reference(ref_pair):
         assert tuple(model.state_dict()[k].shape) == tuple(oracle.state_dict()[k].shape), k
 
 
+@pytest.mark.slow
 def test_forward_parity_vs_reference_modules(ref_pair):
     model, params = ref_pair
     rng = np.random.default_rng(21)
@@ -94,6 +95,7 @@ def test_infer_parity_vs_reference_modules(ref_pair):
     )
 
 
+@pytest.mark.slow
 def test_infer_parity_vs_reference_modules_given_fpx(ref_pair):
     model, params = ref_pair
     rng = np.random.default_rng(23)

@@ -120,6 +120,7 @@ def test_fit_rejects_grad_accum_with_pp(tmp_path):
         fit(str(tmp_path), tiny_config(), pp=2, grad_accum=2)
 
 
+@pytest.mark.slow
 def test_fit_grad_accum_end_to_end(tmp_path):
     """fit(grad_accum=2) runs the sharded step (MultiSteps opt_state
     through jit + donation + the orbax roundtrip); step counts DATA
@@ -150,6 +151,7 @@ def test_fit_grad_accum_end_to_end(tmp_path):
     assert diff > 0  # the applied update really changed the params
 
 
+@pytest.mark.slow
 def test_fit_smoke_and_resume(tmp_path):
     """End-to-end fit(): tiny model, synthetic pairs, checkpoint save,
     resume continues from the saved step."""
