@@ -33,6 +33,37 @@ from ..models.depth_pro import (
 from ..io.image import load_rgb
 
 
+def _load_frame(item, downscale_factor: float = 1.0):
+    """Decode/normalize one stream item: path | (path, f_px) | ndarray.
+    Returns (key, uint8 image, f_px). Module-level (not a method) so the
+    PROCESS decode pool can ship it to pre-forked workers."""
+    f_px = None
+    if isinstance(item, tuple):
+        item, f_px = item
+    if isinstance(item, (str, os.PathLike)):
+        img, _, exif_f = load_rgb(item)
+        f_px = f_px if f_px is not None else exif_f
+        key = str(item)
+    else:
+        img = np.asarray(item)
+        key = None
+    if img.dtype != np.uint8:
+        # convert BEFORE any PIL resize: Image.fromarray cannot
+        # handle float RGB arrays (they were silently dropped)
+        if np.issubdtype(img.dtype, np.floating) and img.size and img.max() <= 1.0:
+            img = img * 255.0  # [0,1] floats (plt.imread etc.)
+        img = np.clip(img, 0, 255).astype(np.uint8)
+    if downscale_factor != 1.0:
+        from PIL import Image
+
+        h = int(img.shape[0] * downscale_factor)
+        w = int(img.shape[1] * downscale_factor)
+        if f_px is not None:
+            f_px = f_px * downscale_factor
+        img = np.asarray(Image.fromarray(img).resize((w, h), Image.BILINEAR))
+    return key, img, f_px
+
+
 class DepthVideoRunner:
     """Streaming batched depth inference with host/device overlap."""
 
@@ -54,11 +85,15 @@ class DepthVideoRunner:
         exported_path: str | None = None,
         temporal_smooth: float = 0.0,
         fetch_pack: str = "none",
+        decode_pool: str = "auto",
     ):
         if parallel not in ("dp", "latency"):
             raise ValueError(f"parallel must be 'dp' or 'latency', got {parallel!r}")
         if fetch_pack not in ("none", "u16"):
             raise ValueError(f"fetch_pack must be 'none' or 'u16', got {fetch_pack!r}")
+        if decode_pool not in ("auto", "thread", "process"):
+            raise ValueError(f"decode_pool must be 'auto', 'thread' or "
+                             f"'process', got {decode_pool!r}")
         if speed != "exact":
             from ..models.depth_pro import apply_speed
 
@@ -92,6 +127,18 @@ class DepthVideoRunner:
         if decode_workers is None:
             decode_workers = min(8, os.cpu_count() or 1)
         self.decode_workers = max(int(decode_workers), 1)
+        # decode pool type: threads release the GIL inside cv2/PIL decode
+        # but the surrounding numpy conversion/EXIF work still serializes
+        # on it, so thread scaling flattens after ~2 workers
+        # (scripts/feed_sustained.out). "process" pre-forks spawn-context
+        # workers that only decode (never touch jax/the TPU client) and
+        # ships frames back pickled (~memcpy rate); "auto" picks process
+        # once there are enough workers AND cores for the fixed ~1-2 s
+        # per-worker spawn cost to amortize.
+        if decode_pool == "auto":
+            decode_pool = ("process" if self.decode_workers >= 4
+                           and (os.cpu_count() or 1) >= 4 else "thread")
+        self.decode_pool = decode_pool
         # batches dispatched ahead of the blocking fetch: depth 1 is the
         # classic double-buffer (fetch N while N+1 computes); depth 2
         # additionally overlaps N+2's host->device upload with both — on
@@ -258,31 +305,7 @@ class DepthVideoRunner:
 
     def _load_one(self, item):
         """item: path | (path, f_px) | ndarray. Returns (key, image, f_px)."""
-        f_px = None
-        if isinstance(item, tuple):
-            item, f_px = item
-        if isinstance(item, (str, os.PathLike)):
-            img, _, exif_f = load_rgb(item)
-            f_px = f_px if f_px is not None else exif_f
-            key = str(item)
-        else:
-            img = np.asarray(item)
-            key = None
-        if img.dtype != np.uint8:
-            # convert BEFORE any PIL resize: Image.fromarray cannot
-            # handle float RGB arrays (they were silently dropped)
-            if np.issubdtype(img.dtype, np.floating) and img.size and img.max() <= 1.0:
-                img = img * 255.0  # [0,1] floats (plt.imread etc.)
-            img = np.clip(img, 0, 255).astype(np.uint8)
-        if self.downscale_factor != 1.0:
-            from PIL import Image
-
-            h = int(img.shape[0] * self.downscale_factor)
-            w = int(img.shape[1] * self.downscale_factor)
-            if f_px is not None:
-                f_px = f_px * self.downscale_factor
-            img = np.asarray(Image.fromarray(img).resize((w, h), Image.BILINEAR))
-        return key, img, f_px
+        return _load_frame(item, self.downscale_factor)
 
     def depth_stream(self, items: Iterable) -> Iterator[dict]:
         """Yield {"key", "depth", "focallength_px", "image"} per frame.
@@ -325,12 +348,28 @@ class DepthVideoRunner:
             # at most 2*workers futures (q.put blocks when the queue is
             # full, so long streams never load ahead unboundedly). One
             # code path for any worker count; a corrupt frame is skipped,
-            # never fatal.
+            # never fatal. decode_pool="process" routes path decodes to
+            # pre-forked spawn-context workers (GIL-free scaling);
+            # already-decoded ndarray items stay on the thread pool (a
+            # frame pickled to a child and back would COST a copy).
+            import contextlib
             from collections import deque
             from concurrent.futures import ThreadPoolExecutor as _TPE
+            from concurrent.futures.process import BrokenProcessPool
 
+            pex = None
+            if self.decode_pool == "process":
+                import multiprocessing
+                from concurrent.futures import ProcessPoolExecutor as _PPE
+
+                # spawn, not fork: this process holds a live device
+                # client whose inherited state must not leak into
+                # decode children (they import nothing jax-side)
+                pex = _PPE(self.decode_workers,
+                           mp_context=multiprocessing.get_context("spawn"))
             try:
-                with _TPE(self.decode_workers) as ex:
+                with _TPE(self.decode_workers) as ex, \
+                        (pex or contextlib.nullcontext()):
                     dq: deque = deque()
                     it = iter(items)
                     exhausted = False
@@ -347,11 +386,24 @@ class DepthVideoRunner:
                                 # exhaustion — surface it to the consumer
                                 q.put(("__stream_error__", exc))
                                 return
-                            dq.append((item, ex.submit(self._load_one, item)))
+                            if pex is not None and isinstance(
+                                    item, (str, os.PathLike, tuple)):
+                                fut = pex.submit(_load_frame, item,
+                                                 self.downscale_factor)
+                            else:
+                                fut = ex.submit(self._load_one, item)
+                            dq.append((item, fut))
                         if dq:
                             item, fut = dq.popleft()
                             try:
                                 q.put(fut.result())
+                            except BrokenProcessPool as exc:
+                                # a killed decode child takes the whole
+                                # pool down — every later frame would
+                                # "skip"; surface a stream error instead
+                                # of silently truncating
+                                q.put(("__stream_error__", exc))
+                                return
                             except Exception as exc:  # noqa: BLE001
                                 logging.getLogger(__name__).warning(
                                     "skipping unreadable frame %r: %s", item, exc)

@@ -126,22 +126,45 @@ def main():
             f"{serial:.0f} ms/frame = {1000 / serial:.2f} fps -> runner "
             f"machinery + unoverlapped share: {1000 / fps - serial:+.0f} ms/frame")
 
-    # decode scaling: the runner pool's JPEG decode ms/frame per worker
+    # decode scaling: the runner pool's JPEG decode ms/frame per worker,
+    # for BOTH pool types (VERDICT r4 #6: thread scaling flattens past 2
+    # workers — numpy conversion/EXIF hold the GIL even though the codec
+    # releases it; the process pool is the hedge on real multi-core
+    # hosts, at a ~7 MB/frame pickle return cost)
+    import os
+    import tempfile
+
     from PIL import Image
 
-    buf = io.BytesIO()
-    Image.fromarray(ring[0]).save(buf, format="JPEG", quality=90)
-    jpg = buf.getvalue()
-    n = 32
-    for workers in (1, 2, 4, 8):
-        from concurrent.futures import ThreadPoolExecutor
+    from ml_depth_pro_video_tpu.video.runner import _load_frame
 
-        with ThreadPoolExecutor(workers) as ex:
-            t0 = time.perf_counter()
-            list(ex.map(lambda b: np.asarray(Image.open(io.BytesIO(b))), [jpg] * n))
-            dt = (time.perf_counter() - t0) / n
-        log(f"decode pool {workers} workers: {dt * 1000:.1f} ms/frame "
-            f"({1 / dt:.1f} fps decode ceiling)")
+    td = tempfile.mkdtemp(prefix="feed_decode_")
+    paths = []
+    for i in range(8):
+        p = os.path.join(td, f"f{i}.jpg")
+        Image.fromarray(ring[i % len(ring)]).save(p, format="JPEG", quality=90)
+        paths.append(p)
+    n = 32
+    for pool_kind in ("thread", "process"):
+        for workers in (1, 2, 4, 8):
+            if pool_kind == "thread":
+                from concurrent.futures import ThreadPoolExecutor as _PX
+
+                px = _PX(workers)
+            else:
+                import multiprocessing
+                from concurrent.futures import ProcessPoolExecutor as _QX
+
+                px = _QX(workers,
+                         mp_context=multiprocessing.get_context("spawn"))
+            with px:
+                # warm the pool (spawn cost excluded — it's one-time)
+                list(px.map(_load_frame, paths[:workers]))
+                t0 = time.perf_counter()
+                list(px.map(_load_frame, [paths[i % 8] for i in range(n)]))
+                dt = (time.perf_counter() - t0) / n
+            log(f"decode {pool_kind} pool {workers} workers: "
+                f"{dt * 1000:.1f} ms/frame ({1 / dt:.1f} fps ceiling)")
     log("DONE")
 
 

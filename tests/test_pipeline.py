@@ -479,3 +479,44 @@ def test_extract_frames_clears_stale_marker(tmp_path):
     finally:
         dec.video_frames = orig
     assert not os.path.exists(marker)
+
+
+@pytest.mark.slow
+def test_process_decode_pool_matches_thread_pool(frames_dir):
+    """decode_pool="process" (pre-forked spawn workers, VERDICT r4 #6)
+    must yield the same ordered results as the thread pool, skip corrupt
+    frames the same way, and leave ndarray items on the thread path."""
+    import glob
+
+    from ml_depth_pro_video_tpu.video.runner import _load_frame
+
+    paths = sorted(glob.glob(os.path.join(frames_dir, "*.png")))
+    bad = os.path.join(frames_dir, "corrupt.png")
+    with open(bad, "wb") as f:
+        f.write(b"not a png")
+    items = paths[:1] + [bad] + paths[1:]
+
+    t_runner = DepthVideoRunner(cfg=tiny_config(), precision="fp32",
+                                batch_size=2, decode_pool="thread",
+                                decode_workers=2)
+    p_runner = DepthVideoRunner(cfg=tiny_config(), precision="fp32",
+                                batch_size=2, decode_pool="process",
+                                decode_workers=2)
+    p_runner.params = t_runner.params
+    ref = list(t_runner.depth_stream(items))
+    got = list(p_runner.depth_stream(items))
+    assert [r["key"] for r in got] == [r["key"] for r in ref] == paths
+    for g, r in zip(got, ref):
+        np.testing.assert_array_equal(g["depth"], r["depth"])
+    os.remove(bad)
+
+    # module-level loader is what ships to the children; spot-check it
+    key, img, f_px = _load_frame(paths[0])
+    assert key == paths[0] and img.dtype == np.uint8 and f_px is None
+
+    # constructor validation + auto resolution
+    with pytest.raises(ValueError, match="decode_pool"):
+        DepthVideoRunner(cfg=tiny_config(), decode_pool="forkbomb")
+    auto = DepthVideoRunner(cfg=tiny_config(), decode_pool="auto",
+                            decode_workers=1)
+    assert auto.decode_pool == "thread"  # 1 worker never pays spawn cost
