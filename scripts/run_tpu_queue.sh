@@ -20,7 +20,9 @@ run() {
   echo "=== $script (timeout ${tmo}s) ==="
   timeout "$tmo" python -u "scripts/$script" > "scripts/${script%.py}.log" 2>&1
   echo "=== $script rc=$? ==="
-  sleep 20
+  # heavy jobs leave the tunnel draining well past 20 s — a too-early
+  # ping then reads as WEDGED and aborts the queue spuriously
+  sleep 60
 }
 for job in "$@"; do
   IFS=: read -r s t <<< "$job"
