@@ -218,3 +218,35 @@ def test_manifestless_artifact_still_checks_weight_format(tmp_path):
     with pytest.raises(ValueError, match="full-precision"):
         load_exported(p_path, CFG, "fp32", quantize=True)
     assert load_exported(p_path, CFG, "fp32", quantize=False) is not None
+
+
+def test_dp_mesh_quantized_export(tmp_path):
+    """--dp composes with --quantize: the multi-chip artifact takes the
+    int8 param tree and matches the in-process quantized dp jit."""
+    import numpy as np
+
+    from ml_depth_pro_video_tpu.parallel.mesh import make_mesh
+    from ml_depth_pro_video_tpu.video.runner import DepthVideoRunner
+
+    mesh = make_mesh(dp=2, tp=1, devices=jax.devices()[:2])
+    path = str(tmp_path / "model_dp2_q.jaxexp")
+    export_infer(CFG, "fp32", batch_size=2, path=path, mesh=mesh,
+                 quantize=True)
+
+    runner = DepthVideoRunner(cfg=CFG, precision="fp32", batch_size=2,
+                              mesh=mesh, quantize=True, exported_path=path)
+    rng = np.random.default_rng(5)
+    s = CFG.img_size
+    frames = [(rng.random((s, s, 3)) * 255).astype(np.uint8)
+              for _ in range(2)]
+    results = list(runner.depth_stream(frames))
+    assert len(results) == 2
+    key = ((2, s, s, 3), False, False)
+    assert getattr(runner._jit[key], "__self__", None) is runner._exported
+
+    plain = DepthVideoRunner(cfg=CFG, precision="fp32", batch_size=2,
+                             mesh=mesh, quantize=True)
+    plain.params = runner.params
+    ref = list(plain.depth_stream(frames))
+    np.testing.assert_allclose(results[0]["depth"], ref[0]["depth"],
+                               rtol=1e-6, atol=0)
