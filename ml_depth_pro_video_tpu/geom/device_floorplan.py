@@ -68,12 +68,18 @@ class DeviceFloorplanConfig:
     shadow_height_threshold: float = 0.1
     max_shadow_angle: float = 75.0
     min_points_per_column: int = 3
-    shadow_grid_cap: int = 1024  # static cap on shadow cells per axis
     # grid ground adjustment
     grid_size: int = 20
     ground_percentile: float = 5.0
     point_radius: int = 1
     background: tuple = (0.94, 0.94, 0.94)
+    # pixel stride through the depth grid: 1 = every point (the parity
+    # setting); 2 = quarter the points — the sort/scan-bound program
+    # cost scales ~linearly while the 1024-wide raster stays covered
+    # (0.6 pts/px + dilation). Per-pixel geometry stays EXACT (original
+    # pixel coordinates unproject); only the cleanup statistics and
+    # splat density see the thinner cloud.
+    subsample: int = 1
 
     @property
     def raster_height(self) -> int:
@@ -109,13 +115,30 @@ def _segment_sort(cell, y, valid, n_invalid_cell):
                         num_keys=2)
 
 
+def _segment_bounds(cell_sorted):
+    """Per-point [start, last] indices of the point's contiguous sorted
+    segment — pure prefix scans, NO scatters (TPU scatters with
+    colliding indices serialize per duplicate and dominated the first
+    implementation's profile, scripts/tpu_device_floorplan3.out)."""
+    n = cell_sorted.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    new_seg = jnp.concatenate([jnp.ones(1, bool),
+                               cell_sorted[1:] != cell_sorted[:-1]])
+    start = jax.lax.cummax(jnp.where(new_seg, idx, 0))
+    is_last = jnp.concatenate([new_seg[1:], jnp.ones(1, bool)])
+    last = jnp.flip(jax.lax.cummin(jnp.flip(
+        jnp.where(is_last, idx, n - 1))))
+    return start, last
+
+
 def unproject_normalize(depth, f_px, cfg: DeviceFloorplanConfig,
                         rot, shift, normal, d):
     """Flat (N,) normalized coordinates + validity, mirroring
     `geom/unproject.depth_to_3d` + `geom/ground.normalize_to_ground`."""
     h, w = cfg.height, cfg.width
-    ys, xs = jnp.mgrid[0:h, 0:w]
-    z = depth.astype(jnp.float32)
+    s = cfg.subsample
+    ys, xs = jnp.mgrid[0:h:s, 0:w:s]  # ORIGINAL pixel indices survive
+    z = depth[::s, ::s].astype(jnp.float32)
     valid = jnp.isfinite(z) & (z > 0)
     if cfg.max_depth is not None:
         valid &= z < cfg.max_depth
@@ -165,26 +188,28 @@ def _grid_adjust(ox, oy, oz, valid, cfg: DeviceFloorplanConfig):
 
     cell_sorted, y_sorted, idx_sorted = _segment_sort(cell, oy, valid, n_cells)
 
-    counts = jnp.zeros(n_cells + 1, jnp.int32).at[cell_sorted].add(1)
-    starts = jnp.cumsum(counts) - counts  # exclusive prefix per cell id
-    low = jnp.zeros(n_cells + 1, jnp.int32).at[cell_sorted].add(
-        (y_sorted < 0.2).astype(jnp.int32))
-
-    c = jnp.arange(n_cells)
-    cnt = counts[:-1][c]
-    k = low[:-1][c]
+    # per-point segment stats from prefix scans — no scatters (see
+    # _segment_bounds); y ascends within a segment, so the sub-0.2 m
+    # subset is the prefix and its size is a cumsum boundary difference
+    start, last = _segment_bounds(cell_sorted)
+    cnt = last - start + 1
+    low_c = jnp.cumsum(jnp.concatenate([
+        jnp.zeros(1, jnp.int32), (y_sorted < 0.2).astype(jnp.int32)]))
+    k = low_c[last + 1] - low_c[start]
     ok = (cnt >= 10) & (k >= 5)
     # percentile over the cell's ascending low-prefix [start, start+k)
     pos = (k - 1).astype(jnp.float32) * (cfg.ground_percentile / 100.0)
-    lo = starts[:-1][c] + jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, None)
-    hi = starts[:-1][c] + jnp.clip(jnp.ceil(pos).astype(jnp.int32), 0, None)
+    lo = start + jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, None)
+    hi = start + jnp.clip(jnp.ceil(pos).astype(jnp.int32), 0, None)
     lo = jnp.clip(lo, 0, n - 1)
     hi = jnp.clip(hi, 0, n - 1)
     frac = pos - jnp.floor(pos)
     y_pct = y_sorted[lo] * (1.0 - frac) + y_sorted[hi] * frac
     y_pct = jnp.where(ok & (y_pct > 0.01), y_pct, 0.0)
 
-    per_point_pct = y_pct[cell]
+    # back to original point order: ONE boolean-free scatter (the
+    # inverse permutation) — y_pct and the adjusted heights ride it
+    per_point_pct = jnp.zeros(n, jnp.float32).at[idx_sorted].set(y_pct)
     active = per_point_pct > 0
     adj = jnp.where(active & (oy < 0.1), per_point_pct, 0.0)
     mid = active & (oy >= 0.1) & (oy < 1.5)
@@ -223,8 +248,12 @@ def stray_keep(ox, oy, oz, valid, cfg: DeviceFloorplanConfig):
     blocked = box(box(box(grid, 0), 1), 2)
     cnt = blocked.reshape(-1)[flat]
     # host rule keeps when exact neighbors+self >= nb_points; the block
-    # count includes self already
-    return valid & (cnt >= cfg.stray_nb_points)
+    # count includes self already. Subsampling thins the cloud ~s², so
+    # the density threshold scales with it (floor 2: a point plus one
+    # genuine neighbor)
+    nb = (cfg.stray_nb_points if cfg.subsample == 1
+          else max(2, round(cfg.stray_nb_points / (cfg.subsample ** 2))))
+    return valid & (cnt >= nb)
 
 
 def shadow_keep(ox, oy, oz, valid, cfg: DeviceFloorplanConfig):
@@ -243,60 +272,59 @@ def shadow_keep(ox, oy, oz, valid, cfg: DeviceFloorplanConfig):
     cell_size = jnp.maximum(0.05, 1.0 / jnp.sqrt(
         jnp.maximum(density / 10.0, 1e-12)))
 
-    cap = cfg.shadow_grid_cap
+    # int32-overflow guard: coarsen the grid until nx*nz <= 2^30 (only
+    # degenerate framings — kilometer extents at the 0.05 m cell floor —
+    # ever trigger it). Cell ids stay INJECTIVE at every scale, unlike a
+    # clipped cap, which silently merged unrelated columns' statistics.
     nx = jnp.maximum(jnp.ceil((x_max - x_min) / cell_size), 1.0)
     nz = jnp.maximum(jnp.ceil((z_max - z_min) / cell_size), 1.0)
-    nzi = jnp.clip(nz, 1, cap).astype(jnp.int32)
-    xi = jnp.clip(((ox - x_min) / cell_size).astype(jnp.int32), 0,
-                  jnp.clip(nx, 1, cap).astype(jnp.int32) - 1)
+    cell_size = cell_size * jnp.sqrt(jnp.maximum(nx * nz / 2.0**30, 1.0))
+    nxi = jnp.maximum(jnp.ceil((x_max - x_min) / cell_size), 1.0).astype(jnp.int32)
+    nzi = jnp.maximum(jnp.ceil((z_max - z_min) / cell_size), 1.0).astype(jnp.int32)
+    xi = jnp.clip(((ox - x_min) / cell_size).astype(jnp.int32), 0, nxi - 1)
     zi = jnp.clip(((oz - z_min) / cell_size).astype(jnp.int32), 0, nzi - 1)
-    # host uses cell = xi * nz + zi with dynamic nz; any injective map
-    # groups identically — the static cap keeps the id space bounded
-    cell = xi * cap + zi
+    # host uses cell = xi * nz + zi with dynamic nz; dynamic VALUES are
+    # fine under jit (shapes are static)
+    cell = xi * nzi + zi
+    SENT = np.int32(2**31 - 1)  # > any nx*nz <= 2^30
 
-    cell_sorted, y_sorted, idx_sorted = _segment_sort(cell, oy, valid,
-                                                      cap * cap)
-    new_seg = jnp.concatenate([jnp.ones(1, bool),
-                               cell_sorted[1:] != cell_sorted[:-1]])
-    new_seg &= cell_sorted < cap * cap  # invalid sentinel group excluded
-    seg_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
-    seg_valid = cell_sorted < cap * cap
+    cell_sorted, y_sorted, idx_sorted = _segment_sort(cell, oy, valid, SENT)
+    seg_valid = cell_sorted < SENT
 
-    # per-segment count / y-extent via scatter (segments are contiguous)
-    seg_cnt = jnp.zeros(n, jnp.int32).at[seg_id].add(
-        seg_valid.astype(jnp.int32))
-    seg_ymin = jnp.full(n, jnp.inf, jnp.float32).at[seg_id].min(
-        jnp.where(seg_valid, y_sorted, jnp.inf))
-    seg_ymax = jnp.full(n, -jnp.inf, jnp.float32).at[seg_id].max(
-        jnp.where(seg_valid, y_sorted, -jnp.inf))
+    # per-point segment stats from prefix scans — no scatters (see
+    # _segment_bounds); y ascends within a segment, so the extent is
+    # simply last-minus-first
+    start, last = _segment_bounds(cell_sorted)
+    seg_cnt = last - start + 1
     qual = (seg_cnt >= max(cfg.min_points_per_column, 3)) & (
-        seg_ymax - seg_ymin > cfg.shadow_height_threshold)
+        y_sorted[last] - y_sorted[start] > cfg.shadow_height_threshold)
 
-    # consecutive height-sorted pairs within a cell
-    pair_same = (cell_sorted[1:] == cell_sorted[:-1]) & seg_valid[:-1] \
-        & seg_valid[1:]
-    pair_seg = seg_id[:-1]
-    pmask = pair_same & qual[pair_seg]
-    # sorted coordinates of the ORIGINAL points (gather once)
+    # consecutive height-sorted pairs within a cell: within a segment
+    # EVERY adjacent pair is same-cell by construction, so the pair set
+    # of segment s is exactly [start, last) and per-segment pair sums
+    # are cumsum boundary differences
     xs = ox[idx_sorted]
     zs = oz[idx_sorted]
     dvy = jnp.diff(y_sorted)
     dn2 = dvy * dvy + jnp.diff(xs) ** 2 + jnp.diff(zs) ** 2
 
     cos_t = float(np.cos(np.radians(cfg.max_shadow_angle)))
-    below = pmask & (dvy > 0) & (dvy * dvy > cos_t * cos_t * dn2)
+    below = (dvy > 0) & (dvy * dvy > cos_t * cos_t * dn2)
 
-    m = jnp.zeros(n, jnp.int32).at[pair_seg].add(pmask.astype(jnp.int32))
-    cnt_below = jnp.zeros(n, jnp.int32).at[pair_seg].add(
-        below.astype(jnp.int32))
+    def pair_segment_sum(flags):
+        c = jnp.cumsum(jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                        flags.astype(jnp.int32)]))
+        return c[last] - c[start]
+
+    m = jnp.where(qual, seg_cnt - 1, 0)
+    cnt_below = jnp.where(qual, pair_segment_sum(below), 0)
     odd = m % 2 == 1
     drop = jnp.where(odd, cnt_below >= (m + 1) // 2,
                      cnt_below >= m // 2 + 1) & (m > 0)
     # duplicate-point pairs (zero length) NaN the host's median -> keep
-    dup = jnp.zeros(n, bool).at[pair_seg].max(pmask & (dn2 == 0))
-    drop &= ~dup
+    drop &= pair_segment_sum(dn2 == 0) == 0
 
-    keep_sorted = ~drop[seg_id] | ~seg_valid
+    keep_sorted = ~drop | ~seg_valid
     keep = jnp.ones(n, bool).at[idx_sorted].set(keep_sorted)
     return valid & keep
 
@@ -363,7 +391,8 @@ class DeviceFloorplanSession:
 
     def __init__(self, ground_model: dict, height_threshold: float = 1.3,
                  x_limits=None, z_limits=None, raster_width: int = 1024,
-                 max_depth: float | None = None):
+                 max_depth: float | None = None,
+                 limits_cache: str | None = None):
         import threading
 
         self.ground_model = ground_model
@@ -372,6 +401,11 @@ class DeviceFloorplanSession:
         self.z_limits = tuple(z_limits) if z_limits is not None else None
         self.raster_width = int(raster_width)
         self.max_depth = max_depth
+        # persisted derived framing (ground.json-style sidecar): without
+        # it a --resume run would derive limits from the first
+        # UNPROCESSED frame and the video's plans would jump in
+        # scale/offset mid-sequence
+        self.limits_cache = limits_cache
         self._fn = None
         self._shape = None
         self._lock = threading.Lock()
@@ -400,8 +434,23 @@ class DeviceFloorplanSession:
         self.z_limits = (float(z0) - mz, float(z1) + mz)
 
     def _build(self, depth, f_px):
+        import json
+        import os
+
         if self.x_limits is None or self.z_limits is None:
-            self._derive_limits(depth, f_px)
+            if self.limits_cache and os.path.exists(self.limits_cache):
+                with open(self.limits_cache) as f:
+                    lim = json.load(f)
+                self.x_limits = tuple(lim["x_limits"])
+                self.z_limits = tuple(lim["z_limits"])
+            else:
+                self._derive_limits(depth, f_px)
+                if self.limits_cache:
+                    tmp = self.limits_cache + ".tmp"
+                    with open(tmp, "w") as f:
+                        json.dump({"x_limits": list(self.x_limits),
+                                   "z_limits": list(self.z_limits)}, f)
+                    os.replace(tmp, self.limits_cache)
         # voxel bounds from the framing (+margin); ox = -raster-x
         (x0, x1), (z0, z1) = self.x_limits, self.z_limits
         vb = ((-x1 - 1.0, -x0 + 1.0), (-0.5, 8.0), (min(z0, 0.0) - 1.0,
@@ -472,7 +521,8 @@ def make_device_floorplan(cfg: DeviceFloorplanConfig, ground_model: dict,
         oy = _grid_adjust(ox, oy, oz, valid, cfg)
         keep_s = stray_keep(ox, oy, oz, valid, cfg)
         keep = shadow_keep(ox, oy, oz, keep_s, cfg)
-        colors = rgb.reshape(-1, 3).astype(jnp.float32) / 255.0
+        ss = cfg.subsample
+        colors = rgb[::ss, ::ss].reshape(-1, 3).astype(jnp.float32) / 255.0
         raster, hbuf = splat_raster(ox, oy, oz, colors, keep, cfg)
         out = {"raster": raster}
         if debug:

@@ -89,3 +89,40 @@ def load_rgb(
     valid_f35 = f_35mm is not None and isinstance(f_35mm, (int, float)) and f_35mm > 0
     f_px = fpx_from_f35(img.shape[1], img.shape[0], f_35mm) if valid_f35 else None
     return img, icc_profile, f_px
+
+
+def load_stream_item(item, downscale_factor: float = 1.0):
+    """Decode/normalize one video-stream item: path | (path, f_px) |
+    ndarray. Returns (key, uint8 image, f_px).
+
+    Lives in this jax-free module ON PURPOSE: the video runner's
+    process decode pool ships it to pre-forked spawn workers, and the
+    unpickling child imports only this module's dependency set
+    (PIL/numpy) — never jax or the device client, which keeps worker
+    spawn cheap and the isolation claim real (`video/runner.py`).
+    """
+    import os as _os
+
+    f_px = None
+    if isinstance(item, tuple):
+        item, f_px = item
+    if isinstance(item, (str, _os.PathLike)):
+        img, _, exif_f = load_rgb(item)
+        f_px = f_px if f_px is not None else exif_f
+        key = str(item)
+    else:
+        img = np.asarray(item)
+        key = None
+    if img.dtype != np.uint8:
+        # convert BEFORE any PIL resize: Image.fromarray cannot handle
+        # float RGB arrays (they were silently dropped)
+        if np.issubdtype(img.dtype, np.floating) and img.size and img.max() <= 1.0:
+            img = img * 255.0  # [0,1] floats (plt.imread etc.)
+        img = np.clip(img, 0, 255).astype(np.uint8)
+    if downscale_factor != 1.0:
+        h = int(img.shape[0] * downscale_factor)
+        w = int(img.shape[1] * downscale_factor)
+        if f_px is not None:
+            f_px = f_px * downscale_factor
+        img = np.asarray(Image.fromarray(img).resize((w, h), Image.BILINEAR))
+    return key, img, f_px

@@ -147,6 +147,14 @@ class _Sessions:
         now = _time.monotonic()
         with self._lock:
             ent = self._entries.get(session)
+            if ent is not None and now - ent[2] > self.ttl_s:
+                # expired but not yet purged (purge runs on OTHER
+                # traffic/scrapes): resurrecting it would EMA-blend
+                # stale state into the new frame while claiming
+                # seeded=False — evict it here, deterministically
+                del self._entries[session]
+                self.evictions["ttl"] += 1
+                ent = None
             seeded = ent is None or ent[3] != (alpha, tau)
             if seeded:
                 # host=True: alpha/tau/resolution are CLIENT-controlled —

@@ -114,12 +114,22 @@ def process_single_frame(
     z_limits=None,
     renderer: str = "matplotlib",
     dpi: int = 300,
+    device_session=None,
 ) -> tuple[bool, float]:
     """Geometry + visualization for one frame (depth already computed).
-    ``dpi`` defaults to the reference's 300 (`pointcloud_pipeline.py:357`)."""
+    ``dpi`` defaults to the reference's 300 (`pointcloud_pipeline.py:357`).
+    ``device_session`` (a `geom.device_floorplan.DeviceFloorplanSession`)
+    replaces the whole host geometry chain with the on-chip program —
+    same per-frame fault-isolation contract, same output path."""
     t0 = time.time()
     try:
         frame_name = os.path.splitext(os.path.basename(result["key"]))[0]
+        if device_session is not None:
+            plan_path = os.path.join(
+                output_dir, f"{frame_name}_clean_simple_view.png")
+            device_session.process(result["depth"], result["image"],
+                                   result["focallength_px"], plan_path)
+            return True, time.time() - t0
         cloud = normalized_cloud_from_depth(
             result["depth"], result["focallength_px"], result["image"], ground_model
         )
@@ -445,39 +455,36 @@ def process_images_to_floor_plans(
         if geometry == "device":
             from ..geom.device_floorplan import DeviceFloorplanSession
 
+            ignored = [f for f, on in (
+                ("--renderer fast" if renderer == "fast" else None,
+                 renderer == "fast"),
+                ("--point_size", point_size != 10),
+                ("--simple_output", simple_output)) if on and f]
+            if ignored:
+                # the device raster draws with a fixed radius-1 splat;
+                # silence about dropped flags would read as a bug
+                print("--geometry device renders the fixed-style device "
+                      f"raster; ignoring: {', '.join(ignored)}")
             device_session = DeviceFloorplanSession(
                 ground_model, height_threshold=height_threshold,
-                x_limits=x_limits, z_limits=z_limits)
+                x_limits=x_limits, z_limits=z_limits,
+                # persist the derived framing next to ground.json so a
+                # --resume run keeps frame 0's scale/offset instead of
+                # re-deriving from the first unprocessed frame
+                limits_cache=os.path.join(frames_dir,
+                                          "floorplan_limits.json"))
 
         def handle(result):
             nonlocal n_done
             try:
-                if device_session is not None:
-                    frame_name = os.path.splitext(
-                        os.path.basename(result["key"]))[0]
-                    plan_path = os.path.join(
-                        output_dir, f"{frame_name}_clean_simple_view.png")
-                    t0 = time.time()
-                    try:
-                        device_session.process(
-                            result["depth"], result["image"],
-                            result["focallength_px"], plan_path)
-                        ok, dt = True, time.time() - t0
-                    except Exception as exc:  # noqa: BLE001 - per-frame
-                        # fault isolation, same contract as the host path
-                        import traceback
-
-                        print(f"Error processing {result.get('key')}: {exc}")
-                        traceback.print_exc()
-                        ok, dt = False, time.time() - t0
-                else:
-                    ok, dt = process_single_frame(
-                        result, output_dir, ground_model,
-                        height_threshold=height_threshold, point_size=point_size,
-                        fit_shapes=fit_shapes, visualize_3d=visualize_3d,
-                        simple_output=simple_output, output_all_files=output_all_files,
-                        x_limits=x_limits, z_limits=z_limits, renderer=renderer,
-                    )
+                ok, dt = process_single_frame(
+                    result, output_dir, ground_model,
+                    height_threshold=height_threshold, point_size=point_size,
+                    fit_shapes=fit_shapes, visualize_3d=visualize_3d,
+                    simple_output=simple_output, output_all_files=output_all_files,
+                    x_limits=x_limits, z_limits=z_limits, renderer=renderer,
+                    device_session=device_session,
+                )
             finally:
                 inflight.release()
             with progress_lock:

@@ -30,38 +30,12 @@ from ..models.depth_pro import (
     init_depth_pro,
     load_checkpoint,
 )
-from ..io.image import load_rgb
+# load_stream_item lives in the jax-free io.image module so process
+# decode workers unpickle it WITHOUT importing jax/the model stack
+# (cheap spawn, real isolation)
+from ..io.image import load_stream_item as _load_frame
 
 
-def _load_frame(item, downscale_factor: float = 1.0):
-    """Decode/normalize one stream item: path | (path, f_px) | ndarray.
-    Returns (key, uint8 image, f_px). Module-level (not a method) so the
-    PROCESS decode pool can ship it to pre-forked workers."""
-    f_px = None
-    if isinstance(item, tuple):
-        item, f_px = item
-    if isinstance(item, (str, os.PathLike)):
-        img, _, exif_f = load_rgb(item)
-        f_px = f_px if f_px is not None else exif_f
-        key = str(item)
-    else:
-        img = np.asarray(item)
-        key = None
-    if img.dtype != np.uint8:
-        # convert BEFORE any PIL resize: Image.fromarray cannot
-        # handle float RGB arrays (they were silently dropped)
-        if np.issubdtype(img.dtype, np.floating) and img.size and img.max() <= 1.0:
-            img = img * 255.0  # [0,1] floats (plt.imread etc.)
-        img = np.clip(img, 0, 255).astype(np.uint8)
-    if downscale_factor != 1.0:
-        from PIL import Image
-
-        h = int(img.shape[0] * downscale_factor)
-        w = int(img.shape[1] * downscale_factor)
-        if f_px is not None:
-            f_px = f_px * downscale_factor
-        img = np.asarray(Image.fromarray(img).resize((w, h), Image.BILINEAR))
-    return key, img, f_px
 
 
 class DepthVideoRunner:
@@ -358,16 +332,20 @@ class DepthVideoRunner:
             from concurrent.futures.process import BrokenProcessPool
 
             pex = None
-            if self.decode_pool == "process":
-                import multiprocessing
-                from concurrent.futures import ProcessPoolExecutor as _PPE
-
-                # spawn, not fork: this process holds a live device
-                # client whose inherited state must not leak into
-                # decode children (they import nothing jax-side)
-                pex = _PPE(self.decode_workers,
-                           mp_context=multiprocessing.get_context("spawn"))
             try:
+                if self.decode_pool == "process":
+                    import multiprocessing
+                    from concurrent.futures import ProcessPoolExecutor as _PPE
+
+                    # spawn, not fork: this process holds a live device
+                    # client whose inherited state must not leak into
+                    # decode children (they unpickle io.image only —
+                    # _load_frame lives in that jax-free module).
+                    # Constructed INSIDE the try: a failure here (pipe
+                    # fds, ENOMEM) must still deliver the sentinel or
+                    # the consumer hangs on q.get() forever.
+                    pex = _PPE(self.decode_workers,
+                               mp_context=multiprocessing.get_context("spawn"))
                 with _TPE(self.decode_workers) as ex, \
                         (pex or contextlib.nullcontext()):
                     dq: deque = deque()
@@ -388,8 +366,15 @@ class DepthVideoRunner:
                                 return
                             if pex is not None and isinstance(
                                     item, (str, os.PathLike, tuple)):
-                                fut = pex.submit(_load_frame, item,
-                                                 self.downscale_factor)
+                                try:
+                                    fut = pex.submit(_load_frame, item,
+                                                     self.downscale_factor)
+                                except BrokenProcessPool as exc:
+                                    # a dead pool also raises at SUBMIT;
+                                    # uncaught it would end the stream
+                                    # looking like normal exhaustion
+                                    q.put(("__stream_error__", exc))
+                                    return
                             else:
                                 fut = ex.submit(self._load_one, item)
                             dq.append((item, fut))
@@ -407,6 +392,11 @@ class DepthVideoRunner:
                             except Exception as exc:  # noqa: BLE001
                                 logging.getLogger(__name__).warning(
                                     "skipping unreadable frame %r: %s", item, exc)
+            except Exception as exc:  # noqa: BLE001 - ANY unexpected
+                # loader failure (pool construction, executor teardown)
+                # must surface to the consumer, not masquerade as a
+                # normal end-of-stream truncation
+                q.put(("__stream_error__", exc))
             finally:
                 q.put(sentinel)
 

@@ -131,6 +131,28 @@ def main():
     ps = jax.jit(packed_sort)
     t_ps = timed(ps, cell, oy2)
     log(f"packed single-key argsort (20-bit y quant):    {t_ps*1000:.0f} ms")
+
+    # whole program, post scatter-elimination rewrite
+    fn = dfp.make_device_floorplan(cfg, ground)
+    whole = jax.jit(lambda dd, ii, ff: fn(dd, ii, ff)["raster"])
+    t_whole = timed(whole, d_dev, i_dev, f_dev)
+    log(f"WHOLE program (current code):                  {t_whole*1000:.0f} ms")
+    r1 = np.asarray(whole(d_dev, i_dev, f_dev))
+
+    # subsample tier: quarter the points, same raster framing
+    import dataclasses
+
+    cfg2 = dataclasses.replace(cfg, subsample=2)
+    fn2 = dfp.make_device_floorplan(cfg2, ground)
+    whole2 = jax.jit(lambda dd, ii, ff: fn2(dd, ii, ff)["raster"])
+    t2 = timed(whole2, d_dev, i_dev, f_dev)
+    r2 = np.asarray(whole2(d_dev, i_dev, f_dev))
+    bg1 = np.abs(r1 - 0.94).max(-1) < 0.02
+    bg2 = np.abs(r2 - 0.94).max(-1) < 0.02
+    log(f"WHOLE program subsample=2:                     {t2*1000:.0f} ms "
+        f"({t_whole/t2:.1f}x); raster occupancy agreement vs full "
+        f"{(bg1 == bg2).mean():.4f}, full-drawn missing "
+        f"{(~bg1 & bg2).mean():.4f}")
     log("DONE")
 
 

@@ -159,3 +159,30 @@ def test_batched_via_vmap(scene):
     single = np.asarray(fn(scene["depth"], scene["img"],
                            np.float32(scene["f_px"]))["raster"])
     np.testing.assert_allclose(r[0], single, atol=1e-6)
+
+
+def test_subsample_tier(scene):
+    """subsample=2 quarters the program's work; per-pixel geometry stays
+    exact and the raster stays structurally consistent with the full
+    run (production-density agreement is measured on-chip —
+    scripts/tpu_device_floorplan3.out)."""
+    xl, zl = _limits(scene["adjusted"].points)
+    outs = {}
+    for s in (1, 2):
+        cfg = DeviceFloorplanConfig(height=SIZE, width=SIZE, x_limits=xl,
+                                    z_limits=zl, raster_width=128,
+                                    subsample=s)
+        fn = make_device_floorplan(cfg, scene["ground"], debug=True)
+        outs[s] = {k: np.asarray(v) for k, v in fn(
+            scene["depth"], scene["img"], np.float32(scene["f_px"])).items()}
+    # exact per-pixel geometry: stride-2 coords are a subset of stride-1
+    n1 = outs[1]["x"].shape[0]
+    side = int(np.sqrt(n1))
+    pick = (np.arange(side)[:, None] % 2 == 0) & (np.arange(side)[None, :] % 2 == 0)
+    np.testing.assert_allclose(outs[2]["x"], outs[1]["x"].reshape(side, side)[::2, ::2].ravel(),
+                               atol=1e-6)
+    # rasters agree structurally (tiny-scene bound; sparse splat at /4
+    # density costs some coverage)
+    bg1 = np.abs(outs[1]["raster"] - 0.94).max(-1) < 0.02
+    bg2 = np.abs(outs[2]["raster"] - 0.94).max(-1) < 0.02
+    assert (bg1 == bg2).mean() > 0.80, (bg1 == bg2).mean()

@@ -275,6 +275,18 @@ def test_sessions_ttl_and_lru_eviction():
     time.sleep(0.01)
     assert s.count() == 0
 
+    # an expired-but-unpurged entry must NOT resurrect: with no other
+    # traffic to trigger _purge, a client resuming after > ttl_s idle
+    # would otherwise blend 10-minute-old state and claim seeded=False
+    s = _Sessions(ttl_s=0.05, max_sessions=8)
+    out, seeded = s.apply("stale", 0.8, 0.05, d)
+    assert seeded is True
+    time.sleep(0.08)  # expire without any purge trigger
+    out, seeded = s.apply("stale", 0.8, 0.05, d * 2)
+    assert seeded is True  # fresh state, honestly reported
+    np.testing.assert_allclose(out, d * 2)  # passthrough, no stale blend
+    assert s.eviction_counts()["ttl"] >= 1
+
 
 def test_session_eviction_visible_over_http(server_url):
     """A bursted client must be able to TELL its stream lost temporal
