@@ -392,9 +392,13 @@ class DeviceFloorplanSession:
     def __init__(self, ground_model: dict, height_threshold: float = 1.3,
                  x_limits=None, z_limits=None, raster_width: int = 1024,
                  max_depth: float | None = None,
-                 limits_cache: str | None = None):
+                 limits_cache: str | None = None, subsample: int = 1):
         import threading
 
+        # pixel stride (DeviceFloorplanConfig.subsample): 2 quarters the
+        # program cost (501 -> 155 ms/frame at 1536² on-chip, 96.4%
+        # raster occupancy agreement — scripts/tpu_device_floorplan3.out)
+        self.subsample = max(int(subsample), 1)
         self.ground_model = ground_model
         self.height_threshold = float(height_threshold)
         self.x_limits = tuple(x_limits) if x_limits is not None else None
@@ -472,7 +476,7 @@ class DeviceFloorplanSession:
             raster_width=self.raster_width,
             height_threshold=self.height_threshold,
             max_depth=self.max_depth, voxel_bounds=vb,
-            stray_cell_scale=scale)
+            stray_cell_scale=scale, subsample=self.subsample)
         self._fn = make_device_floorplan(cfg, self.ground_model)
         self._shape = depth.shape
 
