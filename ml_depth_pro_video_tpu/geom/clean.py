@@ -61,6 +61,31 @@ def clean_shadows(
     if n == 0:
         return cloud.copy()
 
+    if _native is not None and _native.available():
+        # threaded C++ twin (native/shadows.cpp): identical verdicts,
+        # one stable (cell, y) sort instead of the lexsort + ~15
+        # full-array passes below — this was the pipeline's dominant
+        # host stage (scripts/pipeline_stage_budget.out)
+        mask = _native.clean_shadows_mask(
+            points, shadow_height_threshold, max_shadow_angle,
+            min_points_per_column)
+        return cloud.select(mask)
+    return clean_shadows_numpy(cloud, shadow_height_threshold,
+                               max_shadow_angle, min_points_per_column)
+
+
+def clean_shadows_numpy(
+    cloud: PointCloud,
+    shadow_height_threshold: float = 0.1,
+    max_shadow_angle: float = 75.0,
+    min_points_per_column: int = 3,
+) -> PointCloud:
+    """Vectorized numpy fallback (and the native twin's parity oracle)."""
+    points = cloud.points
+    n = len(points)
+    if n == 0:
+        return cloud.copy()
+
     x, y, z = points[:, 0], points[:, 1], points[:, 2]
     x_min, x_max = x.min(), x.max()
     z_min, z_max = z.min(), z.max()

@@ -18,7 +18,7 @@ import numpy as np
 LOGGER = logging.getLogger(__name__)
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SOURCES = [os.path.join(_DIR, "neighbors.cpp"), os.path.join(_DIR, "geometry.cpp"),
-            os.path.join(_DIR, "bpa.cpp")]
+            os.path.join(_DIR, "bpa.cpp"), os.path.join(_DIR, "shadows.cpp")]
 # dash keeps pkgutil/import machinery from treating the ctypes
 # library as a Python extension module
 _SO = os.path.join(_DIR, "geom-native.so")
@@ -74,6 +74,10 @@ def _load_locked():
     lib.radius_mask.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_double,
         ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.clean_shadows_mask.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_double,
+        ctypes.c_double, ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8),
     ]
     lib.voxel_downsample.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
@@ -159,6 +163,24 @@ class neighbors:
         lib.radius_mask(
             pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
             len(pts), float(radius), int(min_count),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        return out.astype(bool)
+
+    @staticmethod
+    def clean_shadows_mask(points: np.ndarray, shadow_height_threshold: float,
+                           max_shadow_angle: float,
+                           min_points_per_column: int) -> np.ndarray:
+        """keep mask for `geom/clean.py::clean_shadows` (shadows.cpp):
+        one threaded stable (cell, y) sort + per-cell true pair-angle
+        medians — identical verdicts to the numpy path."""
+        lib = _load()
+        pts = np.ascontiguousarray(points, dtype=np.float64)
+        out = np.zeros(len(pts), dtype=np.uint8)
+        lib.clean_shadows_mask(
+            pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            len(pts), float(shadow_height_threshold),
+            float(max_shadow_angle), int(min_points_per_column),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         )
         return out.astype(bool)

@@ -450,3 +450,41 @@ def test_cleaner_cli_explicit_flags_beat_quality_preset(monkeypatch):
     mod.main(["--image_path", "x.jpg", "--quality", "fast", "--nb_points", "5"])
     assert captured["nb_points"] == 5                       # explicit wins
     assert captured["radius"] == mod.QUALITY_PRESETS["fast"]["radius"]  # preset fills the rest
+
+
+def test_clean_shadows_native_matches_numpy():
+    """The threaded C++ shadow cleanup (native/shadows.cpp) must return
+    IDENTICAL verdicts to the numpy path — same cells dropped, same
+    duplicate-pair NaN rule, same even-median boundary handling."""
+    from ml_depth_pro_video_tpu.geom.clean import (
+        clean_shadows_numpy,
+    )
+    from ml_depth_pro_video_tpu.native import neighbors as native
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+
+    rng = np.random.default_rng(11)
+    # structured scene: floor plane + vertical streaks + noise clusters
+    floor = np.column_stack([rng.uniform(-3, 3, 4000),
+                             rng.uniform(0, 0.05, 4000),
+                             rng.uniform(1, 7, 4000)])
+    streaks = []
+    for _ in range(12):
+        cx, cz = rng.uniform(-2, 2), rng.uniform(2, 6)
+        h = rng.uniform(0.3, 2.0)
+        k = rng.integers(4, 30)
+        streaks.append(np.column_stack([
+            np.full(k, cx) + rng.normal(0, 0.002, k),
+            np.sort(rng.uniform(0, h, k)),
+            np.full(k, cz) + rng.normal(0, 0.002, k)]))
+    pts = np.concatenate([floor] + streaks)
+    # exact duplicates exercise the NaN-median keep rule
+    pts = np.concatenate([pts, pts[::97]])
+    cloud = PointCloud(pts)
+
+    ref = clean_shadows_numpy(cloud)
+    mask = native.clean_shadows_mask(pts, 0.1, 75.0, 3)
+    got = cloud.select(mask)
+    assert len(got) == len(ref)
+    np.testing.assert_array_equal(got.points, ref.points)
