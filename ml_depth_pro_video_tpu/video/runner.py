@@ -166,6 +166,16 @@ class DepthVideoRunner:
                 raise ValueError("exported_path serves the single-device "
                                  "and dp-mesh paths; latency-parallel "
                                  "programs must jit")
+            if jax.process_count() > 1:
+                # multi-controller calls of a deserialized Exported are
+                # untested territory (each process would need to invoke
+                # the same program over non-addressable shards); pods
+                # get zero-compile restarts from the persistent
+                # compilation cache instead (utils/compile_cache.py)
+                raise ValueError(
+                    "exported_path is single-process only; multi-host "
+                    "pods warm-start via the persistent compilation "
+                    "cache (DEPTH_PRO_COMPILE_CACHE)")
             from ..ckpt.export import load_exported
 
             # the artifact's weight format must match this runner's
