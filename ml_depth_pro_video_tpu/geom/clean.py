@@ -69,7 +69,8 @@ def clean_shadows(
         mask = _native.clean_shadows_mask(
             points, shadow_height_threshold, max_shadow_angle,
             min_points_per_column)
-        return cloud.select(mask)
+        if mask is not None:  # None = stale prebuilt .so without the symbol
+            return cloud.select(mask)
     return clean_shadows_numpy(cloud, shadow_height_threshold,
                                max_shadow_angle, min_points_per_column)
 

@@ -196,7 +196,13 @@ def _grid_adjust(ox, oy, oz, valid, cfg: DeviceFloorplanConfig):
     low_c = jnp.cumsum(jnp.concatenate([
         jnp.zeros(1, jnp.int32), (y_sorted < 0.2).astype(jnp.int32)]))
     k = low_c[last + 1] - low_c[start]
-    ok = (cnt >= 10) & (k >= 5)
+    # the host gates (>=10 points, >=5 low points) are DENSITY gates;
+    # a subsampled cloud is ~s² thinner, so they scale with it (s=1 is
+    # the exact-parity setting)
+    s2 = cfg.subsample ** 2
+    min_cnt = 10 if s2 == 1 else max(3, round(10 / s2))
+    min_low = 5 if s2 == 1 else max(2, round(5 / s2))
+    ok = (cnt >= min_cnt) & (k >= min_low)
     # percentile over the cell's ascending low-prefix [start, start+k)
     pos = (k - 1).astype(jnp.float32) * (cfg.ground_percentile / 100.0)
     lo = start + jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, None)
@@ -296,7 +302,12 @@ def shadow_keep(ox, oy, oz, valid, cfg: DeviceFloorplanConfig):
     # simply last-minus-first
     start, last = _segment_bounds(cell_sorted)
     seg_cnt = last - start + 1
-    qual = (seg_cnt >= max(cfg.min_points_per_column, 3)) & (
+    # density gate scales with the subsample thinning (s=1 = host exact);
+    # floor 2: a "column" needs at least one pair
+    mppc = max(cfg.min_points_per_column, 3)
+    if cfg.subsample > 1:
+        mppc = max(2, round(mppc / cfg.subsample ** 2))
+    qual = (seg_cnt >= mppc) & (
         y_sorted[last] - y_sorted[start] > cfg.shadow_height_threshold)
 
     # consecutive height-sorted pairs within a cell: within a segment
@@ -437,23 +448,39 @@ class DeviceFloorplanSession:
         self.x_limits = (float(x0) - mx, float(x1) + mx)
         self.z_limits = (float(z0) - mz, float(z1) + mz)
 
+    def _fingerprint(self) -> str:
+        """Identity of everything the derived framing depends on — a
+        cached limits file from a different ground fit / threshold must
+        be re-derived, not silently reused."""
+        n = np.asarray(self.ground_model["normal"], np.float64)
+        return (f"n={n[0]:.9f},{n[1]:.9f},{n[2]:.9f};"
+                f"d={float(self.ground_model['d']):.9f};"
+                f"ht={self.height_threshold};md={self.max_depth}")
+
     def _build(self, depth, f_px):
         import json
         import os
 
         if self.x_limits is None or self.z_limits is None:
+            cached = None
             if self.limits_cache and os.path.exists(self.limits_cache):
                 with open(self.limits_cache) as f:
                     lim = json.load(f)
-                self.x_limits = tuple(lim["x_limits"])
-                self.z_limits = tuple(lim["z_limits"])
+                if lim.get("fingerprint") == self._fingerprint():
+                    cached = lim
+                # else: stale framing (re-fit ground plane, different
+                # threshold) — fall through and re-derive
+            if cached is not None:
+                self.x_limits = tuple(cached["x_limits"])
+                self.z_limits = tuple(cached["z_limits"])
             else:
                 self._derive_limits(depth, f_px)
                 if self.limits_cache:
                     tmp = self.limits_cache + ".tmp"
                     with open(tmp, "w") as f:
                         json.dump({"x_limits": list(self.x_limits),
-                                   "z_limits": list(self.z_limits)}, f)
+                                   "z_limits": list(self.z_limits),
+                                   "fingerprint": self._fingerprint()}, f)
                     os.replace(tmp, self.limits_cache)
         # voxel bounds from the framing (+margin); ox = -raster-x
         (x0, x1), (z0, z1) = self.x_limits, self.z_limits

@@ -75,10 +75,19 @@ def _load_locked():
         ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_double,
         ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8),
     ]
-    lib.clean_shadows_mask.argtypes = [
-        ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_double,
-        ctypes.c_double, ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8),
-    ]
+    try:
+        # round-5 symbol: a PREBUILT pre-round-5 .so without sources
+        # (the supported sources-absent deployment path) must keep
+        # serving its older kernels, not crash the whole module —
+        # callers of this one fall back to numpy via the None return
+        lib.clean_shadows_mask.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.c_double, ctypes.c_double, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+    except AttributeError:  # pragma: no cover - stale prebuilt .so
+        LOGGER.warning("geom-native.so predates clean_shadows_mask; "
+                       "shadow cleanup uses the numpy path")
     lib.voxel_downsample.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
         ctypes.c_int64, ctypes.c_double,
@@ -172,9 +181,12 @@ class neighbors:
                            max_shadow_angle: float,
                            min_points_per_column: int) -> np.ndarray:
         """keep mask for `geom/clean.py::clean_shadows` (shadows.cpp):
-        one threaded stable (cell, y) sort + per-cell true pair-angle
-        medians — identical verdicts to the numpy path."""
+        one threaded stable (cell, y) sort + the numpy path's exact
+        algebraic pair-count rule — identical verdicts. Returns None
+        when the loaded .so predates the symbol (numpy fallback)."""
         lib = _load()
+        if not hasattr(lib, "clean_shadows_mask"):  # stale prebuilt .so
+            return None
         pts = np.ascontiguousarray(points, dtype=np.float64)
         out = np.zeros(len(pts), dtype=np.uint8)
         lib.clean_shadows_mask(

@@ -27,13 +27,16 @@ namespace {
 
 struct Rec {
     int64_t cell;
-    double y;
+    double ykey;  // sort key: NaN mapped to +inf (a NaN comparator
+                  // breaks std::sort's strict weak ordering — UB)
+    double y;     // raw value (the qualification test must see NaN so
+                  // a NaN-extent cell stays kept, as numpy's does)
     int64_t idx;
 };
 
 inline bool rec_less(const Rec& a, const Rec& b) {
     if (a.cell != b.cell) return a.cell < b.cell;
-    if (a.y != b.y) return a.y < b.y;
+    if (a.ykey != b.ykey) return a.ykey < b.ykey;
     return a.idx < b.idx;  // lexsort stability tiebreak
 }
 
@@ -130,7 +133,9 @@ void clean_shadows_mask(const double* pts, int64_t n,
         int64_t zi = (int64_t)((pts[3 * i + 2] - z_min) / cell_size);
         if (xi > nx - 1) xi = nx - 1;
         if (zi > nz - 1) zi = nz - 1;
-        rec[(size_t)i] = {xi * nz + zi, pts[3 * i + 1], i};
+        const double y = pts[3 * i + 1];
+        const double ykey = std::isnan(y) ? INFINITY : y;
+        rec[(size_t)i] = {xi * nz + zi, ykey, y, i};
     }
     parallel_sort(rec);
 
@@ -146,21 +151,32 @@ void clean_shadows_mask(const double* pts, int64_t n,
 
     const int64_t min_pts = std::max(min_points_per_column, 3);
     const double deg = 180.0 / M_PI;
+    const double cos_t = std::cos(max_shadow_angle_deg * M_PI / 180.0);
+    const double cos2_t = cos_t * cos_t;
 
     unsigned hw = std::thread::hardware_concurrency();
     size_t nt = hw ? hw : 1;
     if (n_seg < 64) nt = 1;
 
+    // the drop rule mirrors geom/clean.py EXACTLY: the primary test is
+    // the algebraic pair count (vy > 0 && vy^2 > cos^2(t)*n2 — no
+    // acos, no rounding beyond numpy's own), the exact two-middle
+    // median is computed only for the even-count boundary tie, and a
+    // zero-length (duplicate) pair keeps the cell (numpy's 0/0 -> NaN
+    // median rule)
     auto worker = [&](size_t t, size_t T) {
         std::vector<double> angles;
         for (size_t s = t; s < n_seg; s += T) {
             const int64_t a = starts[s], b = starts[s + 1];
             const int64_t cnt = b - a;
             if (cnt < min_pts) continue;
-            if (rec[(size_t)(b - 1)].y - rec[(size_t)a].y
-                    <= shadow_height_threshold)
+            // NaN extent (non-finite y in the cell sorts last) fails
+            // this strict test -> kept, matching numpy's NaN behavior
+            if (!(rec[(size_t)(b - 1)].y - rec[(size_t)a].y
+                  > shadow_height_threshold))
                 continue;
-            angles.clear();
+            const int64_t m = cnt - 1;  // within-cell consecutive pairs
+            int64_t below = 0;
             bool has_zero = false;
             for (int64_t i = a; i + 1 < b; ++i) {
                 const int64_t p = rec[(size_t)i].idx;
@@ -170,31 +186,53 @@ void clean_shadows_mask(const double* pts, int64_t n,
                 const double dz = pts[3 * q + 2] - pts[3 * p + 2];
                 const double n2 = vy * vy + dx * dx + dz * dz;
                 if (n2 == 0.0) {
-                    // duplicate-point pair: the reference's 0/0 makes
-                    // the angle median NaN and NaN < t is False — the
-                    // cell is ALWAYS kept
                     has_zero = true;
                     break;
                 }
-                double c = vy / std::sqrt(n2);
-                if (c > 1.0) c = 1.0;
-                if (c < -1.0) c = -1.0;
-                angles.push_back(std::acos(c) * deg);
+                if (vy > 0.0 && vy * vy > cos2_t * n2) ++below;
             }
-            if (has_zero || angles.empty()) continue;
-            // np.median: middle element (odd) / mean of the two middle
-            // elements (even)
-            const size_t m = angles.size();
-            const size_t mid = m / 2;
-            std::nth_element(angles.begin(), angles.begin() + mid,
-                             angles.end());
-            double med = angles[mid];
-            if (m % 2 == 0) {
-                const double lo = *std::max_element(angles.begin(),
-                                                    angles.begin() + mid);
-                med = 0.5 * (lo + med);
+            if (has_zero || m <= 0) continue;
+            bool drop;
+            if (m % 2 == 1) {
+                drop = below >= (m + 1) / 2;
+            } else if (below >= m / 2 + 1) {
+                drop = true;
+            } else if (below == m / 2) {
+                // boundary tie: the exact median of the two middle
+                // ANGLE values (numpy computes these with arccos too)
+                angles.clear();
+                bool finite = true;
+                for (int64_t i = a; i + 1 < b && finite; ++i) {
+                    const int64_t p = rec[(size_t)i].idx;
+                    const int64_t q = rec[(size_t)(i + 1)].idx;
+                    const double vy = rec[(size_t)(i + 1)].y
+                        - rec[(size_t)i].y;
+                    const double dx = pts[3 * q] - pts[3 * p];
+                    const double dz = pts[3 * q + 2] - pts[3 * p + 2];
+                    double nrm = std::sqrt(vy * vy + dx * dx + dz * dz);
+                    if (nrm == 0.0) nrm = 1e-12;  // numpy's substitute
+                    double c = vy / nrm;
+                    if (!(std::fabs(c) <= 1.0) && !std::isfinite(c))
+                        finite = false;  // inf coords -> NaN median -> keep
+                    if (c > 1.0) c = 1.0;
+                    if (c < -1.0) c = -1.0;
+                    angles.push_back(std::acos(c) * deg);
+                }
+                if (!finite) {
+                    drop = false;
+                } else {
+                    const size_t mid = angles.size() / 2;
+                    std::nth_element(angles.begin(), angles.begin() + mid,
+                                     angles.end());
+                    const double hi2 = angles[mid];
+                    const double lo2 = *std::max_element(
+                        angles.begin(), angles.begin() + mid);
+                    drop = 0.5 * (lo2 + hi2) < max_shadow_angle_deg;
+                }
+            } else {
+                drop = false;
             }
-            if (med < max_shadow_angle_deg)
+            if (drop)
                 for (int64_t i = a; i < b; ++i)
                     keep_out[rec[(size_t)i].idx] = 0;
         }

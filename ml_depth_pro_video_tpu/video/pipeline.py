@@ -457,10 +457,9 @@ def process_images_to_floor_plans(
             from ..geom.device_floorplan import DeviceFloorplanSession
 
             ignored = [f for f, on in (
-                ("--renderer fast" if renderer == "fast" else None,
-                 renderer == "fast"),
+                ("--renderer fast", renderer == "fast"),
                 ("--point_size", point_size != 10),
-                ("--simple_output", simple_output)) if on and f]
+                ("--simple_output", simple_output)) if on]
             if ignored:
                 # the device raster draws with a fixed radius-1 splat;
                 # silence about dropped flags would read as a bug
