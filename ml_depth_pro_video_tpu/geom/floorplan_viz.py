@@ -19,6 +19,11 @@ import numpy as np
 from .pointcloud import PointCloud
 from .shapes import export_shape_data, fit_shapes_to_clusters, rect_corners
 
+try:
+    from ..native import neighbors as _native
+except Exception:  # pragma: no cover
+    _native = None
+
 # pyplot's implicit current-figure state machine is NOT thread-safe and
 # the video pipeline renders floor plans from ThreadPoolExecutor workers
 # — all pyplot sections below serialize on this lock (RLock: the shape
@@ -171,7 +176,22 @@ def fast_floorplan_image(
 
     img = np.empty((height, width, 3), np.float32)
     img[:] = background
-    if len(points):
+    done = False
+    if len(points) and _native is not None and _native.available() \
+            and not np.isnan(points[:, 1]).any():
+        # threaded C++ splat+dilation (native/splat.cpp): identical
+        # pixels (same truncating pixel map, same stable tallest-wins
+        # tie-break, same progressive 8-offset dilation order). The
+        # height filter already ran above, so no threshold is passed;
+        # NaN heights keep the numpy path (numpy's stable sort gives
+        # NaN the win — a semantic not worth replicating in C++).
+        nimg = _native.splat_floorplan(points, colors, None,
+                                       (x0, x1), (z0, z1), width, height,
+                                       point_radius, background)
+        if nimg is not None:
+            img = nimg
+            done = True
+    if len(points) and not done:
         px = ((x - x0) / span_x * (width - 1)).astype(np.int64)
         pz = ((z1 - z) / span_z * (height - 1)).astype(np.int64)
         ok = (px >= 0) & (px < width) & (pz >= 0) & (pz < height)
@@ -182,8 +202,11 @@ def fast_floorplan_image(
         # ONE winner-per-pixel scatter (tallest point wins), then the
         # point radius becomes a height-aware dilation over the IMAGE —
         # 9 passes over ~1M pixels instead of 9 scatters over millions
-        # of points (8 s -> ~0.5 s on a dense 2.4M-point frame)
-        order = np.argsort(ys)  # low first, tall written last
+        # of points (8 s -> ~0.5 s on a dense 2.4M-point frame).
+        # stable: exact-height ties resolve to the later point in input
+        # order, deterministically — and identically to the C++ splat
+        # (quicksort ties were arbitrary)
+        order = np.argsort(ys, kind="stable")  # low first, tall written last
         lin = pz[order] * width + px[order]
         hbuf = np.full(height * width, -np.inf, np.float32)
         hbuf[lin] = ys[order]

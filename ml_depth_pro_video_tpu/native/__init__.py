@@ -18,7 +18,8 @@ import numpy as np
 LOGGER = logging.getLogger(__name__)
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SOURCES = [os.path.join(_DIR, "neighbors.cpp"), os.path.join(_DIR, "geometry.cpp"),
-            os.path.join(_DIR, "bpa.cpp"), os.path.join(_DIR, "shadows.cpp")]
+            os.path.join(_DIR, "bpa.cpp"), os.path.join(_DIR, "shadows.cpp"),
+            os.path.join(_DIR, "splat.cpp")]
 # dash keeps pkgutil/import machinery from treating the ctypes
 # library as a Python extension module
 _SO = os.path.join(_DIR, "geom-native.so")
@@ -88,6 +89,17 @@ def _load_locked():
     except AttributeError:  # pragma: no cover - stale prebuilt .so
         LOGGER.warning("geom-native.so predates clean_shadows_mask; "
                        "shadow cleanup uses the numpy path")
+    try:
+        lib.splat_floorplan.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64, ctypes.c_double, ctypes.c_int,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+    except AttributeError:  # pragma: no cover - stale prebuilt .so
+        LOGGER.warning("geom-native.so predates splat_floorplan; the "
+                       "floorplan raster uses the numpy path")
     lib.voxel_downsample.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
         ctypes.c_int64, ctypes.c_double,
@@ -175,6 +187,36 @@ class neighbors:
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         )
         return out.astype(bool)
+
+    @staticmethod
+    def splat_floorplan(points: np.ndarray, colors, height_threshold,
+                        x_limits, z_limits, width: int, height: int,
+                        point_radius: int, background) -> np.ndarray:
+        """Tallest-wins floorplan raster (splat.cpp): returns the
+        (height, width, 3) float32 image — identical pixels to the
+        numpy splat+dilation in `geom/floorplan_viz.py`. None when the
+        loaded .so predates the symbol (numpy fallback)."""
+        lib = _load()
+        if not hasattr(lib, "splat_floorplan"):  # stale prebuilt .so
+            return None
+        pts = np.ascontiguousarray(points, dtype=np.float64)
+        col_ptr = None
+        if colors is not None:
+            cols = np.ascontiguousarray(colors, dtype=np.float64)
+            col_ptr = cols.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+        img = np.empty((height, width, 3), np.float32)
+        img[:] = np.asarray(background, np.float32)
+        lib.splat_floorplan(
+            pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            col_ptr, len(pts),
+            float(height_threshold if height_threshold is not None else 0.0),
+            1 if height_threshold is not None else 0,
+            float(x_limits[0]), float(x_limits[1]),
+            float(z_limits[0]), float(z_limits[1]),
+            int(width), int(height), int(point_radius),
+            img.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        return img
 
     @staticmethod
     def clean_shadows_mask(points: np.ndarray, shadow_height_threshold: float,

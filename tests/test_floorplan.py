@@ -100,3 +100,45 @@ def test_direct_floorplan_height_threshold(tmp_path):
     img = create_direct_floorplan(pts, p, height_threshold=1.3)
     assert img.shape[2] == 3
     assert os.path.exists(p)
+
+
+def test_native_splat_matches_numpy():
+    """The threaded C++ splat+dilation (native/splat.cpp) must produce
+    PIXEL-IDENTICAL rasters to the numpy path — same truncating pixel
+    map, same stable tallest-wins tie-break (exact-height ties go to
+    the later point), same 8-offset dilation order."""
+    import ml_depth_pro_video_tpu.geom.floorplan_viz as fv
+    from ml_depth_pro_video_tpu.native import neighbors as native
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+
+    rng = np.random.default_rng(7)
+    n = 60000
+    pts = np.column_stack([rng.uniform(-4, 4, n), rng.uniform(0, 3, n),
+                           rng.uniform(1, 9, n)])
+    # exact-height ties exercise the stable tie-break
+    pts[: n // 4, 1] = np.round(pts[: n // 4, 1], 2)
+    for cols in (rng.uniform(size=(n, 3)), None):
+        cloud = PointCloud(pts, cols)
+        a = fv.fast_floorplan_image(cloud, None, height_threshold=0.1,
+                                    x_limits=(-4, 4), z_limits=(1, 9),
+                                    width=512)
+        saved = fv._native
+        fv._native = None
+        try:
+            b = fv.fast_floorplan_image(cloud, None, height_threshold=0.1,
+                                        x_limits=(-4, 4), z_limits=(1, 9),
+                                        width=512)
+        finally:
+            fv._native = saved
+        np.testing.assert_array_equal(a, b)
+
+    # NaN heights without a threshold take the numpy path (numpy's
+    # stable sort gives NaN the pixel win — not replicated in C++)
+    bad = pts.copy()
+    bad[5, 1] = np.nan
+    img = fv.fast_floorplan_image(PointCloud(bad), None,
+                                  x_limits=(-4, 4), z_limits=(1, 9),
+                                  width=128)
+    assert img.shape[1] == 128
