@@ -132,15 +132,22 @@ def clean_shadows_numpy(
     pseg = pair_seg[pmask]
 
     # median(angle) < t reduces to COUNTING pairs with angle < t:
-    # angle < t  <=>  vy > cos(t)*|vec|  <=>  vy > 0 and vy^2 > cos^2(t)*|vec|^2
-    # (sqrt/arccos-free). For odd pair-count m the median is < t iff
-    # count >= (m+1)/2; for even m only the boundary case count == m/2
-    # needs the two middle values, computed exactly for just those (few)
-    # cells. Zero-length pairs (duplicate points) make the reference's
-    # angle median NaN (0/0, `pointcloud_cleaner.py:290-293`) and
-    # NaN < t is False — such cells are ALWAYS kept; replicated below.
+    # angle < t  <=>  vy > cos(t)*|vec|, evaluated sqrt/arccos-free by
+    # sign-aware squaring — for t <= 90 (cos t >= 0) that is
+    # vy > 0 and vy^2 > cos^2(t)*|vec|^2; for t > 90 (cos t < 0) it is
+    # NOT(vy < 0 and vy^2 >= cos^2(t)*|vec|^2) (the naive squared test
+    # silently kept every >90-degree cell). For odd pair-count m the
+    # median is < t iff count >= (m+1)/2; for even m only the boundary
+    # case count == m/2 needs the two middle values, computed exactly
+    # for just those (few) cells. Zero-length pairs (duplicate points)
+    # make the reference's angle median NaN (0/0,
+    # `pointcloud_cleaner.py:290-293`) and NaN < t is False — such
+    # cells are ALWAYS kept; replicated below.
     cos_t = np.cos(np.radians(max_shadow_angle))
-    below = (vy > 0) & (vy * vy > cos_t * cos_t * n2)
+    if cos_t >= 0:
+        below = (vy > 0) & (vy * vy > cos_t * cos_t * n2)
+    else:
+        below = ~((vy < 0) & (vy * vy >= cos_t * cos_t * n2))
 
     n_seg = len(starts)
     m = np.bincount(pseg, minlength=n_seg)

@@ -320,7 +320,12 @@ def shadow_keep(ox, oy, oz, valid, cfg: DeviceFloorplanConfig):
     dn2 = dvy * dvy + jnp.diff(xs) ** 2 + jnp.diff(zs) ** 2
 
     cos_t = float(np.cos(np.radians(cfg.max_shadow_angle)))
-    below = (dvy > 0) & (dvy * dvy > cos_t * cos_t * dn2)
+    # sign-aware squared test: angle < t <=> dvy > cos(t)*|v| (the
+    # naive squared form silently keeps every cell when t > 90)
+    if cos_t >= 0:
+        below = (dvy > 0) & (dvy * dvy > cos_t * cos_t * dn2)
+    else:
+        below = ~((dvy < 0) & (dvy * dvy >= cos_t * cos_t * dn2))
 
     def pair_segment_sum(flags):
         c = jnp.cumsum(jnp.concatenate([jnp.zeros(1, jnp.int32),
@@ -466,7 +471,13 @@ class DeviceFloorplanSession:
             if self.limits_cache and os.path.exists(self.limits_cache):
                 with open(self.limits_cache) as f:
                     lim = json.load(f)
-                if lim.get("fingerprint") == self._fingerprint():
+                # absent fingerprint = pre-fingerprint file = lenient
+                # (same convention as the export manifest's identity
+                # keys) — rejecting it would re-derive framing from the
+                # first UNPROCESSED frame on a resumed old run, the
+                # exact jump the cache prevents
+                if lim.get("fingerprint", self._fingerprint()) \
+                        == self._fingerprint():
                     cached = lim
                 # else: stale framing (re-fit ground plane, different
                 # threshold) — fall through and re-derive

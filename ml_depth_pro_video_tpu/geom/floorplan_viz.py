@@ -166,10 +166,13 @@ def fast_floorplan_image(
         points = points[mask]
         colors = colors[mask] if colors is not None else None
 
-    x = -points[:, 0] if len(points) else np.zeros(0)
-    z = points[:, 2] if len(points) else np.zeros(0)
-    x0, x1 = x_limits if x_limits else ((x.min(), x.max()) if len(x) else (0, 1))
-    z0, z1 = z_limits if z_limits else ((z.min(), z.max()) if len(z) else (0, 1))
+    # limits without materializing the flipped-x copy (min(-a) = -max(a));
+    # the native splat re-negates internally, so the O(n) copy is only
+    # built on the numpy fallback below
+    x0, x1 = x_limits if x_limits else (
+        (-points[:, 0].max(), -points[:, 0].min()) if len(points) else (0, 1))
+    z0, z1 = z_limits if z_limits else (
+        (points[:, 2].min(), points[:, 2].max()) if len(points) else (0, 1))
     span_x = max(x1 - x0, 1e-9)
     span_z = max(z1 - z0, 1e-9)
     height = max(int(round(width * span_z / span_x)), 1)
@@ -192,6 +195,8 @@ def fast_floorplan_image(
             img = nimg
             done = True
     if len(points) and not done:
+        x = -points[:, 0]
+        z = points[:, 2]
         px = ((x - x0) / span_x * (width - 1)).astype(np.int64)
         pz = ((z1 - z) / span_z * (height - 1)).astype(np.int64)
         ok = (px >= 0) & (px < width) & (pz >= 0) & (pz < height)

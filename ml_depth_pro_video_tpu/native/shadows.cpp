@@ -189,7 +189,13 @@ void clean_shadows_mask(const double* pts, int64_t n,
                     has_zero = true;
                     break;
                 }
-                if (vy > 0.0 && vy * vy > cos2_t * n2) ++below;
+                // angle < t <=> vy > cos(t)*|v|, sign-aware squared
+                // (for t > 90, cos t < 0, the naive squared test would
+                // silently keep every cell)
+                if (cos_t >= 0.0
+                        ? (vy > 0.0 && vy * vy > cos2_t * n2)
+                        : !(vy < 0.0 && vy * vy >= cos2_t * n2))
+                    ++below;
             }
             if (has_zero || m <= 0) continue;
             bool drop;

@@ -488,3 +488,39 @@ def test_clean_shadows_native_matches_numpy():
     got = cloud.select(mask)
     assert len(got) == len(ref)
     np.testing.assert_array_equal(got.points, ref.points)
+
+
+def test_clean_shadows_wide_angle_threshold():
+    """max_shadow_angle > 90: the sign-aware squared test must still
+    mean 'median pair angle < t' (the naive squared form silently kept
+    every cell), and native must agree with numpy."""
+    from ml_depth_pro_video_tpu.geom.clean import clean_shadows_numpy
+    from ml_depth_pro_video_tpu.native import neighbors as native
+
+    # consecutive-in-y pairs always have dy >= 0, so in-cell angles are
+    # <= 90 degrees: a qualifying ~80-degree leaning streak is kept at
+    # t=75 (80 > 75) but MUST drop at t=120 — the naive squared test
+    # required angle < 60 there and silently kept it
+    k = 16
+    t_steps = np.arange(k, dtype=np.float64)
+    streak = np.column_stack([
+        t_steps * 0.07,            # horizontal run
+        t_steps * 0.0125 + 1.0,    # rise: pair angle ~80 deg
+        np.full(k, 3.0)])
+    # far ghost points stretch the extent so the density-derived cell
+    # is large enough to hold the whole streak in ONE cell
+    ghosts = np.array([[-10.0, 0.0, -10.0], [10.0, 0.0, 10.0]])
+    pts = np.concatenate([streak, ghosts])
+    kept_75 = clean_shadows_numpy(PointCloud(pts.copy()), 0.1, 75.0, 3)
+    dropped_120 = clean_shadows_numpy(PointCloud(pts.copy()), 0.1, 120.0, 3)
+    assert len(kept_75) == k + 2
+    # the density grid is 2x2 here: the (-10,-10) ghost shares the
+    # streak's (0,0) cell and drops with it; only the (10,10) ghost
+    # survives
+    assert len(dropped_120) == 1
+
+    if native.available():
+        m75 = native.clean_shadows_mask(pts, 0.1, 75.0, 3)
+        m120 = native.clean_shadows_mask(pts, 0.1, 120.0, 3)
+        assert m75.all()
+        assert m120.sum() == 1 and m120[-1]
